@@ -1,13 +1,62 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.GraphOps
+import graft.oracle.Ctes
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator from SURVEY.md §2 (or a
+  * north-star LLM-pipeline operator); [[oracleSql]] holds the DuckDB
+  * twin the driver hash-compares against at sf0.01.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    GraphOps.ordersPerNation(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/S2 full scan + A1-style aggregation (pricing summary)
+    "q01_scan_agg" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+    // G9/A3 node census
+    "g_node_count_by_kind" -> ((s, dir) => GraphOps.nodeCountByKind(s, dir)),
+    // A4 rel count by type
+    "g_rel_count_by_type" -> ((s, dir) => GraphOps.relCountByType(s, dir)),
+    // G6 expand (vectorized out-degree)
+    "g_out_degree_by_type" -> ((s, dir) => GraphOps.outDegreeByType(s, dir)),
+    // 2-hop traversal
+    "g_orders_per_nation" -> ((s, dir) => GraphOps.ordersPerNation(s, dir)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "g_node_count_by_kind" ->
+      s"${Ctes.graph} SELECT kind, count(*) AS n FROM nodes GROUP BY kind",
+    "g_rel_count_by_type" ->
+      s"${Ctes.graph} SELECT type, count(*) AS n FROM rels GROUP BY type",
+    "g_out_degree_by_type" ->
+      s"${Ctes.graph} SELECT src AS node_id, type, count(*) AS degree FROM rels GROUP BY src, type",
+    "g_orders_per_nation" ->
+      s"""${Ctes.graph}
+         |SELECT n.name AS nation, count(*) AS n_orders
+         |FROM rels p
+         |JOIN rels c ON p.type = 'PLACED_BY' AND c.type = 'IN_NATION' AND p.dst = c.src
+         |JOIN nodes n ON n.kind = 'nation' AND c.dst = n.id
+         |GROUP BY n.name""".stripMargin,
+  )
 }

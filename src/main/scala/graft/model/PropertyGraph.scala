@@ -1,0 +1,111 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tpch
+
+/** The logical property-graph data model (SURVEY.md §1.6).
+  *
+  * Mirrors the reference's directed property multigraph — node store +
+  * relationship store (reference: consistency-check/.../RecordType.java:22-28,
+  * NodeRecordCheck.java:29-57, RelationshipRecordCheck.java:34-37) — as two
+  * DataFrames:
+  *
+  *   nodes(id LONG, kind STRING, name STRING)
+  *   rels (id LONG, src LONG, dst LONG, type STRING)
+  *
+  * Adjacency is recovered by join/groupBy on src/dst instead of the
+  * reference's per-node doubly-linked relationship chains
+  * (RelationshipNodeField.java:33-110) — set semantics, shuffle-friendly,
+  * and partitionable at 100 TB (hash-partition both tables by the join key;
+  * the dimension-sized node kinds broadcast).
+  */
+case class PropertyGraph(nodes: DataFrame, rels: DataFrame)
+
+/** Derives a deterministic property graph from the TPC-H-ish test corpus.
+  *
+  * Entity keys are disjoint per table only, so node ids are namespaced by
+  * kind: id = KIND_BASE * kindCode + key. Pure arithmetic — no shuffle, no
+  * driver-side id allocation, safe at any scale (cf. reference id allocation
+  * ha/.../IdAllocation.java: master-granted id ranges; here the namespace
+  * arithmetic plays that role).
+  *
+  * The exact same derivation is expressed as SQL CTEs in
+  * [[graft.oracle.Ctes]] for the DuckDB oracle; the two must stay in sync.
+  */
+object TpchGraph {
+  val Base = 1000000000000L // 1e12 — above any key at any realistic sf
+
+  // node kind codes
+  val Region = 1L; val Nation = 2L; val Customer = 3L
+  val Supplier = 4L; val Part = 5L; val Order = 6L
+  // relationship kind codes (id namespaces for rels)
+  val RInRegion = 11L; val RCustNation = 12L; val RSuppNation = 13L
+  val RPlacedBy = 14L; val RHasPart = 15L; val RSuppliedBy = 16L
+
+  def nodes(spark: SparkSession, dir: String): DataFrame = {
+    def t(n: String) = Tpch.table(spark, dir, n)
+    val region = t("region").select(
+      (lit(Region * Base) + col("r_regionkey")).as("id"),
+      lit("region").as("kind"), col("r_name").as("name"))
+    val nation = t("nation").select(
+      (lit(Nation * Base) + col("n_nationkey")).as("id"),
+      lit("nation").as("kind"), col("n_name").as("name"))
+    val customer = t("customer").select(
+      (lit(Customer * Base) + col("c_custkey")).as("id"),
+      lit("customer").as("kind"), col("c_name").as("name"))
+    val supplier = t("supplier").select(
+      (lit(Supplier * Base) + col("s_suppkey")).as("id"),
+      lit("supplier").as("kind"), col("s_name").as("name"))
+    val part = t("part").select(
+      (lit(Part * Base) + col("p_partkey")).as("id"),
+      lit("part").as("kind"), col("p_name").as("name"))
+    val order = t("orders").select(
+      (lit(Order * Base) + col("o_orderkey")).as("id"),
+      lit("order").as("kind"),
+      concat(lit("order-"), col("o_orderkey").cast("string")).as("name"))
+    region.unionAll(nation).unionAll(customer).unionAll(supplier)
+      .unionAll(part).unionAll(order)
+  }
+
+  def rels(spark: SparkSession, dir: String): DataFrame = {
+    def t(n: String) = Tpch.table(spark, dir, n)
+    val inRegion = t("nation").select(
+      (lit(RInRegion * Base) + col("n_nationkey")).as("id"),
+      (lit(Nation * Base) + col("n_nationkey")).as("src"),
+      (lit(Region * Base) + col("n_regionkey")).as("dst"),
+      lit("IN_REGION").as("type"))
+    val custNation = t("customer").select(
+      (lit(RCustNation * Base) + col("c_custkey")).as("id"),
+      (lit(Customer * Base) + col("c_custkey")).as("src"),
+      (lit(Nation * Base) + col("c_nationkey")).as("dst"),
+      lit("IN_NATION").as("type"))
+    val suppNation = t("supplier").select(
+      (lit(RSuppNation * Base) + col("s_suppkey")).as("id"),
+      (lit(Supplier * Base) + col("s_suppkey")).as("src"),
+      (lit(Nation * Base) + col("s_nationkey")).as("dst"),
+      lit("IN_NATION").as("type"))
+    val placedBy = t("orders").select(
+      (lit(RPlacedBy * Base) + col("o_orderkey")).as("id"),
+      (lit(Order * Base) + col("o_orderkey")).as("src"),
+      (lit(Customer * Base) + col("o_custkey")).as("dst"),
+      lit("PLACED_BY").as("type"))
+    // lineitem line numbers are 1..7, so orderkey*8+linenumber is unique
+    val hasPart = t("lineitem").select(
+      (lit(RHasPart * Base) + col("l_orderkey") * 8 + col("l_linenumber")).as("id"),
+      (lit(Order * Base) + col("l_orderkey")).as("src"),
+      (lit(Part * Base) + col("l_partkey")).as("dst"),
+      lit("HAS_PART").as("type"))
+    val suppliedBy = t("lineitem").select(
+      (lit(RSuppliedBy * Base) + col("l_orderkey") * 8 + col("l_linenumber")).as("id"),
+      (lit(Order * Base) + col("l_orderkey")).as("src"),
+      (lit(Supplier * Base) + col("l_suppkey")).as("dst"),
+      lit("SUPPLIED_BY").as("type"))
+    inRegion.unionAll(custNation).unionAll(suppNation)
+      .unionAll(placedBy).unionAll(hasPart).unionAll(suppliedBy)
+  }
+
+  def apply(spark: SparkSession, dir: String): PropertyGraph =
+    PropertyGraph(nodes(spark, dir), rels(spark, dir))
+}
