@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.checker.{Corruption, FullCheck, StoreProfile}
+import graft.model.RecordStores
 import graft.operators.GraphOps
-import graft.oracle.Ctes
+import graft.oracle.{Ctes, RecordCtes}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -36,6 +38,16 @@ object SparkEntry {
     "g_out_degree_by_type" -> ((s, dir) => GraphOps.outDegreeByType(s, dir)),
     // 2-hop traversal
     "g_orders_per_nation" -> ((s, dir) => GraphOps.ordersPerNation(s, dir)),
+    // record-twin derivation parity probe (SURVEY §1.2/§1.6)
+    "rec_stores_profile" -> ((s, dir) =>
+      StoreProfile.profile(RecordStores.derive(s, dir))),
+    // full consistency check over corruption-injected stores
+    // (SURVEY §2.3 J1-J15, §3.1 lifecycle)
+    "cc_violations" -> ((s, dir) =>
+      FullCheck.violations(Corruption(RecordStores.derive(s, dir)))),
+    // A1 summary (ConsistencySummaryStatistics)
+    "cc_summary" -> ((s, dir) =>
+      FullCheck.summary(Corruption(RecordStores.derive(s, dir)))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -58,5 +70,8 @@ object SparkEntry {
          |JOIN rels c ON p.type = 'PLACED_BY' AND c.type = 'IN_NATION' AND p.dst = c.src
          |JOIN nodes n ON n.kind = 'nation' AND c.dst = n.id
          |GROUP BY n.name""".stripMargin,
+    "rec_stores_profile" -> RecordCtes.recProfile,
+    "cc_violations" -> RecordCtes.ccViolations,
+    "cc_summary" -> RecordCtes.ccSummary,
   )
 }

@@ -1,0 +1,274 @@
+package graft.checker
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.Stores
+
+/** Full-store consistency check as a union of join-based violation
+  * DataFrames — the Spark re-expression of the reference's FullCheck
+  * (consistency-check/.../checking/full/FullCheck.java:71-142).
+  *
+  * Where the reference scans each store and *defers* reference checks
+  * until the referenced record materializes (PendingReferenceCheck,
+  * report/ConsistencyReport.java:97-98 — a hand-built join), every check
+  * here IS an equi-join on the pointer column followed by a CASE
+  * predicate; Catalyst plans the dimension joins (type/key dictionaries)
+  * as broadcasts (reference CacheSmallStoresRecordAccess.java:30-90) and
+  * the store-to-store joins as shuffle joins, which is the reference's
+  * MultiPassStore id-range partitioning (MultiPassStore.java:24-230)
+  * done by the engine.
+  *
+  * Output schema: (record_type, violation, record_id) — one row per
+  * violated predicate, summarized by [[summary]] like the reference's
+  * ConsistencySummaryStatistics (A1).
+  *
+  * Violation predicates per join (SURVEY.md §2.3):
+  *  J1 node→first-rel       (NodeRecordCheck.java:42-77)
+  *  J2 rel→type dictionary  (RelationshipRecordCheck.java:39-81)
+  *  J3 rel→endpoint nodes   (RelationshipNodeField.java:33-147)
+  *  J4 rel→prev/next ×4     (RelationshipRecordCheck.java:83-285)
+  *  J5 node→prop chain head (PrimitiveRecordCheck.java:34-139)
+  *  J6 prop→prev/next       (PropertyRecordCheck.java:168-226)
+  *  J7 block→key dictionary (PropertyRecordCheck.java:129-137)
+  *  J8 block→dynamic chain  (PropertyRecordCheck.java:139-162)
+  *  J9 dynamic→next + range (DynamicRecordCheck.java:62-108)
+  *  J10 dictionary→name     (NameRecordCheck.java:40-66)
+  *  J13/J14 duplicate owners (OwnerCheck.java:59-430 — groupBy, not a
+  *    shared concurrent map)
+  *  J15 orphan chains        (OwnerCheck.scanForOrphanChains:81-117 —
+  *    anti-join)
+  */
+object FullCheck {
+  private val NIL = -1L
+
+  private def viol(df: DataFrame, recordType: String, idCol: String = "id"): DataFrame =
+    df.filter(col("violation").isNotNull)
+      .select(lit(recordType).as("record_type"), col("violation"),
+        col(idCol).as("record_id"))
+
+  /** J1: each in-use node's next_rel must head an in-use relationship
+    * chain that references the node back. */
+  def nodeFirstRel(s: Stores): DataFrame = {
+    val r = s.rels.select(col("id").as("r_id"), col("in_use").as("r_in_use"),
+      col("first_node"), col("second_node"),
+      col("first_prev"), col("second_prev"))
+    viol(s.nodes.filter(col("in_use") && col("next_rel") =!= NIL)
+      .join(r, col("next_rel") === col("r_id"), "left")
+      .withColumn("violation",
+        when(col("r_id").isNull || !col("r_in_use"), "relationship_not_in_use")
+          .when(col("first_node") =!= col("id") && col("second_node") =!= col("id"),
+            "relationship_for_other_node")
+          .when((col("first_node") === col("id") && col("first_prev") =!= NIL) ||
+                (col("second_node") === col("id") && col("second_prev") =!= NIL),
+            "relationship_not_first_in_chain")),
+      "node")
+  }
+
+  /** J2: relationship type must exist in the dictionary (broadcast). */
+  def relLabel(s: Stores): DataFrame = {
+    val t = broadcast(s.relTypes.select(col("id").as("t_id"), col("in_use").as("t_in_use")))
+    viol(s.rels.filter(col("in_use"))
+      .join(t, col("type_id") === col("t_id"), "left")
+      .withColumn("violation",
+        when(col("t_id").isNull || !col("t_in_use"), "label_not_in_use")),
+      "relationship")
+  }
+
+  /** J3: both endpoint nodes in use; chain heads referenced back. */
+  def relEndpoints(s: Stores): DataFrame = {
+    def side(nodeCol: String, prevCol: String, name: String): DataFrame = {
+      val n = s.nodes.select(col("id").as("n_id"), col("in_use").as("n_in_use"),
+        col("next_rel").as("n_next_rel"))
+      viol(s.rels.filter(col("in_use"))
+        .join(n, col(nodeCol) === col("n_id"), "left")
+        .withColumn("violation",
+          when(col("n_id").isNull || !col("n_in_use"), s"${name}_node_not_in_use")
+            .when(col(prevCol) === NIL && col("n_next_rel") === NIL,
+              s"${name}_node_has_no_relationships")
+            .when(col(prevCol) === NIL && col("n_next_rel") =!= col("id"),
+              s"${name}_node_does_not_reference_back")),
+        "relationship")
+    }
+    side("first_node", "first_prev", "source")
+      .unionAll(side("second_node", "second_prev", "target"))
+  }
+
+  /** J4 ×4: every chain pointer must reach an in-use relationship that
+    * shares the endpoint node and points back. prev-pointers are
+    * reciprocated by the referenced rel's *next* on the shared node's
+    * side, and vice versa (RelationshipRecordCheck.java:221-284). */
+  def relChains(s: Stores): DataFrame = {
+    val o = s.rels.select(col("id").as("o_id"), col("in_use").as("o_in_use"),
+      col("first_node").as("o_first"), col("second_node").as("o_second"),
+      col("first_prev").as("o_fp"), col("first_next").as("o_fn"),
+      col("second_prev").as("o_sp"), col("second_next").as("o_sn"))
+    def ptr(field: String, nodeCol: String, backIsNext: Boolean, name: String): DataFrame = {
+      val back =
+        when(col("o_first") === col(nodeCol), if (backIsNext) col("o_fn") else col("o_fp"))
+          .when(col("o_second") === col(nodeCol), if (backIsNext) col("o_sn") else col("o_sp"))
+      viol(s.rels.filter(col("in_use") && col(field) =!= NIL)
+        .join(o, col(field) === col("o_id"), "left")
+        .withColumn("violation",
+          when(col("o_id").isNull || !col("o_in_use"), s"${name}_not_in_use")
+            .when(back.isNull, s"${name}_references_other_node")
+            .when(back =!= col("id"), s"${name}_does_not_reference_back")),
+        "relationship")
+    }
+    ptr("first_prev", "first_node", backIsNext = true, "source_prev")
+      .unionAll(ptr("first_next", "first_node", backIsNext = false, "source_next"))
+      .unionAll(ptr("second_prev", "second_node", backIsNext = true, "target_prev"))
+      .unionAll(ptr("second_next", "second_node", backIsNext = false, "target_next"))
+  }
+
+  /** J5: each in-use node's next_prop must head an in-use property chain. */
+  def nodePropChain(s: Stores): DataFrame = {
+    val p = s.props.select(col("id").as("p_id"), col("in_use").as("p_in_use"),
+      col("prev_prop").as("p_prev"))
+    viol(s.nodes.filter(col("in_use") && col("next_prop") =!= NIL)
+      .join(p, col("next_prop") === col("p_id"), "left")
+      .withColumn("violation",
+        when(col("p_id").isNull || !col("p_in_use"), "property_not_in_use")
+          .when(col("p_prev") =!= NIL, "property_not_first_in_chain")),
+      "node")
+  }
+
+  /** J6: property chain pointers resolve and reciprocate. */
+  def propChains(s: Stores): DataFrame = {
+    val o = s.props.select(col("id").as("o_id"), col("in_use").as("o_in_use"),
+      col("prev_prop").as("o_prev"), col("next_prop").as("o_next"))
+    def ptr(field: String, backIsNext: Boolean, name: String): DataFrame = {
+      val back = if (backIsNext) col("o_next") else col("o_prev")
+      viol(s.props.filter(col("in_use") && col(field) =!= NIL)
+        .join(o, col(field) === col("o_id"), "left")
+        .withColumn("violation",
+          when(col("o_id").isNull || !col("o_in_use"), s"${name}_not_in_use")
+            .when(back =!= col("id"), s"${name}_does_not_reference_back")),
+        "property")
+    }
+    ptr("prev_prop", backIsNext = true, "prev")
+      .unionAll(ptr("next_prop", backIsNext = false, "next"))
+  }
+
+  /** J7: every block's key must exist in the dictionary (broadcast). */
+  def blockKeys(s: Stores): DataFrame = {
+    val k = broadcast(s.propKeys.select(col("id").as("k_id"), col("in_use").as("k_in_use")))
+    viol(s.blocks
+      .join(k, col("key_id") === col("k_id"), "left")
+      .withColumn("violation",
+        when(col("k_id").isNull || !col("k_in_use"), "key_not_in_use")),
+      "property", "prop_id")
+  }
+
+  /** J8: long-string blocks reference an in-use, non-empty dynamic chain. */
+  def blockStrings(s: Stores): DataFrame = {
+    val d = s.dyns.select(col("id").as("d_id"), col("in_use").as("d_in_use"),
+      col("length").as("d_len"))
+    viol(s.blocks.filter(col("ptype") === 4)
+      .join(d, col("value_ref") === col("d_id"), "left")
+      .withColumn("violation",
+        when(col("d_id").isNull || !col("d_in_use"), "string_not_in_use")
+          .when(col("d_len") <= 0, "string_empty")),
+      "property", "prop_id")
+  }
+
+  /** J9: dynamic record invariants — length range, full-if-chained,
+    * self-reference, next in use and non-empty. */
+  def dynamics(df: DataFrame, recordType: String, blockSize: Int): DataFrame = {
+    val recordLevel = viol(df.filter(col("in_use"))
+      .withColumn("violation",
+        when(col("length") <= 0 || col("length") > blockSize, "invalid_length")
+          .when(col("length") < blockSize && col("next_block") =!= NIL,
+            "record_not_full_references_next")),
+      recordType)
+    val o = df.select(col("id").as("o_id"), col("in_use").as("o_in_use"),
+      col("length").as("o_len"))
+    val pointerLevel = viol(df.filter(col("in_use") && col("next_block") =!= NIL)
+      .withColumn("violation0",
+        when(col("next_block") === col("id"), "self_reference"))
+      .join(o, col("next_block") === col("o_id"), "left")
+      .withColumn("violation",
+        when(col("violation0").isNotNull, col("violation0"))
+          .when(col("o_id").isNull || !col("o_in_use"), "next_block_not_in_use")
+          .when(col("o_len") <= 0, "next_block_empty")),
+      recordType)
+    recordLevel.unionAll(pointerLevel)
+  }
+
+  /** J10: dictionary entries' name chains resolve, in use, non-empty. */
+  def dictNames(dict: DataFrame, names: DataFrame, recordType: String): DataFrame = {
+    val n = broadcast(names.select(col("id").as("nm_id"), col("in_use").as("nm_in_use"),
+      col("length").as("nm_len")))
+    viol(dict.filter(col("in_use"))
+      .join(n, col("name_id") === col("nm_id"), "left")
+      .withColumn("violation",
+        when(col("nm_id").isNull || !col("nm_in_use"), "name_block_not_in_use")
+          .when(col("nm_len") <= 0, "empty_name")),
+      recordType)
+  }
+
+  /** J13: two in-use owners claiming the same property chain head —
+    * a groupBy over claimed heads, not the reference's shared
+    * ConcurrentMap (OwnerCheck.java:61). */
+  def duplicatePropOwners(s: Stores): DataFrame = {
+    s.nodes.filter(col("in_use") && col("next_prop") =!= NIL)
+      .groupBy(col("next_prop").as("record_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(lit("property").as("record_type"),
+        lit("multiple_owners").as("violation"), col("record_id"))
+  }
+
+  /** J14: two long-string blocks claiming the same dynamic chain head. */
+  def duplicateDynOwners(s: Stores): DataFrame = {
+    s.blocks.filter(col("ptype") === 4)
+      .groupBy(col("value_ref").as("record_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(lit("string").as("record_type"),
+        lit("multiple_owners").as("violation"), col("record_id"))
+  }
+
+  /** J15: chain heads never claimed by any owner — anti-joins. */
+  def orphans(s: Stores): DataFrame = {
+    val claimedProps = s.nodes.filter(col("in_use"))
+      .select(col("next_prop").as("head"))
+    val orphanProps = s.props
+      .filter(col("in_use") && col("prev_prop") === NIL)
+      .join(claimedProps, col("id") === col("head"), "left_anti")
+      .select(lit("property").as("record_type"),
+        lit("orphan_chain").as("violation"), col("id").as("record_id"))
+    val claimedDyns = s.blocks.filter(col("ptype") === 4)
+      .select(col("value_ref").as("head"))
+    val orphanDyns = s.dyns
+      .filter(col("in_use") && col("id") % 8 === 0)
+      .join(claimedDyns, col("id") === col("head"), "left_anti")
+      .select(lit("string").as("record_type"),
+        lit("orphan_chain").as("violation"), col("id").as("record_id"))
+    orphanProps.unionAll(orphanDyns)
+  }
+
+  /** All checks unioned: the full-check "task list"
+    * (FullCheck.java:90-125) as one declarative plan. */
+  def violations(s: Stores): DataFrame =
+    nodeFirstRel(s)
+      .unionAll(relLabel(s))
+      .unionAll(relEndpoints(s))
+      .unionAll(relChains(s))
+      .unionAll(nodePropChain(s))
+      .unionAll(propChains(s))
+      .unionAll(blockKeys(s))
+      .unionAll(blockStrings(s))
+      .unionAll(dynamics(s.dyns, "string", graft.model.RecordSpec.BlockSize))
+      .unionAll(dynamics(s.typeNames, "label_name", graft.model.RecordSpec.BlockSize))
+      .unionAll(dynamics(s.keyNames, "key_name", graft.model.RecordSpec.BlockSize))
+      .unionAll(dictNames(s.relTypes, s.typeNames, "label"))
+      .unionAll(dictNames(s.propKeys, s.keyNames, "key"))
+      .unionAll(duplicatePropOwners(s))
+      .unionAll(duplicateDynOwners(s))
+      .unionAll(orphans(s))
+
+  /** A1: per-(record type, violation) summary
+    * (ConsistencySummaryStatistics). */
+  def summary(s: Stores): DataFrame =
+    violations(s).groupBy("record_type", "violation")
+      .agg(count(lit(1)).as("n"))
+}

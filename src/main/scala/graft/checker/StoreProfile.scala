@@ -1,0 +1,30 @@
+package graft.checker
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.Stores
+
+/** Per-store profile (count + modular pointer checksums) of the record
+  * derivation — the parity probe comparing [[graft.model.RecordStores]]
+  * against the oracle's SQL twin. Modulo 1000003 keeps sums within
+  * BIGINT at any scale factor. */
+object StoreProfile {
+  private val M = 1000003L
+
+  def profile(s: Stores): DataFrame = {
+    def p(df: DataFrame, store: String, s1: Column, s2: Column): DataFrame =
+      df.agg(count(lit(1)).as("n"),
+        coalesce(sum(s1), lit(0L)).as("s1"),
+        coalesce(sum(s2), lit(0L)).as("s2"))
+        .select(lit(store).as("store"), col("n"), col("s1"), col("s2"))
+    p(s.nodes, "nodes", col("next_rel") % M, col("next_prop") % M)
+      .unionAll(p(s.rels, "rels",
+        (col("first_prev") + col("first_next")) % M,
+        (col("second_prev") + col("second_next")) % M))
+      .unionAll(p(s.props, "props", col("prev_prop") % M, col("next_prop") % M))
+      .unionAll(p(s.blocks, "blocks", col("value_ref") % M,
+        col("vlen") + col("key_id") * 31 + col("ptype")))
+      .unionAll(p(s.dyns, "dyns", col("next_block") % M, col("length")))
+  }
+}

@@ -91,14 +91,22 @@ object TpchGraph {
       (lit(Order * Base) + col("o_orderkey")).as("src"),
       (lit(Customer * Base) + col("o_custkey")).as("dst"),
       lit("PLACED_BY").as("type"))
-    // lineitem line numbers are 1..7, so orderkey*8+linenumber is unique
-    val hasPart = t("lineitem").select(
-      (lit(RHasPart * Base) + col("l_orderkey") * 8 + col("l_linenumber")).as("id"),
+    // (l_orderkey, l_linenumber) is NOT unique in this corpus (dup line
+    // numbers); a deterministic per-order row_number gives each lineitem
+    // a stable slot 1..n (n ≤ 17 < 32). Rows fully tied on the sort key
+    // are interchangeable, so the derived rel SET is still deterministic.
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice")
+    val li = t("lineitem").withColumn("rn", row_number().over(wOrd))
+    val hasPart = li.select(
+      (lit(RHasPart * Base) + col("l_orderkey") * 32 + col("rn")).as("id"),
       (lit(Order * Base) + col("l_orderkey")).as("src"),
       (lit(Part * Base) + col("l_partkey")).as("dst"),
       lit("HAS_PART").as("type"))
-    val suppliedBy = t("lineitem").select(
-      (lit(RSuppliedBy * Base) + col("l_orderkey") * 8 + col("l_linenumber")).as("id"),
+    val suppliedBy = li.select(
+      (lit(RSuppliedBy * Base) + col("l_orderkey") * 32 + col("rn")).as("id"),
       (lit(Order * Base) + col("l_orderkey")).as("src"),
       (lit(Supplier * Base) + col("l_suppkey")).as("dst"),
       lit("SUPPLIED_BY").as("type"))

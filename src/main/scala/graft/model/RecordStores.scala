@@ -1,0 +1,239 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tpch
+
+/** Record-level twin of the property graph — the physical schema the
+  * reference's consistency checker operates on (SURVEY.md §1.2).
+  *
+  * Mirrors the reference's fixed-width record stores
+  * (consistency-check/.../RecordType.java:22-28):
+  *
+  *  - node store:          `{id, inUse, nextRel, nextProp}`
+  *    (NodeRecordCheck.java:29-57)
+  *  - relationship store:  `{id, inUse, typeId, firstNode, secondNode,
+  *    firstPrevRel, firstNextRel, secondPrevRel, secondNextRel, nextProp}`
+  *    (RelationshipRecordCheck.java:34-37, RelationshipNodeField.java:33-110)
+  *  - property store:      `{id, inUse, owner, prevProp, nextProp}` +
+  *    a blocks table `{propId, idx, keyId, ptype, valueRef, vlen}`
+  *    (PropertyRecordCheck.java:120-162)
+  *  - dynamic string store `{id, inUse, length, nextBlock}`
+  *    (DynamicRecordCheck.java:30-108)
+  *  - rel-type / prop-key dictionaries `{id, inUse, nameId}` + name
+  *    dynamic stores (NameRecordCheck.java:30-66)
+  *
+  * The stores are *derived* from the logical graph by pure arithmetic +
+  * window functions — relationship prev/next chain pointers come from
+  * lag/lead over (endpoint node, rel id), which replaces the reference's
+  * doubly-linked lists with a shuffle-partitionable derivation (one
+  * shuffle keyed by node id, the same key later joins need). Property
+  * records chunk an entity's properties into records of ≤4 blocks;
+  * string values longer than [[RecordSpec.BlockSize]] chars overflow
+  * into chained dynamic blocks, exactly like the reference's dynamic
+  * store chains.
+  *
+  * Every id is assigned by collision-free arithmetic (no driver-side
+  * allocation, no monotonically_increasing_id), so the derivation is
+  * deterministic at any scale and reproducible in the DuckDB oracle
+  * ([[graft.oracle.RecordCtes]] generates the SQL twin from the same
+  * [[RecordSpec]]).
+  */
+object RecordSpec {
+  /** chars per dynamic block (reference: block-chained dynamic stores) */
+  val BlockSize = 16
+  /** property blocks per PropertyRecord (reference packs multiple
+    * blocks per fixed-width property record) */
+  val BlocksPerRecord = 4
+
+  /** value-type codes for property blocks (reference PropertyType:
+    * inlined primitives vs dynamic-store strings,
+    * PropertyRecordCheck.java:128-162) */
+  val TLong = 1; val TDouble = 2; val TShortString = 3; val TLongString = 4
+
+  /** One extra (non-name) property of a node kind.
+    * `vlenExpr` is ANSI SQL over the source table's columns, shared
+    * verbatim between Spark (`expr(...)`) and the DuckDB oracle. */
+  final case class Extra(keyId: Int, seq: Int, ptype0: Int, vlenExpr: String)
+  final case class KindProps(kindCode: Long, table: String, keyCol: String,
+                             extras: Seq[Extra])
+
+  import TpchGraph._
+  /** Properties beyond `name` (key 0, carried by every node). */
+  val extraProps: Seq[KindProps] = Seq(
+    KindProps(Customer, "customer", "c_custkey", Seq(
+      Extra(1, 1, TDouble, "0"),
+      Extra(2, 2, TShortString, "length(c_mktsegment)"))),
+    KindProps(Supplier, "supplier", "s_suppkey", Seq(
+      Extra(1, 1, TDouble, "0"))),
+    KindProps(Part, "part", "p_partkey", Seq(
+      Extra(3, 1, TShortString, "length(p_brand)"),
+      Extra(4, 2, TShortString, "length(p_type)"),
+      Extra(5, 3, TLong, "0"),
+      Extra(6, 4, TDouble, "0"))),
+    KindProps(Order, "orders", "o_orderkey", Seq(
+      Extra(7, 1, TShortString, "length(o_orderstatus)"),
+      Extra(8, 2, TDouble, "0"))),
+  )
+
+  /** property-key dictionary (reference PropertyIndexRecord store) */
+  val propKeys: Seq[(Int, String)] = Seq(
+    0 -> "name", 1 -> "acctbal", 2 -> "mktsegment", 3 -> "brand",
+    4 -> "type", 5 -> "size", 6 -> "retailprice", 7 -> "status",
+    8 -> "totalprice")
+
+  /** relationship-type dictionary (reference RelationshipTypeRecord store) */
+  val relTypes: Seq[(Int, String)] = Seq(
+    0 -> "IN_REGION", 1 -> "IN_NATION", 2 -> "PLACED_BY",
+    3 -> "HAS_PART", 4 -> "SUPPLIED_BY")
+
+  /** Chunk a dictionary name into dynamic name-store records
+    * `(id, inUse, length, nextBlock)` — driver-side twin of the
+    * dynamic-store derivation, for the tiny literal dictionaries. */
+  def nameBlocks(dictId: Int, name: String): Seq[(Long, Boolean, Long, Long)] = {
+    val L = name.length
+    val nb = (L + BlockSize - 1) / BlockSize
+    (0 until nb).map { j =>
+      val id = dictId.toLong * 8 + j
+      val len = if (j < nb - 1) BlockSize.toLong else (L - BlockSize * (nb - 1)).toLong
+      val next = if (j < nb - 1) id + 1 else -1L
+      (id, true, len, next)
+    }
+  }
+}
+
+/** The full record-store bundle the checker runs over. */
+final case class Stores(
+  nodes: DataFrame,     // id, in_use, next_rel, next_prop
+  rels: DataFrame,      // id, in_use, type_id, first_node, second_node,
+                        //   first_prev, first_next, second_prev, second_next, next_prop
+  props: DataFrame,     // id, in_use, owner, prev_prop, next_prop
+  blocks: DataFrame,    // prop_id, idx, key_id, ptype, value_ref, vlen
+  dyns: DataFrame,      // id, in_use, length, next_block
+  relTypes: DataFrame,  // id, in_use, name_id
+  propKeys: DataFrame,  // id, in_use, name_id
+  typeNames: DataFrame, // id, in_use, length, next_block
+  keyNames: DataFrame   // id, in_use, length, next_block
+)
+
+object RecordStores {
+  import RecordSpec._
+
+  /** prop_rows: one row per (entity, property) with only structural
+    * fields — (owner, key_id, seq, ptype, value_ref, vlen). Values
+    * themselves never enter the record stores (the checker validates
+    * structure, not content — PropertyRecordCheck.java:128-162). */
+  def propRows(spark: SparkSession, dir: String): DataFrame = {
+    val name = TpchGraph.nodes(spark, dir).select(
+      col("id").as("owner"), lit(0).as("key_id"), lit(0).as("seq"),
+      lit(TShortString).as("ptype0"), length(col("name")).cast("long").as("vlen"))
+    val extras = extraProps.flatMap { kp =>
+      val t = Tpch.table(spark, dir, kp.table)
+      kp.extras.map { e =>
+        t.select(
+          (lit(kp.kindCode * TpchGraph.Base) + col(kp.keyCol)).as("owner"),
+          lit(e.keyId).as("key_id"), lit(e.seq).as("seq"),
+          lit(e.ptype0).as("ptype0"), expr(e.vlenExpr).cast("long").as("vlen"))
+      }
+    }
+    (name +: extras).reduce(_ unionAll _)
+      .withColumn("ptype",
+        when(col("ptype0") === TShortString && col("vlen") > BlockSize,
+          lit(TLongString)).otherwise(col("ptype0")))
+      .withColumn("value_ref",
+        when(col("ptype") === TLongString,
+          (col("owner") * 16 + col("key_id")) * 8).otherwise(lit(-1L)))
+      .drop("ptype0")
+  }
+
+  /** Incidence list with chain pointers: for each (node, rel) pair the
+    * prev/next relationship in that node's chain (rel-id order). One
+    * window shuffle keyed by node — scales as a single exchange. */
+  def incidence(rels: DataFrame): DataFrame = {
+    val inc = rels.select(col("src").as("node"), col("id").as("rel_id"), lit(0).as("side"))
+      .unionAll(rels.select(col("dst").as("node"), col("id").as("rel_id"), lit(1).as("side")))
+    val w = Window.partitionBy("node").orderBy("rel_id")
+    inc.select(col("node"), col("rel_id"), col("side"),
+      lag("rel_id", 1, -1).over(w).as("prev"),
+      lead("rel_id", 1, -1).over(w).as("next"))
+  }
+
+  def typeIdExpr(typeCol: String): org.apache.spark.sql.Column =
+    relTypes.foldLeft(when(lit(false), lit(-1))) { case (acc, (id, nm)) =>
+      acc.when(col(typeCol) === nm, lit(id))
+    }.otherwise(lit(-1))
+
+  def derive(spark: SparkSession, dir: String): Stores = {
+    val g = TpchGraph(spark, dir)
+    val incPN = incidence(g.rels)
+
+    val chain = incPN.groupBy("rel_id").agg(
+      max(when(col("side") === 0, col("prev"))).as("first_prev"),
+      max(when(col("side") === 0, col("next"))).as("first_next"),
+      max(when(col("side") === 1, col("prev"))).as("second_prev"),
+      max(when(col("side") === 1, col("next"))).as("second_next"))
+
+    val relRecs = g.rels
+      .join(chain, g.rels("id") === chain("rel_id"))
+      .select(g.rels("id"), lit(true).as("in_use"),
+        typeIdExpr("type").as("type_id"),
+        col("src").as("first_node"), col("dst").as("second_node"),
+        col("first_prev"), col("first_next"),
+        col("second_prev"), col("second_next"),
+        lit(-1L).as("next_prop"))
+
+    val minRel = incPN.groupBy("node").agg(min("rel_id").as("min_rel"))
+    val nodeRecs = g.nodes
+      .join(minRel, g.nodes("id") === minRel("node"), "left")
+      .select(g.nodes("id"), lit(true).as("in_use"),
+        coalesce(col("min_rel"), lit(-1L)).as("next_rel"),
+        (g.nodes("id") * 4).as("next_prop"))
+
+    val rows = propRows(spark, dir)
+
+    // property records: chunk into records of ≤4 blocks, doubly linked
+    val pr1 = rows.select(col("owner"), expr("seq div 4").as("ri")).distinct()
+    val wOwner = Window.partitionBy("owner")
+    val propRecs = pr1
+      .withColumn("mri", max("ri").over(wOwner))
+      .select((col("owner") * 4 + col("ri")).as("id"), lit(true).as("in_use"),
+        col("owner"),
+        when(col("ri") === 0, lit(-1L)).otherwise(col("owner") * 4 + col("ri") - 1).as("prev_prop"),
+        when(col("ri") === col("mri"), lit(-1L)).otherwise(col("owner") * 4 + col("ri") + 1).as("next_prop"))
+
+    val blocks = rows.select(
+      (col("owner") * 4 + expr("seq div 4")).as("prop_id"),
+      expr("seq % 4").as("idx"),
+      col("key_id"), col("ptype"), col("value_ref"), col("vlen"))
+
+    // dynamic string store: chained 16-char blocks for long strings
+    val dyns = rows.filter(col("ptype") === TLongString)
+      .select(col("value_ref"), col("vlen"),
+        expr(s"(vlen + ${BlockSize - 1}) div $BlockSize").as("nb"))
+      .select(col("value_ref"), col("vlen"), col("nb"),
+        explode(sequence(lit(0L), col("nb") - 1)).as("j"))
+      .select((col("value_ref") + col("j")).as("id"), lit(true).as("in_use"),
+        when(col("j") < col("nb") - 1, lit(BlockSize.toLong))
+          .otherwise(col("vlen") - lit(BlockSize) * (col("nb") - 1)).as("length"),
+        when(col("j") < col("nb") - 1, col("value_ref") + col("j") + 1)
+          .otherwise(lit(-1L)).as("next_block"))
+
+    // dictionaries + their name dynamic stores (dimension-sized: S4 —
+    // the reference materializes these wholly, FullCheck.java:127-142;
+    // here they are literal DFs that Catalyst broadcast-joins)
+    import spark.implicits._
+    val relTypesDF = relTypes.map { case (i, _) => (i.toLong, true, i.toLong * 8) }
+      .toDF("id", "in_use", "name_id")
+    val propKeysDF = propKeys.map { case (i, _) => (i.toLong, true, i.toLong * 8) }
+      .toDF("id", "in_use", "name_id")
+    val typeNamesDF = relTypes.flatMap { case (i, n) => nameBlocks(i, n) }
+      .toDF("id", "in_use", "length", "next_block")
+    val keyNamesDF = propKeys.flatMap { case (i, n) => nameBlocks(i, n) }
+      .toDF("id", "in_use", "length", "next_block")
+
+    Stores(nodeRecs, relRecs, propRecs, blocks, dyns,
+      relTypesDF, propKeysDF, typeNamesDF, keyNamesDF)
+  }
+}

@@ -24,13 +24,18 @@ object Ctes {
 
   /** rels(id, src, dst, type) — twin of TpchGraph.rels */
   val rels: String =
-    s"""rels AS (
+    s"""lw AS (
+       |  SELECT *, row_number() OVER (PARTITION BY l_orderkey
+       |    ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) AS rn
+       |  FROM lineitem
+       |),
+       |rels AS (
        |  SELECT ${11 * B} + n_nationkey AS id, ${2 * B} + n_nationkey AS src, ${1 * B} + n_regionkey AS dst, 'IN_REGION' AS type FROM nation
        |  UNION ALL SELECT ${12 * B} + c_custkey, ${3 * B} + c_custkey, ${2 * B} + c_nationkey, 'IN_NATION' FROM customer
        |  UNION ALL SELECT ${13 * B} + s_suppkey, ${4 * B} + s_suppkey, ${2 * B} + s_nationkey, 'IN_NATION' FROM supplier
        |  UNION ALL SELECT ${14 * B} + o_orderkey, ${6 * B} + o_orderkey, ${3 * B} + o_custkey, 'PLACED_BY' FROM orders
-       |  UNION ALL SELECT ${15 * B} + l_orderkey*8 + l_linenumber, ${6 * B} + l_orderkey, ${5 * B} + l_partkey, 'HAS_PART' FROM lineitem
-       |  UNION ALL SELECT ${16 * B} + l_orderkey*8 + l_linenumber, ${6 * B} + l_orderkey, ${4 * B} + l_suppkey, 'SUPPLIED_BY' FROM lineitem
+       |  UNION ALL SELECT ${15 * B} + l_orderkey*32 + rn, ${6 * B} + l_orderkey, ${5 * B} + l_partkey, 'HAS_PART' FROM lw
+       |  UNION ALL SELECT ${16 * B} + l_orderkey*32 + rn, ${6 * B} + l_orderkey, ${4 * B} + l_suppkey, 'SUPPLIED_BY' FROM lw
        |)""".stripMargin
 
   val graph: String = s"WITH $nodes, $rels"
