@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.checker.{Corruption, FullCheck, StoreProfile}
 import graft.model.RecordStores
-import graft.operators.GraphOps
-import graft.oracle.{Ctes, RecordCtes}
+import graft.operators.{Dedup, GraphOps, Media, Similarity, TextOps}
+import graft.oracle.{Ctes, RecordCtes, TextCtes}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -48,6 +48,19 @@ object SparkEntry {
     // A1 summary (ConsistencySummaryStatistics)
     "cc_summary" -> ((s, dir) =>
       FullCheck.summary(Corruption(RecordStores.derive(s, dir)))),
+    // ---- LLM-pipeline operators (north star) ----
+    "t_token_count" -> ((s, dir) => TextOps.tokenCount(s, dir)),
+    "t_quality" -> ((s, dir) => TextOps.quality(s, dir)),
+    "t_lang_id" -> ((s, dir) => TextOps.langId(s, dir)),
+    "t_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir)),
+    "t_simhash" -> ((s, dir) => TextOps.simhash(s, dir)),
+    "dd_exact" -> ((s, dir) => Dedup.exact(s, dir)),
+    "dd_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
+    "dd_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
+    "ann_topk" -> ((s, dir) => Similarity.annBruteForce(s, dir)),
+    "ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
+    "dd_embedding" -> ((s, dir) => Similarity.embeddingDup(s, dir)),
+    "mm_media_features" -> ((s, dir) => Media.mediaFeatures(s, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -73,5 +86,17 @@ object SparkEntry {
     "rec_stores_profile" -> RecordCtes.recProfile,
     "cc_violations" -> RecordCtes.ccViolations,
     "cc_summary" -> RecordCtes.ccSummary,
+    "t_token_count" -> TextCtes.tokenCount,
+    "t_quality" -> TextCtes.quality,
+    "t_lang_id" -> TextCtes.langId,
+    "t_fingerprint" -> TextCtes.fingerprint,
+    "t_simhash" -> TextCtes.simhash,
+    "dd_exact" -> TextCtes.dedupExact,
+    "dd_ngram_jaccard" -> TextCtes.ngramJaccard,
+    "dd_minhash_lsh" -> TextCtes.minhashLsh,
+    "ann_topk" -> TextCtes.annBruteForce,
+    "ann_lsh" -> TextCtes.annLsh,
+    "dd_embedding" -> TextCtes.embeddingDup,
+    "mm_media_features" -> TextCtes.mediaFeatures,
   )
 }

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import TextOps.{fpSql, toks, P}
+
+/** Deduplication operators over the documents table: exact
+  * (hash-groupBy), n-gram Jaccard via an inverted shingle index, and
+  * MinHash+LSH (shingle → minhash signature → banded bucket join →
+  * exact-Jaccard verify).
+  *
+  * The corpus has no natural duplicates, so each operator runs over a
+  * deterministic dup corpus: documents ∪ a shifted copy (exact copy for
+  * exact dedup; last-3-tokens-dropped variant for near-dup), ids offset
+  * by 100000. The DuckDB oracle constructs the identical corpus.
+  *
+  * Scale design (100 TB): everything is hash-partitioned by shingle
+  * fingerprint or (band, signature) — the inverted-index join is the
+  * standard linear-scale path, with a document-frequency cap (df ≤ 100)
+  * so stop-shingles cannot produce quadratic pair blowup; minhash
+  * banding reduces candidate pairs to near-linear before the exact
+  * verify. No driver-side state, no all-pairs product.
+  */
+object Dedup {
+  val IdOffset = 100000L
+  /** drop shingles appearing in more than this many docs (pair blowup guard) */
+  val MaxDf = 100L
+  val Tau = 0.5
+
+  /** documents ∪ exact copy (ids + offset) */
+  def exactCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextOps.docs(spark, dir).select(col("doc_id"), col("text"))
+    d.unionAll(d.select(col("doc_id") + IdOffset, col("text")))
+  }
+
+  /** documents ∪ near-dup variant (last 3 tokens dropped, ids + offset) */
+  def nearCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextOps.docs(spark, dir).select(col("doc_id"), col("text"))
+    val variant = d.select((col("doc_id") + IdOffset).as("doc_id"),
+      array_join(slice(toks(col("text")), lit(1),
+        greatest(size(toks(col("text"))) - 3, lit(1))), " ").as("text"))
+    d.unionAll(variant)
+  }
+
+  /** Exact dedup: group by content fingerprint, keep min id. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    exactCorpus(spark, dir)
+      .select(col("doc_id"), expr(fpSql("text")).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  /** distinct (doc_id, shingle-fingerprint) pairs, df-capped. */
+  def shingles(corpus: DataFrame): DataFrame = {
+    val sh = corpus
+      .withColumn("t", toks(col("text")))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(0, size(t) - 3), k -> concat(t[k], ' ', t[k+1], ' ', t[k+2]))")).as("sh"))
+      .select(col("doc_id"), expr(fpSql("sh")).as("sfp"))
+      .distinct()
+    val df = sh.groupBy("sfp").agg(count(lit(1)).as("df"))
+    sh.join(df.filter(col("df") <= MaxDf).select("sfp"), "sfp")
+  }
+
+  private def verifiedPairs(sh: DataFrame, cand: Option[DataFrame]): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val shared = sh.select(col("doc_id").as("a"), col("sfp"))
+      .join(sh.select(col("doc_id").as("b"), col("sfp")), "sfp")
+      .filter(col("a") < col("b"))
+    val restricted = cand.fold(shared)(c => shared.join(c, Seq("a", "b"), "left_semi"))
+    restricted
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("a"), col("nsh").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("nsh").as("nb")), "b")
+      .withColumn("jacc", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jacc") >= Tau)
+      .select(col("a"), col("b"), col("jacc"))
+  }
+
+  /** n-gram Jaccard near-dup: inverted-index pair generation + exact
+    * Jaccard ≥ τ (every pair sharing ≥1 surviving shingle is scored). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    verifiedPairs(shingles(nearCorpus(spark, dir)), None)
+
+  /** MinHash parameters: h_i(x) = (a_i·x + b_i) mod P, 16 hashes in 4
+    * bands of 4. */
+  val NumHashes = 16
+  val BandSize = 4
+
+  /** MinHash+LSH: signature → banded bucket join → candidates → exact
+    * Jaccard verify. Candidate generation is near-linear (equi-join on
+    * (band, sig₀..sig₃)), the scalable path at corpus scale. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(nearCorpus(spark, dir))
+    val mh = sh
+      .select(col("doc_id"), col("sfp"), explode(sequence(lit(0), lit(NumHashes - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        expr(s"((1 + 7919 * i) * sfp + 104729 * i) % $P").as("h"))
+      .groupBy("doc_id", "i").agg(min("h").as("mh"))
+    val bands = mh
+      .withColumn("band", expr(s"i div $BandSize"))
+      .withColumn("slot", expr(s"i % $BandSize"))
+      .groupBy("doc_id", "band")
+      .agg(
+        max(when(col("slot") === 0, col("mh"))).as("s0"),
+        max(when(col("slot") === 1, col("mh"))).as("s1"),
+        max(when(col("slot") === 2, col("mh"))).as("s2"),
+        max(when(col("slot") === 3, col("mh"))).as("s3"))
+    val cand = bands.select(col("doc_id").as("a"), col("band"), col("s0"), col("s1"), col("s2"), col("s3"))
+      .join(bands.select(col("doc_id").as("b"), col("band"), col("s0"), col("s1"), col("s2"), col("s3")),
+        Seq("band", "s0", "s1", "s2", "s3"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    verifiedPairs(sh, Some(cand))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tpch
+
+/** Multimodal-column plumbing: media as opaque BINARY columns with
+  * typed metadata, and a feature-extraction pass implemented as real
+  * partition-level imperative code over the bytes.
+  *
+  * The decode step is a STUB by design (no image/audio codecs in this
+  * environment): [[FakeDecoder]] computes deterministic per-blob
+  * features (byte count, frame count, modular byte checksum) so the
+  * Spark-side plumbing — binary schema, batched per-partition
+  * processing, feature-struct output — is real and oracle-testable
+  * (the corpus is ASCII, so the oracle recomputes the byte checksum
+  * from character codes).
+  */
+object Media {
+  val FrameBytes = 256
+  val ChecksumMod = 997L
+
+  /** media(doc_id, media BINARY, meta STRUCT<mime, n_chars>) — the
+    * canonical multimodal table shape. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tpch.table(spark, dir, "documents").select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      struct(lit("text/plain").as("mime"),
+        length(col("text")).cast("long").as("n_chars")).as("meta"))
+
+  /** The decode/extract stub: pure function over raw bytes. In a real
+    * deployment this is the codec call; the batch shape (one call per
+    * row inside mapPartitions, no driver involvement) is the real
+    * plumbing under test. */
+  object FakeDecoder {
+    def features(bytes: Array[Byte]): (Long, Long, Long) = {
+      val n = bytes.length.toLong
+      val frames = n / FrameBytes + 1
+      var acc = 0L
+      var i = 0
+      while (i < bytes.length) {
+        acc = (acc + (bytes(i) & 0xff)) % ChecksumMod
+        i += 1
+      }
+      (n, frames, acc)
+    }
+  }
+
+  /** Feature extraction over the binary column via typed mapPartitions
+    * — the distributed decode pass. */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (n, frames, checksum) = FakeDecoder.features(bytes)
+          (id, n, frames, checksum)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_frames", "checksum")
+  }
+}

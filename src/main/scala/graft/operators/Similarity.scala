@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tpch
+
+/** Similarity search over the embeddings table (64-dim FLOAT[]):
+  * brute-force cosine top-k as the exactness baseline, and an
+  * LSH-bucketed variant (deterministic random-hyperplane signatures) as
+  * the scale path — bucketed candidates turn the all-pairs product into
+  * an equi-join on the bucket key.
+  *
+  * Embeddings are quantized to integers (round(x·1000)) before any
+  * arithmetic: dot products and norms are exact BIGINT sums (order
+  * independent), cosines are doubles derived from those exact integers —
+  * so the DuckDB oracle reproduces every cosine bit-for-bit and the
+  * top-k ranking is deterministic across engines.
+  */
+object Similarity {
+  val K = 5
+  val QueryMod = 50       // vec_id % QueryMod == 0 → query set
+  val NumPlanes = 8
+  val DupCosTau = 0.999
+  val IdOffset = 100000L
+
+  /** (vec_id, q: ARRAY<BIGINT> quantized, nrm: BIGINT Σq²) */
+  def quantized(spark: SparkSession, dir: String): DataFrame =
+    Tpch.table(spark, dir, "embeddings").select(
+      col("vec_id"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+      .withColumn("nrm", expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      .filter(col("nrm") > 0)
+
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+
+  private def cos: Column = col("dot") / (sqrt(col("qn")) * sqrt(col("cn")))
+
+  /** Brute-force cosine top-k: tiny query set broadcast against all
+    * candidates; exact baseline for the ANN surface. */
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir)
+    val queries = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qv"), col("nrm").as("qn"))
+    val cands = e.select(col("vec_id").as("nid"), col("q").as("cv"), col("nrm").as("cn"))
+    val scored = broadcast(queries).crossJoin(cands)
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("dot", dot("qv", "cv"))
+      .withColumn("cos", cos)
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+  }
+
+  /** Deterministic hyperplane p (0..7): component j = ((p·73+j·37) mod
+    * 41) − 20; bucket = Σ 2^p·[dot(q, plane_p) > 0]. */
+  def withBucket(e: DataFrame): DataFrame = {
+    val bucket = (0 until NumPlanes).map { p =>
+      val plane = s"transform(sequence(0, 63), j -> CAST((($p * 73 + j * 37) % 41) - 20 AS BIGINT))"
+      val d = s"aggregate(zip_with(q, $plane, (x, w) -> x * w), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+      expr(s"CASE WHEN ($d) > 0 THEN ${1L << p} ELSE 0 END")
+    }.reduce(_ + _)
+    e.withColumn("bucket", bucket)
+  }
+
+  /** LSH-bucketed ANN: candidates share the 8-bit hyperplane signature;
+    * the cross product becomes an equi-join on bucket. Recall is partial
+    * by construction (single probe) — the deterministic trade the scale
+    * path makes. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = withBucket(quantized(spark, dir))
+    val queries = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qv"), col("nrm").as("qn"), col("bucket"))
+    val cands = e.select(col("vec_id").as("nid"), col("q").as("cv"), col("nrm").as("cn"), col("bucket"))
+    val scored = queries.join(cands, "bucket")
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("dot", dot("qv", "cv"))
+      .withColumn("cos", cos)
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("bucket"), col("rank"), col("nid"), col("cos"))
+  }
+
+  /** Embedding-cosine near-dup over embeddings ∪ perturbed copy
+    * (each quantized component +1, ids offset): pairs in the same LSH
+    * bucket with cos ≥ τ. Bucket-blocked join = linear-scale near-dup. */
+  def embeddingDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir)
+    val perturbed = e.select((col("vec_id") + IdOffset).as("vec_id"),
+      expr("transform(q, x -> x + 1)").as("q"))
+      .withColumn("nrm", expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      .filter(col("nrm") > 0)
+    val corpus = withBucket(e.select("vec_id", "q", "nrm")
+      .unionAll(perturbed.select("vec_id", "q", "nrm")))
+    val a = corpus.select(col("vec_id").as("a"), col("q").as("qv"), col("nrm").as("qn"), col("bucket"))
+    val b = corpus.select(col("vec_id").as("b"), col("q").as("cv"), col("nrm").as("cn"), col("bucket"))
+    a.join(b, "bucket").filter(col("a") < col("b"))
+      .withColumn("dot", dot("qv", "cv"))
+      .withColumn("cos", cos)
+      .filter(col("cos") >= DupCosTau)
+      .select(col("a"), col("b"), col("cos"))
+  }
+}

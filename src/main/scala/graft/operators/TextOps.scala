@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tpch
+
+/** Text-analysis operators for the training-data pipeline surface:
+  * token counting, quality scoring, language-ID, fingerprinting,
+  * SimHash. All arithmetic is integer-based (polynomial rolling hashes
+  * mod 1e9+7) or double math derived from exact integers, so the DuckDB
+  * oracle ([[graft.oracle.TextCtes]]) reproduces results bit-exactly.
+  *
+  * Everything is expression-level (whole-stage codegen, no UDFs): the
+  * per-char fold is a Catalyst `aggregate` over `split(text, '')`, which
+  * scales linearly and shuffles nothing until the final aggregation.
+  */
+object TextOps {
+  val P = 1000000007L
+
+  /** whitespace tokens of trimmed text */
+  def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  /** polynomial rolling hash of a string: fold (acc*31 + ascii) mod P —
+    * the document-fingerprinting primitive (rolling hash). */
+  def fpSql(x: String): String =
+    s"aggregate(transform(split($x, ''), c -> ascii(c)), CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % $P)"
+
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    Tpch.table(spark, dir, "documents")
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(toks(col("text"))).as("n_ws"),
+      size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("n_re"))
+
+  /** Quality scoring: length/stopword/token-shape heuristics.
+    * All ratios are double math over exact integers (same op order in
+    * the oracle). */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("t", toks(col("text")))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("sum_len",
+        expr("aggregate(transform(t, x -> length(x)), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("n_stop",
+        expr("size(filter(t, x -> x IN ('the','a','of','and','is','to','in')))").cast("long"))
+      .withColumn("avg_len", col("sum_len") / col("n_tokens"))
+      .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
+      .select(
+        col("doc_id"), length(col("text")).cast("long").as("n_chars_m"),
+        col("n_tokens"), col("stop_ratio"),
+        (least(col("n_tokens") / 200.0, lit(1.0)) * 0.5 +
+          least(col("stop_ratio") * 4.0, lit(1.0)) * 0.3 +
+          when(col("avg_len") >= 3.0 && col("avg_len") <= 8.0, 0.2).otherwise(0.0)
+          ).as("quality"))
+
+  /** Language-ID via n-gram/stopword heuristic: per-language marker-word
+    * hit counts + a CJK character class, argmax with a fixed tie-break
+    * order. (The corpus' `lang` column is a random label over a shared
+    * English vocabulary, so the operator is defined by its heuristic,
+    * not by agreement with the label.) */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("t", toks(lower(col("text"))))
+      .withColumn("n_zh",
+        size(expr("regexp_extract_all(text, '[\\\\x{4E00}-\\\\x{9FFF}]', 0)")).cast("long"))
+      .withColumn("s_en", expr("size(filter(t, x -> x IN ('the','a','of','and','is')))").cast("long"))
+      .withColumn("s_de", expr("size(filter(t, x -> x IN ('der','die','und','das','ist')))").cast("long"))
+      .withColumn("s_es", expr("size(filter(t, x -> x IN ('el','la','de','y','es')))").cast("long"))
+      .withColumn("s_fr", expr("size(filter(t, x -> x IN ('le','la','de','et','est')))").cast("long"))
+      .select(col("doc_id"), col("n_zh"), col("s_en"), col("s_de"), col("s_es"), col("s_fr"),
+        when(col("n_zh") > 0, "zh")
+          .when(col("s_de") > col("s_en") && col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+          .when(col("s_es") > col("s_en") && col("s_es") >= col("s_fr"), "es")
+          .when(col("s_fr") > col("s_en"), "fr")
+          .otherwise("en").as("pred"))
+
+  /** Whole-document rolling-hash fingerprint. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), expr(fpSql("text")).as("fp"))
+
+  /** 30-bit SimHash over the distinct-token fingerprint set: bit j is
+    * the sign of Σ_tokens (±1 by token-hash bit j). Computed in long
+    * format (doc × bit) so the plan is two partial-aggregable groupBys. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tf = docs(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .select(col("doc_id"), expr(fpSql("tok")).as("tfp"))
+      .distinct()
+    tf.select(col("doc_id"), col("tfp"), explode(sequence(lit(0), lit(29))).as("j"))
+      .groupBy("doc_id", "j")
+      .agg(sum(when(expr("(shiftright(tfp, j) & 1)") === 1, 1).otherwise(-1)).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L)).as("simhash"))
+  }
+}

@@ -1,0 +1,240 @@
+package graft.oracle
+
+/** DuckDB-SQL twins of the LLM-pipeline operators
+  * ([[graft.operators.TextOps]], [[graft.operators.Dedup]],
+  * [[graft.operators.Similarity]], [[graft.operators.Media]]).
+  *
+  * All shared arithmetic is integer-exact (polynomial hashes, quantized
+  * embeddings), so doubles derived from those integers (ratios,
+  * cosines) are bit-identical across engines. DuckDB `sum()` returns
+  * HUGEINT, so every integer sum is CAST back to BIGINT.
+  */
+object TextCtes {
+  private val P = 1000000007L
+
+  /** polynomial rolling hash — twin of TextOps.fpSql */
+  private def fp(x: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($x, ''), c -> CAST(ascii(c) AS BIGINT))), (acc, x) -> (acc * 31 + x) % $P)"
+
+  private def toks(x: String): String =
+    s"string_split_regex(trim($x), '\\s+')"
+
+  val tokenCount: String =
+    s"""SELECT doc_id,
+       |  len(${toks("text")}) AS n_ws,
+       |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_re
+       |FROM documents""".stripMargin
+
+  val quality: String =
+    s"""WITH q0 AS (SELECT doc_id, text, ${toks("text")} AS t FROM documents),
+       |q1 AS (SELECT doc_id, text,
+       |  CAST(len(t) AS BIGINT) AS n_tokens,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(t, x -> CAST(length(x) AS BIGINT))), (a, x) -> a + x) AS sum_len,
+       |  CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is','to','in'))) AS BIGINT) AS n_stop
+       |FROM q0)
+       |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m, n_tokens,
+       |  n_stop / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+       |  least(n_tokens / 200.0, 1.0) * 0.5 +
+       |  least((n_stop / CAST(n_tokens AS DOUBLE)) * 4.0, 1.0) * 0.3 +
+       |  CASE WHEN (sum_len / CAST(n_tokens AS DOUBLE)) >= 3.0
+       |        AND (sum_len / CAST(n_tokens AS DOUBLE)) <= 8.0 THEN 0.2 ELSE 0.0 END AS quality
+       |FROM q1""".stripMargin
+
+  val langId: String =
+    s"""WITH q0 AS (SELECT doc_id, text, ${toks("lower(text)")} AS t FROM documents),
+       |s AS (SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]')) AS BIGINT) AS n_zh,
+       |  CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS s_en,
+       |  CAST(len(list_filter(t, x -> x IN ('der','die','und','das','ist'))) AS BIGINT) AS s_de,
+       |  CAST(len(list_filter(t, x -> x IN ('el','la','de','y','es'))) AS BIGINT) AS s_es,
+       |  CAST(len(list_filter(t, x -> x IN ('le','la','de','et','est'))) AS BIGINT) AS s_fr
+       |FROM q0)
+       |SELECT doc_id, n_zh, s_en, s_de, s_es, s_fr,
+       |  CASE WHEN n_zh > 0 THEN 'zh'
+       |       WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |       WHEN s_es > s_en AND s_es >= s_fr THEN 'es'
+       |       WHEN s_fr > s_en THEN 'fr'
+       |       ELSE 'en' END AS pred
+       |FROM s""".stripMargin
+
+  val fingerprint: String =
+    s"SELECT doc_id, ${fp("text")} AS fp FROM documents"
+
+  val simhash: String =
+    s"""WITH tf AS (SELECT DISTINCT doc_id, ${fp("tok")} AS tfp FROM (
+       |  SELECT doc_id, unnest(${toks("text")}) AS tok FROM documents)),
+       |b AS (SELECT doc_id, j,
+       |  CAST(sum(CASE WHEN ((tfp >> j) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
+       |FROM tf, unnest(generate_series(0, 29)) AS t(j) GROUP BY doc_id, j)
+       |SELECT doc_id,
+       |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+       |FROM b GROUP BY doc_id""".stripMargin
+
+  // ---- dedup -----------------------------------------------------------
+
+  private val exactCorpus =
+    """exact_corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000, text FROM documents)""".stripMargin
+
+  private val nearCorpus =
+    s"""near_corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000,
+       |    array_to_string(list_slice(t, 1, greatest(len(t) - 3, 1)), ' ')
+       |  FROM (SELECT doc_id, ${toks("text")} AS t FROM documents))""".stripMargin
+
+  /** shingle table over the near corpus, df-capped — twin of
+    * Dedup.shingles */
+  private val shingleCtes =
+    s"""$nearCorpus,
+       |sh0 AS (SELECT doc_id, t FROM (SELECT doc_id, ${toks("text")} AS t FROM near_corpus) WHERE len(t) >= 3),
+       |sh1 AS (SELECT DISTINCT doc_id, ${fp("sh")} AS sfp FROM (
+       |  SELECT doc_id, unnest(list_transform(generate_series(0, len(t) - 3),
+       |    k -> t[k+1] || ' ' || t[k+2] || ' ' || t[k+3])) AS sh FROM sh0)),
+       |dfq AS (SELECT sfp FROM sh1 GROUP BY sfp HAVING count(*) <= 100),
+       |sh AS (SELECT s.doc_id, s.sfp FROM sh1 s JOIN dfq USING (sfp)),
+       |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id)""".stripMargin
+
+  val dedupExact: String =
+    s"""WITH $exactCorpus,
+       |f AS (SELECT doc_id, ${fp("text")} AS fp FROM exact_corpus)
+       |SELECT fp, min(doc_id) AS keeper, count(*) AS n
+       |FROM f GROUP BY fp HAVING count(*) > 1""".stripMargin
+
+  private val jaccSelect =
+    """SELECT p.a, p.b, p.inter / CAST(sa.nsh + sb.nsh - p.inter AS DOUBLE) AS jacc
+      |FROM pairs p
+      |JOIN sizes sa ON p.a = sa.doc_id
+      |JOIN sizes sb ON p.b = sb.doc_id
+      |WHERE p.inter / CAST(sa.nsh + sb.nsh - p.inter AS DOUBLE) >= 0.5""".stripMargin
+
+  val ngramJaccard: String =
+    s"""WITH $shingleCtes,
+       |pairs AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+       |  FROM sh a JOIN sh b USING (sfp)
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       |$jaccSelect""".stripMargin
+
+  val minhashLsh: String =
+    s"""WITH $shingleCtes,
+       |mh AS (
+       |  SELECT doc_id, i, min(((1 + 7919 * i) * sfp + 104729 * i) % $P) AS mh
+       |  FROM sh, unnest(generate_series(0, 15)) AS t(i) GROUP BY doc_id, i),
+       |bands AS (
+       |  SELECT doc_id, i // 4 AS band,
+       |    max(CASE WHEN i % 4 = 0 THEN mh END) AS s0,
+       |    max(CASE WHEN i % 4 = 1 THEN mh END) AS s1,
+       |    max(CASE WHEN i % 4 = 2 THEN mh END) AS s2,
+       |    max(CASE WHEN i % 4 = 3 THEN mh END) AS s3
+       |  FROM mh GROUP BY doc_id, i // 4),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.s0 = b.s0
+       |    AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.s3 = b.s3
+       |    AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+       |  FROM sh a JOIN sh b USING (sfp)
+       |  JOIN cand c ON c.a = a.doc_id AND c.b = b.doc_id
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       |$jaccSelect""".stripMargin
+
+  // ---- similarity ------------------------------------------------------
+
+  /** quantized embeddings in long format + norms; `valid` = nrm > 0 */
+  private val embBase =
+    """e AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+      |FROM embeddings),
+      |el AS (SELECT vec_id, unnest(q) AS x, unnest(generate_series(1, len(q))) AS i FROM e),
+      |n AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS nrm FROM el GROUP BY vec_id),
+      |valid AS (SELECT vec_id, nrm FROM n WHERE nrm > 0)""".stripMargin
+
+  val annBruteForce: String =
+    s"""WITH $embBase,
+       |dots AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS nid, CAST(sum(a.x * b.x) AS BIGINT) AS dot
+       |  FROM el a JOIN el b ON a.i = b.i
+       |  WHERE a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.qid, d.nid, d.dot / (sqrt(qa.nrm) * sqrt(qb.nrm)) AS cos
+       |  FROM dots d JOIN valid qa ON d.qid = qa.vec_id
+       |  JOIN valid qb ON d.nid = qb.vec_id),
+       |ranked AS (
+       |  SELECT qid, nid, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+       |  FROM scored)
+       |SELECT qid, rnk AS rank, nid, cos FROM ranked WHERE rnk <= 5""".stripMargin
+
+  /** deterministic hyperplane buckets — twin of Similarity.withBucket */
+  private def bucketCtes(elTable: String): String =
+    s"""planes AS (
+       |  SELECT p, j, CAST(((p * 73 + j * 37) % 41) - 20 AS BIGINT) AS w
+       |  FROM unnest(generate_series(0, 7)) AS tp(p),
+       |       unnest(generate_series(0, 63)) AS tj(j)),
+       |pd AS (
+       |  SELECT t.vec_id, pl.p, CAST(sum(t.x * pl.w) AS BIGINT) AS d
+       |  FROM $elTable t JOIN planes pl ON t.i = pl.j + 1 GROUP BY 1, 2),
+       |bkt AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN d > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM pd GROUP BY vec_id)""".stripMargin
+
+  val annLsh: String =
+    s"""WITH $embBase,
+       |${bucketCtes("el")},
+       |dots AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS nid, CAST(sum(a.x * b.x) AS BIGINT) AS dot
+       |  FROM el a JOIN el b ON a.i = b.i
+       |  JOIN bkt ba ON a.vec_id = ba.vec_id
+       |  JOIN bkt bb ON b.vec_id = bb.vec_id AND ba.bucket = bb.bucket
+       |  WHERE a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.qid, d.nid, ba.bucket, d.dot / (sqrt(qa.nrm) * sqrt(qb.nrm)) AS cos
+       |  FROM dots d JOIN valid qa ON d.qid = qa.vec_id
+       |  JOIN valid qb ON d.nid = qb.vec_id
+       |  JOIN bkt ba ON d.qid = ba.vec_id),
+       |ranked AS (
+       |  SELECT qid, bucket, nid, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+       |  FROM scored)
+       |SELECT qid, bucket, rnk AS rank, nid, cos FROM ranked WHERE rnk <= 5""".stripMargin
+
+  val embeddingDup: String =
+    s"""WITH $embBase,
+       |corp AS (
+       |  SELECT e.vec_id, e.q FROM e JOIN valid v ON e.vec_id = v.vec_id
+       |  UNION ALL
+       |  SELECT e.vec_id + 100000, list_transform(e.q, x -> x + 1)
+       |  FROM e JOIN valid v ON e.vec_id = v.vec_id),
+       |cel AS (SELECT vec_id, unnest(q) AS x, unnest(generate_series(1, len(q))) AS i FROM corp),
+       |cn AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS nrm FROM cel GROUP BY vec_id),
+       |cvalid AS (SELECT vec_id, nrm FROM cn WHERE nrm > 0),
+       |${bucketCtes("cel")},
+       |dots AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b, CAST(sum(a.x * b.x) AS BIGINT) AS dot
+       |  FROM cel a JOIN cel b ON a.i = b.i
+       |  JOIN bkt ba ON a.vec_id = ba.vec_id
+       |  JOIN bkt bb ON b.vec_id = bb.vec_id AND ba.bucket = bb.bucket
+       |  WHERE a.vec_id < b.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT d.a, d.b, d.dot / (sqrt(na.nrm) * sqrt(nb.nrm)) AS cos
+       |FROM dots d JOIN cvalid na ON d.a = na.vec_id
+       |JOIN cvalid nb ON d.b = nb.vec_id
+       |WHERE d.dot / (sqrt(na.nrm) * sqrt(nb.nrm)) >= 0.999""".stripMargin
+
+  // ---- multimodal ------------------------------------------------------
+
+  /** ASCII corpus ⇒ UTF-8 byte checksum == char-code checksum */
+  val mediaFeatures: String =
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_bytes,
+       |  CAST(length(text) // 256 + 1 AS BIGINT) AS n_frames,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a + x) % 997) AS checksum
+       |FROM documents""".stripMargin
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Semantic assertions for the LLM-pipeline operators (beyond the
+  * DuckDB-oracle hash parity the driver checks): the constructed dup
+  * pairs are actually found, LSH candidates are a subset of the exact
+  * method's pairs, ANN ranking is ordered. */
+class PipelineOpsSpec extends SparkTestBase {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("exact dedup finds every constructed duplicate with original id as keeper") {
+    val d = Dedup.exact(spark, dir).collect()
+    assert(d.length === 500)
+    assert(d.forall(_.getLong(2) == 2))
+    assert(d.forall(_.getLong(1) < Dedup.IdOffset)) // keeper = original
+  }
+
+  test("ngram jaccard finds the constructed near-dup pairs") {
+    val pairs = Dedup.ngramJaccard(spark, dir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val constructed = pairs.count { case (a, b) => b == a + Dedup.IdOffset }
+    // docs with ≥ ~10 tokens keep jaccard ≥ 0.5 after dropping 3 tokens
+    assert(constructed > 400, s"only $constructed constructed pairs found")
+  }
+
+  test("minhash LSH pairs are a subset of exact ngram-jaccard pairs") {
+    val ng = Dedup.ngramJaccard(spark, dir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.minhashLsh(spark, dir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(ng))
+    assert(mh.size > 300) // banding recall on near-identical docs is high
+  }
+
+  test("ann brute force returns k ordered neighbors per query") {
+    val rows = Similarity.annBruteForce(spark, dir)
+      .orderBy("qid", "rank").collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.length === Similarity.K)
+      val cosines = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cosines.zip(cosines.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("lsh ann cosines are a subset of brute-force candidates' scores") {
+    // every LSH result is a real neighbor with the exact same cosine the
+    // brute-force path computes (same integer arithmetic)
+    val bf = Similarity.annBruteForce(spark, dir)
+      .select("qid", "nid", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.annLsh(spark, dir)
+      .select("qid", "nid", "cos").collect()
+    lsh.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      bf.get(k).foreach(c => assert(c === r.getDouble(2)))
+    }
+  }
+
+  test("embedding near-dup finds the perturbed twins") {
+    val pairs = Similarity.embeddingDup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val twins = pairs.count { case (a, b) => b == a + Similarity.IdOffset }
+    // twins share a bucket unless a hyperplane dot sits within 1-ulp of 0
+    assert(twins > 450, s"only $twins twins found")
+    pairs.foreach { case (a, b) => assert(a < b) }
+  }
+
+  test("media features checksum matches a driver-side recomputation") {
+    val row = Media.mediaFeatures(spark, dir)
+      .filter(col("doc_id") === 0).head()
+    val text = TextOps.docs(spark, dir)
+      .filter(col("doc_id") === 0).head().getAs[String]("text")
+    val bytes = text.getBytes("UTF-8")
+    assert(row.getLong(1) === bytes.length.toLong)
+    assert(row.getLong(3) === bytes.map(_ & 0xff).map(_.toLong).sum % Media.ChecksumMod)
+  }
+
+  test("simhash of identical token sets is identical, fingerprint differs") {
+    val sh = TextOps.simhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sh.size === 500)
+    // spread: not all docs collapse to one signature
+    assert(sh.values.toSet.size > 100)
+  }
+}
