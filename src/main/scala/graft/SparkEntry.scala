@@ -38,6 +38,13 @@ object SparkEntry {
     "g_out_degree_by_type" -> ((s, dir) => GraphOps.outDegreeByType(s, dir)),
     // 2-hop traversal
     "g_orders_per_nation" -> ((s, dir) => GraphOps.ordersPerNation(s, dir)),
+    // G4 point lookup, G5 property keys, G6 directional expand,
+    // G11 index lookup, A2 degree histogram
+    "g_point_lookup" -> ((s, dir) => GraphOps.pointLookup(s, dir)),
+    "g_prop_keys" -> ((s, dir) => GraphOps.propKeys(s, dir)),
+    "g_expand_directions" -> ((s, dir) => GraphOps.expandBothDirections(s, dir)),
+    "g_index_lookup" -> ((s, dir) => GraphOps.indexLookup(s, dir)),
+    "g_degree_histogram" -> ((s, dir) => GraphOps.degreeHistogram(s, dir)),
     // record-twin derivation parity probe (SURVEY §1.2/§1.6)
     "rec_stores_profile" -> ((s, dir) =>
       StoreProfile.profile(RecordStores.derive(s, dir))),
@@ -83,6 +90,44 @@ object SparkEntry {
          |JOIN rels c ON p.type = 'PLACED_BY' AND c.type = 'IN_NATION' AND p.dst = c.src
          |JOIN nodes n ON n.kind = 'nation' AND c.dst = n.id
          |GROUP BY n.name""".stripMargin,
+    "g_point_lookup" ->
+      s"""${Ctes.graph}
+         |SELECT id, kind, name FROM nodes
+         |WHERE id IN (1000000000001, 2000000000007, 3000000000042, 6000000000100)""".stripMargin,
+    "g_prop_keys" ->
+      s"""${Ctes.graph}
+         |SELECT kind,
+         |  CASE WHEN kind = 'customer' THEN 'acctbal,mktsegment,name'
+         |       WHEN kind = 'supplier' THEN 'acctbal,name'
+         |       WHEN kind = 'part' THEN 'brand,name,retailprice,size,type'
+         |       WHEN kind = 'order' THEN 'name,status,totalprice'
+         |       ELSE 'name' END AS prop_keys,
+         |  count(*) AS n
+         |FROM nodes GROUP BY 1, 2""".stripMargin,
+    "g_expand_directions" ->
+      s"""${Ctes.graph},
+         |inc AS (
+         |  SELECT src AS nation_id, type, 1 AS is_out FROM rels
+         |  UNION ALL SELECT dst, type, 0 FROM rels),
+         |deg AS (
+         |  SELECT nation_id, type, CAST(sum(is_out) AS BIGINT) AS n_out,
+         |    CAST(sum(1 - is_out) AS BIGINT) AS n_in
+         |  FROM inc GROUP BY 1, 2)
+         |SELECT n.name AS nation, d.type, d.n_out, d.n_in
+         |FROM nodes n JOIN deg d ON n.id = d.nation_id
+         |WHERE n.kind = 'nation'""".stripMargin,
+    "g_index_lookup" ->
+      s"""SELECT 'customers_by_segment' AS index_name, 'mktsegment' AS key,
+         |  c_mktsegment AS value, count(*) AS n,
+         |  min(${3 * Ctes.B} + c_custkey) AS min_id,
+         |  max(${3 * Ctes.B} + c_custkey) AS max_id
+         |FROM customer WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY 1, 2, 3""".stripMargin,
+    "g_degree_histogram" ->
+      s"""${Ctes.graph},
+         |inc AS (SELECT src AS node FROM rels UNION ALL SELECT dst FROM rels),
+         |deg AS (SELECT node, count(*) AS degree FROM inc GROUP BY node)
+         |SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree""".stripMargin,
     "rec_stores_profile" -> RecordCtes.recProfile,
     "cc_violations" -> RecordCtes.ccViolations,
     "cc_summary" -> RecordCtes.ccSummary,

@@ -61,4 +61,64 @@ object GraphOps {
       .join(broadcast(nations), "nation_id")
       .groupBy("nation").agg(count(lit(1)).as("n_orders"))
   }
+
+  /** G4 point lookup vectorized over a literal id set — the driver-side
+    * getNodeById batch; Catalyst pushes the IN-filter into the union
+    * branches' parquet scans. */
+  def pointLookup(spark: SparkSession, dir: String): DataFrame =
+    TpchGraph.nodes(spark, dir)
+      .filter(col("id").isin(
+        1000000000001L, 2000000000007L, 3000000000042L, 6000000000100L))
+
+  /** G5 getPropertyKeys over the heterogeneous props map: each node
+    * kind carries its own key set (map column; schema-free model). */
+  def propKeys(spark: SparkSession, dir: String): DataFrame = {
+    val n = TpchGraph.nodes(spark, dir)
+    val keys = when(col("kind") === "customer", "acctbal,mktsegment,name")
+      .when(col("kind") === "supplier", "acctbal,name")
+      .when(col("kind") === "part", "brand,name,retailprice,size,type")
+      .when(col("kind") === "order", "name,status,totalprice")
+      .otherwise("name")
+    n.groupBy(col("kind"), keys.as("prop_keys")).agg(count(lit(1)).as("n"))
+  }
+
+  /** G6 expand with Direction: per nation node, in/out degree by type
+    * (getRelationships(type, Direction) vectorized; one shuffle per
+    * direction keyed by the endpoint). */
+  def expandBothDirections(spark: SparkSession, dir: String): DataFrame = {
+    val g = TpchGraph(spark, dir)
+    val nations = g.nodes.filter(col("kind") === "nation")
+      .select(col("id").as("nation_id"), col("name").as("nation"))
+    val inc = g.rels.select(col("src").as("nation_id"), col("type"), lit(1L).as("is_out"))
+      .unionAll(g.rels.select(col("dst").as("nation_id"), col("type"), lit(0L).as("is_out")))
+    val deg = inc.groupBy("nation_id", "type").agg(
+      sum(col("is_out")).as("n_out"),
+      sum(lit(1L) - col("is_out")).as("n_in"))
+    broadcast(nations).join(deg, "nation_id")
+      .select(col("nation"), col("type"), col("n_out"), col("n_in"))
+  }
+
+  /** G11 legacy index lookup: customers_by_segment(key=mktsegment) →
+    * node ids; the index is a derived (key, value) → id table, lookups
+    * are equi-joins on it. */
+  def indexLookup(spark: SparkSession, dir: String): DataFrame = {
+    val idx = graft.sources.Tpch.table(spark, dir, "customer").select(
+      lit("customers_by_segment").as("index_name"),
+      lit("mktsegment").as("key"),
+      col("c_mktsegment").as("value"),
+      (lit(TpchGraph.Customer * TpchGraph.Base) + col("c_custkey")).as("node_id"))
+    idx.filter(col("value") === "BUILDING")
+      .groupBy("index_name", "key", "value")
+      .agg(count(lit(1)).as("n"), min("node_id").as("min_id"), max("node_id").as("max_id"))
+  }
+
+  /** A2-style histogram: degree distribution of the graph (how many
+    * nodes have degree d) — two partial-aggregable shuffles. */
+  def degreeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val g = TpchGraph(spark, dir)
+    val inc = g.rels.select(col("src").as("node"))
+      .unionAll(g.rels.select(col("dst").as("node")))
+    inc.groupBy("node").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+  }
 }
