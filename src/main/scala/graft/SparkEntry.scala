@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.checker.{Corruption, FullCheck, StoreProfile}
 import graft.model.RecordStores
 import graft.operators.{Dedup, GraphOps, Media, Similarity, TextOps}
-import graft.oracle.{Ctes, RecordCtes, TextCtes}
+import graft.oracle.{Ctes, EventCtes, RecordCtes, TextCtes}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -55,6 +55,16 @@ object SparkEntry {
     // A1 summary (ConsistencySummaryStatistics)
     "cc_summary" -> ((s, dir) =>
       FullCheck.summary(Corruption(RecordStores.derive(s, dir)))),
+    // ---- streaming/CDC batch twins (SURVEY §2.5, §3.3) ----
+    "s_hourly_agg" -> ((s, dir) =>
+      graft.streaming.EventStreams.hourlyAgg(graft.streaming.EventStreams.events(s, dir))),
+    "s_user_state" -> ((s, dir) =>
+      graft.streaming.EventStreams.userState(graft.streaming.EventStreams.events(s, dir))),
+    "s_sessionize" -> ((s, dir) =>
+      graft.streaming.EventStreams.sessionize(graft.streaming.EventStreams.events(s, dir))),
+    // snapshot ⊕ increment ≡ full replay: oracle IS the direct replay
+    "cdc_incremental" -> ((s, dir) =>
+      graft.streaming.EventStreams.incrementalEquivalence(s, dir)),
     // ---- LLM-pipeline operators (north star) ----
     "t_token_count" -> ((s, dir) => TextOps.tokenCount(s, dir)),
     "t_quality" -> ((s, dir) => TextOps.quality(s, dir)),
@@ -131,6 +141,10 @@ object SparkEntry {
     "rec_stores_profile" -> RecordCtes.recProfile,
     "cc_violations" -> RecordCtes.ccViolations,
     "cc_summary" -> RecordCtes.ccSummary,
+    "s_hourly_agg" -> EventCtes.hourlyAgg,
+    "s_user_state" -> EventCtes.userState,
+    "s_sessionize" -> EventCtes.sessionize,
+    "cdc_incremental" -> EventCtes.userState,
     "t_token_count" -> TextCtes.tokenCount,
     "t_quality" -> TextCtes.quality,
     "t_lang_id" -> TextCtes.langId,

@@ -1,0 +1,36 @@
+package graft.oracle
+
+/** DuckDB twins of [[graft.streaming.EventStreams]] batch forms.
+  * `cdc_incremental`'s oracle is deliberately the DIRECT full replay —
+  * the hash compare itself proves snapshot ⊕ increment ≡ replay. */
+object EventCtes {
+  private val ev =
+    "ev AS (SELECT *, CAST(round(value * 100) AS BIGINT) AS cents FROM events)"
+
+  val hourlyAgg: String =
+    s"""WITH $ev
+       |SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+       |  CAST(sum(cents) AS BIGINT) AS total_cents
+       |FROM ev GROUP BY 1, 2""".stripMargin
+
+  val userState: String =
+    s"""WITH $ev,
+       |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM ev)
+       |SELECT user_id, count(*) AS n_events,
+       |  CAST(sum(cents) AS BIGINT) AS total_cents,
+       |  max(CASE WHEN rn = 1 THEN event_type END) AS last_type,
+       |  max(CASE WHEN rn = 1 THEN ts END) AS last_ts,
+       |  max(CASE WHEN rn = 1 THEN event_id END) AS last_event_id
+       |FROM r GROUP BY user_id""".stripMargin
+
+  val sessionize: String =
+    s"""WITH $ev,
+       |s1 AS (SELECT *, epoch_us(ts) AS us,
+       |  lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+       |FROM ev),
+       |s2 AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS brk FROM s1),
+       |s3 AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM s2)
+       |SELECT user_id, sess AS session_idx, min(ts) AS session_start,
+       |  count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS total_cents
+       |FROM s3 GROUP BY 1, 2""".stripMargin
+}

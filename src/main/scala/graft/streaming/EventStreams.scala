@@ -1,0 +1,152 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+import graft.sources.Tpch
+
+/** Streaming / CDC surface (SURVEY.md §2.5): the events table plays the
+  * reference's transaction log (txId-ordered change stream —
+  * com/.../TransactionStream.java:31-70). Each operator has a batch
+  * twin (oracle-checked) and a Structured Streaming form (tested with
+  * file-source micro-batches in EventStreamsSpec):
+  *
+  *  - [[hourlyAgg]]: event-time tumbling window aggregation (the
+  *    windowed extension mandated by the north star; watermarked in
+  *    streaming form);
+  *  - [[userState]]: the replayed per-key state of the log — what the
+  *    reference's log replay builds (S7, BackupService
+  *    incrementalWithContext:383-475);
+  *  - [[sessionize]]: 30-min-gap session windows per user (event-time
+  *    session semantics);
+  *  - [[mergeStates]]: the MERGE operator for snapshot+increment — the
+  *    incremental-backup apply step; [[incrementalEquivalence]] proves
+  *    snapshot(≤W) ⊕ increment(>W) ≡ full replay, the reference's
+  *    full-then-incremental backup lifecycle
+  *    (backup/.../TestBackup.java:220 fullThenIncremental);
+  *  - exactly-once bookkeeping: state carries last_event_id — the
+  *    last-applied-txId watermark of RequestContext.java:33-64.
+  *
+  * Monetary values are quantized to cents (BIGINT) so every sum is
+  * order-independent and the DuckDB twins match bit-exactly.
+  */
+object EventStreams {
+  val SessionGapMicros: Long = 1800L * 1000000L
+
+  /** The corpus stores ts as TIMESTAMP(NANOS), which Spark only reads
+    * as LongType under spark.sql.legacy.parquet.nanosAsLong — normalize
+    * to a micros timestamp (floor division, matching the oracle's
+    * nanos→micros truncation). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tpch.table(spark, dir, "events")
+    val withTs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+    withTs.withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+  }
+
+  /** Tumbling 1-hour window per event type (batch twin). */
+  def hourlyAgg(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total_cents"))
+
+  /** Streaming form: watermarked event-time aggregation. */
+  def hourlyAggStream(src: DataFrame): DataFrame =
+    src.withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("total_cents"))
+
+  /** Replayed per-user state: event counts, cent totals, and the last
+    * event by (ts, event_id) — the exactly-once bookmark. */
+  def userState(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("rn", row_number().over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum("cents").as("total_cents"),
+        max(when(col("rn") === 1, col("event_type"))).as("last_type"),
+        max(when(col("rn") === 1, col("ts"))).as("last_ts"),
+        max(when(col("rn") === 1, col("event_id"))).as("last_event_id"))
+  }
+
+  /** MERGE of two states (snapshot ⊕ increment): counts/totals add, the
+    * later (last_ts, last_event_id) wins — S7 log-replay apply. */
+  def mergeStates(snap: DataFrame, inc: DataFrame): DataFrame = {
+    val a = snap.select(col("user_id"), col("n_events").as("a_n"),
+      col("total_cents").as("a_t"), col("last_type").as("a_lt"),
+      col("last_ts").as("a_ts"), col("last_event_id").as("a_id"))
+    val b = inc.select(col("user_id"), col("n_events").as("b_n"),
+      col("total_cents").as("b_t"), col("last_type").as("b_lt"),
+      col("last_ts").as("b_ts"), col("last_event_id").as("b_id"))
+    val incWins = col("b_id").isNotNull &&
+      (col("a_id").isNull ||
+        col("b_ts") > col("a_ts") ||
+        (col("b_ts") === col("a_ts") && col("b_id") > col("a_id")))
+    a.join(b, Seq("user_id"), "full")
+      .select(col("user_id"),
+        (coalesce(col("a_n"), lit(0L)) + coalesce(col("b_n"), lit(0L))).as("n_events"),
+        (coalesce(col("a_t"), lit(0L)) + coalesce(col("b_t"), lit(0L))).as("total_cents"),
+        when(incWins, col("b_lt")).otherwise(col("a_lt")).as("last_type"),
+        when(incWins, col("b_ts")).otherwise(col("a_ts")).as("last_ts"),
+        when(incWins, col("b_id")).otherwise(col("a_id")).as("last_event_id"))
+  }
+
+  /** Snapshot at watermark W = max(event_id)/2, increment after W,
+    * merged — the oracle compares this against a direct full replay, so
+    * the correctness gate itself proves the backup lifecycle. */
+  def incrementalEquivalence(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val w = ev.agg(expr("CAST(max(event_id) div 2 AS BIGINT)")).head().getLong(0)
+    mergeStates(
+      userState(ev.filter(col("event_id") <= w)),
+      userState(ev.filter(col("event_id") > w)))
+  }
+
+  final case class EvRow(event_id: Long, user_id: Long, cents: Long)
+  final case class UserAgg(n: Long, total: Long, lastId: Long)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user
+    * totals, the T2/T3 interceptor-style stateful pass (streaming form
+    * runs in Update mode; batch form processes one group per key). */
+  def runningTotals(src: Dataset[EvRow]): Dataset[(Long, UserAgg)] = {
+    import src.sparkSession.implicits._
+    src.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[EvRow], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(0L, 0L, -1L))
+          val next = evs.foldLeft(prev) { (acc, e) =>
+            UserAgg(acc.n + 1, acc.total + e.cents, math.max(acc.lastId, e.event_id))
+          }
+          state.update(next)
+          (uid, next)
+      }
+  }
+
+  /** Session windows: a new session starts after a >30-min gap; output
+    * one row per (user, session). */
+  def sessionize(ev: DataFrame): DataFrame = {
+    val wu = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev.withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("prev_us", lag("us", 1).over(wu))
+      .withColumn("brk",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > SessionGapMicros, 1L).otherwise(0L))
+      .withColumn("sess", sum("brk").over(
+        wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess")
+      .agg(min("ts").as("session_start"), count(lit(1)).as("n_events"),
+        sum("cents").as("total_cents"))
+      .select(col("user_id"), col("sess").as("session_idx"),
+        col("session_start"), col("n_events"), col("total_cents"))
+  }
+}

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkTestBase
+
+/** Structured-Streaming execution tests: the streaming forms must
+  * produce exactly the batch twins' results when fed the same log as
+  * micro-batches (the reference's incremental == full equivalence,
+  * FullDiffCheck vs IncrementalDiffCheck). */
+class EventStreamsSpec extends SparkTestBase {
+  private val dir = "/root/testdata/sf0.001"
+
+  /** events split into 3 id-ranged parquet files in a temp dir — a
+    * file-source stream with one file per micro-batch. */
+  private def stagedStreamDir(): String = {
+    val ev = EventStreams.events(spark, dir)
+    val out = Files.createTempDirectory("graft-stream").toString
+    val maxId = ev.agg(max("event_id")).head().getLong(0)
+    val cut1 = maxId / 3; val cut2 = 2 * maxId / 3
+    Seq(
+      ev.filter(col("event_id") <= cut1),
+      ev.filter(col("event_id") > cut1 && col("event_id") <= cut2),
+      ev.filter(col("event_id") > cut2)
+    ).zipWithIndex.foreach { case (part, i) =>
+      part.coalesce(1).write.mode("overwrite").parquet(s"$out/batch$i")
+      // move the part file up so the dir is a flat file-source input
+      val f = Files.list(java.nio.file.Paths.get(s"$out/batch$i")).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(f, java.nio.file.Paths.get(s"$out/part$i.parquet"))
+    }
+    out
+  }
+
+  private def asRows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("foreachBatch MERGE over micro-batches equals batch replay (S7)") {
+    val staged = stagedStreamDir()
+    val ev = EventStreams.events(spark, dir)
+    val schema = spark.read.parquet(s"$staged/part0.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$staged/part*.parquet")
+
+    var state: Option[DataFrame] = None
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bState = EventStreams.userState(batch)
+        // materialize: foreachBatch DataFrames are only valid in-batch
+        val persisted = spark.createDataFrame(bState.collect().toList.asJava, bState.schema)
+        state = Some(state.fold(persisted)(s => EventStreams.mergeStates(s, persisted)))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    assert(asRows(state.get) === asRows(EventStreams.userState(ev)))
+  }
+
+  test("watermarked streaming hourly agg equals batch twin") {
+    val staged = stagedStreamDir()
+    val schema = spark.read.parquet(s"$staged/part0.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$staged/part*.parquet")
+    val q = EventStreams.hourlyAggStream(src)
+      .writeStream.format("memory").queryName("hourly_stream")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("hourly_stream")
+    val batch = EventStreams.hourlyAgg(EventStreams.events(spark, dir))
+    assert(asRows(streamed) === asRows(batch))
+  }
+
+  test("mapGroupsWithState running totals equal the batch aggregate") {
+    import spark.implicits._
+    val ev = EventStreams.events(spark, dir)
+    val rows = ev.select(col("event_id"), col("user_id"), col("cents"))
+      .as[EventStreams.EvRow]
+    val totals = EventStreams.runningTotals(rows).collect().toMap
+    val expected = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("cents").as("t"), max("event_id").as("l"))
+      .collect().map(r => r.getLong(0) ->
+        EventStreams.UserAgg(r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(totals === expected)
+  }
+
+  test("full-then-incremental backup rebuilds the exact replay state (TestBackup lifecycle)") {
+    val backupDir = Files.createTempDirectory("graft-backup").toString
+    val ev = EventStreams.events(spark, dir)
+    val maxId = ev.agg(max("event_id")).head().getLong(0)
+    val w = maxId / 2
+    // full backup of the first half, then the rest arrives and ships
+    Backup.full(spark, ev.filter(col("event_id") <= w), backupDir)
+    assert(Backup.readWatermark(backupDir) === w)
+    val shipped = Backup.incremental(spark, ev, backupDir)
+    assert(shipped === ev.filter(col("event_id") > w).count())
+    assert(Backup.readWatermark(backupDir) === maxId)
+    // idempotent re-run ships nothing
+    assert(Backup.incremental(spark, ev, backupDir) === 0L)
+    // rebuild == direct replay
+    assert(asRows(Backup.rebuildState(spark, backupDir)) ===
+      asRows(EventStreams.userState(ev)))
+  }
+
+  private implicit class ListOps[A](l: List[A]) {
+    def asJava: java.util.List[A] = {
+      val jl = new java.util.ArrayList[A](l.size)
+      l.foreach(jl.add); jl
+    }
+  }
+}
