@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.checker.{Corruption, FullCheck, StoreProfile}
 import graft.model.RecordStores
 import graft.operators.{Dedup, GraphOps, Media, Similarity, TextOps}
-import graft.oracle.{Ctes, EventCtes, RecordCtes, TextCtes}
+import graft.oracle.{Ctes, EventCtes, GenCtes, IterCtes, RecordCtes, TextCtes}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -55,6 +55,12 @@ object SparkEntry {
     // A1 summary (ConsistencySummaryStatistics)
     "cc_summary" -> ((s, dir) =>
       FullCheck.summary(Corruption(RecordStores.derive(s, dir)))),
+    // D1-D3 seeded generators (oracle regenerates from range())
+    "gen_summary" -> ((s, _) => graft.operators.DataGen.summary(s, 10000L)),
+    // iterative analytics: bounded min-propagation (traversal surface)
+    "it_connected_components" -> ((s, dir) =>
+      graft.operators.Iterative.connectedComponents(s, dir)),
+    "it_bfs_depth" -> ((s, dir) => graft.operators.Iterative.bfsDepth(s, dir)),
     // ---- streaming/CDC batch twins (SURVEY §2.5, §3.3) ----
     "s_hourly_agg" -> ((s, dir) =>
       graft.streaming.EventStreams.hourlyAgg(graft.streaming.EventStreams.events(s, dir))),
@@ -141,6 +147,9 @@ object SparkEntry {
     "rec_stores_profile" -> RecordCtes.recProfile,
     "cc_violations" -> RecordCtes.ccViolations,
     "cc_summary" -> RecordCtes.ccSummary,
+    "gen_summary" -> GenCtes.summary,
+    "it_connected_components" -> IterCtes.connectedComponents,
+    "it_bfs_depth" -> IterCtes.bfsDepth,
     "s_hourly_agg" -> EventCtes.hourlyAgg,
     "s_user_state" -> EventCtes.userState,
     "s_sessionize" -> EventCtes.sessionize,

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.TpchGraph
+
+/** Iterative whole-graph analytics as convergent DataFrame self-joins
+  * (SURVEY.md §1.6 "traversal/expand"; the GraphX-Pregel shape
+  * expressed DataFrame-first so Catalyst/AQE own every iteration).
+  *
+  * Both operators are bounded min-propagation rounds: each round is one
+  * shuffle keyed by the destination node (join + groupBy share the
+  * key, so at scale each round is a single exchange over the edge
+  * table). The iteration count is FIXED — the DuckDB oracle unrolls
+  * the same number of rounds, so results compare exactly even short of
+  * convergence. Labels are integers (min is order-insensitive), never
+  * floats.
+  */
+object Iterative {
+  val CcIters = 6
+  val BfsIters = 6
+  val Unreachable = 999999L
+
+  /** bounded min-propagation: one round = min over in-neighbors' labels
+    * (+delta), kept if smaller. Edges must be pre-symmetrized. */
+  def iterateMin(v0: DataFrame, edges: DataFrame, iters: Int, delta: Long): DataFrame = {
+    var v = v0
+    for (_ <- 0 until iters) {
+      val m = edges
+        .join(v.select(col("node").as("n2"), col("label")), col("src") === col("n2"))
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("label") + delta).as("minl"))
+      v = v.join(m, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("minl"), col("label"))).as("label"))
+    }
+    v
+  }
+
+  private def symmetrize(e: DataFrame): DataFrame =
+    e.select(col("src"), col("dst"))
+      .unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+
+  /** Connected components of the order↔part (HAS_PART) subgraph:
+    * label = min node id within CcIters hops (per-node output). */
+  def connectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    val rels = TpchGraph.rels(spark, dir).filter(col("type") === "HAS_PART")
+    val edges = symmetrize(rels)
+    val vertices = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    iterateMin(vertices, edges, CcIters, 0L)
+  }
+
+  /** BFS depth from the region nodes over the whole graph (undirected),
+    * as a depth histogram; Unreachable marks nodes beyond BfsIters. */
+  def bfsDepth(spark: SparkSession, dir: String): DataFrame = {
+    val g = TpchGraph(spark, dir)
+    val edges = symmetrize(g.rels)
+    val vertices = g.nodes.select(col("id").as("node"),
+      when(col("kind") === "region", 0L).otherwise(Unreachable).as("label"))
+    iterateMin(vertices, edges, BfsIters, 1L)
+      .groupBy(col("label").as("depth"))
+      .agg(count(lit(1)).as("n_nodes"))
+  }
+}
