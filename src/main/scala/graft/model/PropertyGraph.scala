@@ -114,6 +114,41 @@ object TpchGraph {
       .unionAll(placedBy).unionAll(hasPart).unionAll(suppliedBy)
   }
 
+  /** rels WITHOUT the id column: skips the per-order row_number window
+    * (a sort-shuffle over lineitem). Use for operators that only need
+    * (src, dst, type) — degree counts, traversals, expands — where the
+    * id would be dead weight; Catalyst cannot prune the window itself
+    * because id correctness depends on it. */
+  def relsLite(spark: SparkSession, dir: String): DataFrame = {
+    def t(n: String) = Tpch.table(spark, dir, n)
+    val inRegion = t("nation").select(
+      (lit(Nation * Base) + col("n_nationkey")).as("src"),
+      (lit(Region * Base) + col("n_regionkey")).as("dst"),
+      lit("IN_REGION").as("type"))
+    val custNation = t("customer").select(
+      (lit(Customer * Base) + col("c_custkey")).as("src"),
+      (lit(Nation * Base) + col("c_nationkey")).as("dst"),
+      lit("IN_NATION").as("type"))
+    val suppNation = t("supplier").select(
+      (lit(Supplier * Base) + col("s_suppkey")).as("src"),
+      (lit(Nation * Base) + col("s_nationkey")).as("dst"),
+      lit("IN_NATION").as("type"))
+    val placedBy = t("orders").select(
+      (lit(Order * Base) + col("o_orderkey")).as("src"),
+      (lit(Customer * Base) + col("o_custkey")).as("dst"),
+      lit("PLACED_BY").as("type"))
+    val hasPart = t("lineitem").select(
+      (lit(Order * Base) + col("l_orderkey")).as("src"),
+      (lit(Part * Base) + col("l_partkey")).as("dst"),
+      lit("HAS_PART").as("type"))
+    val suppliedBy = t("lineitem").select(
+      (lit(Order * Base) + col("l_orderkey")).as("src"),
+      (lit(Supplier * Base) + col("l_suppkey")).as("dst"),
+      lit("SUPPLIED_BY").as("type"))
+    inRegion.unionAll(custNation).unionAll(suppNation)
+      .unionAll(placedBy).unionAll(hasPart).unionAll(suppliedBy)
+  }
+
   def apply(spark: SparkSession, dir: String): PropertyGraph =
     PropertyGraph(nodes(spark, dir), rels(spark, dir))
 }

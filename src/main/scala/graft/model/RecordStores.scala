@@ -121,6 +121,28 @@ final case class Stores(
 object RecordStores {
   import RecordSpec._
 
+  /** Memoized, persisted derivation: the full check unions ~20
+    * join-based checks over the same five stores, and Spark does not
+    * dedupe common subtrees across union branches — without persistence
+    * the derivation would execute once PER BRANCH. One cached
+    * derivation per sf dir (dimension stores are literal, no need). */
+  private val cached = scala.collection.concurrent.TrieMap[String, Stores]()
+  def deriveCached(spark: SparkSession, dir: String): Stores =
+    cached.getOrElseUpdate(dir, {
+      // tap persists the shared intermediates (rels-with-ids, incidence
+      // windows, prop rows): five stores otherwise re-derive them once
+      // each during cache fill
+      val s = derive(spark, dir, tap = _.persist())
+      val out = s.copy(nodes = s.nodes.persist(), rels = s.rels.persist(),
+        props = s.props.persist(), blocks = s.blocks.persist(),
+        dyns = s.dyns.persist())
+      // eager fill, one store at a time: the first consumer is a ~20-way
+      // union whose branches would otherwise race to fill the same cache
+      Seq(out.nodes, out.rels, out.props, out.blocks, out.dyns)
+        .foreach(_.count())
+      out
+    })
+
   /** prop_rows: one row per (entity, property) with only structural
     * fields — (owner, key_id, seq, ptype, value_ref, vlen). Values
     * themselves never enter the record stores (the checker validates
@@ -165,9 +187,11 @@ object RecordStores {
       acc.when(col(typeCol) === nm, lit(id))
     }.otherwise(lit(-1))
 
-  def derive(spark: SparkSession, dir: String): Stores = {
-    val g = TpchGraph(spark, dir)
-    val incPN = incidence(g.rels)
+  def derive(spark: SparkSession, dir: String,
+             tap: DataFrame => DataFrame = identity): Stores = {
+    val rels0 = tap(TpchGraph.rels(spark, dir))
+    val g = PropertyGraph(TpchGraph.nodes(spark, dir), rels0)
+    val incPN = tap(incidence(g.rels))
 
     val chain = incPN.groupBy("rel_id").agg(
       max(when(col("side") === 0, col("prev"))).as("first_prev"),
@@ -191,7 +215,7 @@ object RecordStores {
         coalesce(col("min_rel"), lit(-1L)).as("next_rel"),
         (g.nodes("id") * 4).as("next_prop"))
 
-    val rows = propRows(spark, dir)
+    val rows = tap(propRows(spark, dir))
 
     // property records: chunk into records of ≤4 blocks, doubly linked
     val pr1 = rows.select(col("owner"), expr("seq div 4").as("ri")).distinct()

@@ -61,7 +61,8 @@ object Dedup {
       .select(col("doc_id"), expr(fpSql("sh")).as("sfp"))
       .distinct()
     val df = sh.groupBy("sfp").agg(count(lit(1)).as("df"))
-    sh.join(df.filter(col("df") <= MaxDf).select("sfp"), "sfp")
+    // reused by signatures, sizes and pair verification — persist once
+    sh.join(df.filter(col("df") <= MaxDf).select("sfp"), "sfp").persist()
   }
 
   private def verifiedPairs(sh: DataFrame, cand: Option[DataFrame]): DataFrame = {

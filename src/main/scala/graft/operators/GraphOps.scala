@@ -23,7 +23,7 @@ object GraphOps {
   /** A4 relationship count by type (GetRelationshipCountJob,
     * reference ha/src/test/java/slavetest/CommonJobs.java:286-306). */
   def relCountByType(spark: SparkSession, dir: String): DataFrame =
-    TpchGraph.rels(spark, dir)
+    TpchGraph.relsLite(spark, dir)
       .groupBy("type").agg(count(lit(1)).as("n"))
 
   /** G4 point lookup by id (getNodeById,
@@ -37,7 +37,7 @@ object GraphOps {
     * out-degree by (node, type); single shuffle on src.
     */
   def outDegreeByType(spark: SparkSession, dir: String): DataFrame =
-    TpchGraph.rels(spark, dir)
+    TpchGraph.relsLite(spark, dir)
       .groupBy(col("src").as("node_id"), col("type"))
       .agg(count(lit(1)).as("degree"))
 
@@ -49,7 +49,7 @@ object GraphOps {
     */
   def ordersPerNation(spark: SparkSession, dir: String): DataFrame = {
     val nodes = TpchGraph.nodes(spark, dir)
-    val rels = TpchGraph.rels(spark, dir)
+    val rels = TpchGraph.relsLite(spark, dir)
     val nations = nodes.filter(col("kind") === "nation")
       .select(col("id").as("nation_id"), col("name").as("nation"))
     val custIn = rels.filter(col("type") === "IN_NATION")
@@ -86,11 +86,12 @@ object GraphOps {
     * (getRelationships(type, Direction) vectorized; one shuffle per
     * direction keyed by the endpoint). */
   def expandBothDirections(spark: SparkSession, dir: String): DataFrame = {
-    val g = TpchGraph(spark, dir)
-    val nations = g.nodes.filter(col("kind") === "nation")
+    val nodes = TpchGraph.nodes(spark, dir)
+    val rels = TpchGraph.relsLite(spark, dir)
+    val nations = nodes.filter(col("kind") === "nation")
       .select(col("id").as("nation_id"), col("name").as("nation"))
-    val inc = g.rels.select(col("src").as("nation_id"), col("type"), lit(1L).as("is_out"))
-      .unionAll(g.rels.select(col("dst").as("nation_id"), col("type"), lit(0L).as("is_out")))
+    val inc = rels.select(col("src").as("nation_id"), col("type"), lit(1L).as("is_out"))
+      .unionAll(rels.select(col("dst").as("nation_id"), col("type"), lit(0L).as("is_out")))
     val deg = inc.groupBy("nation_id", "type").agg(
       sum(col("is_out")).as("n_out"),
       sum(lit(1L) - col("is_out")).as("n_in"))
@@ -115,9 +116,9 @@ object GraphOps {
   /** A2-style histogram: degree distribution of the graph (how many
     * nodes have degree d) — two partial-aggregable shuffles. */
   def degreeHistogram(spark: SparkSession, dir: String): DataFrame = {
-    val g = TpchGraph(spark, dir)
-    val inc = g.rels.select(col("src").as("node"))
-      .unionAll(g.rels.select(col("dst").as("node")))
+    val rels = TpchGraph.relsLite(spark, dir)
+    val inc = rels.select(col("src").as("node"))
+      .unionAll(rels.select(col("dst").as("node")))
     inc.groupBy("node").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
   }

@@ -23,18 +23,37 @@ object Iterative {
   val Unreachable = 999999L
 
   /** bounded min-propagation: one round = min over in-neighbors' labels
-    * (+delta), kept if smaller. Edges must be pre-symmetrized. */
-  def iterateMin(v0: DataFrame, edges: DataFrame, iters: Int, delta: Long): DataFrame = {
+    * (+delta), kept if smaller. Edges must be pre-symmetrized.
+    *
+    * Each round is persisted and materialized: without it the lineage
+    * re-executes every prior round per iteration (O(iters²) work and an
+    * exponentially deeper plan). The edge table is persisted once and
+    * reused by all rounds — the standard iterate-over-cached-edges shape
+    * (what GraphX does under the hood), valid at any cluster size. */
+  def iterateMin(v0: DataFrame, edges0: DataFrame, iters: Int, delta: Long): DataFrame = {
+    val edges = edges0.persist()
     var v = v0
+    var prev: Option[DataFrame] = None
     for (_ <- 0 until iters) {
+      // label table ≪ edge table: broadcast it so the cached edges are
+      // never shuffled — each round is one map-side join + one partial
+      // agg shuffle of per-node minima. (At node counts beyond broadcast
+      // range, swap for a bucketed co-partitioned join.)
       val m = edges
-        .join(v.select(col("node").as("n2"), col("label")), col("src") === col("n2"))
+        .join(broadcast(v.select(col("node").as("n2"), col("label"))),
+          col("src") === col("n2"))
         .groupBy(col("dst").as("node"))
         .agg(min(col("label") + delta).as("minl"))
-      v = v.join(m, Seq("node"), "left")
+      val next = v.join(m, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("minl"), col("label"))).as("label"))
+        .persist()
+      next.count() // materialize so the next round starts from cache
+      prev.foreach(_.unpersist())
+      prev = Some(next)
+      v = next
     }
+    edges.unpersist()
     v
   }
 
@@ -45,7 +64,7 @@ object Iterative {
   /** Connected components of the order↔part (HAS_PART) subgraph:
     * label = min node id within CcIters hops (per-node output). */
   def connectedComponents(spark: SparkSession, dir: String): DataFrame = {
-    val rels = TpchGraph.rels(spark, dir).filter(col("type") === "HAS_PART")
+    val rels = TpchGraph.relsLite(spark, dir).filter(col("type") === "HAS_PART")
     val edges = symmetrize(rels)
     val vertices = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
@@ -56,7 +75,7 @@ object Iterative {
     * as a depth histogram; Unreachable marks nodes beyond BfsIters. */
   def bfsDepth(spark: SparkSession, dir: String): DataFrame = {
     val g = TpchGraph(spark, dir)
-    val edges = symmetrize(g.rels)
+    val edges = symmetrize(TpchGraph.relsLite(spark, dir))
     val vertices = g.nodes.select(col("id").as("node"),
       when(col("kind") === "region", 0L).otherwise(Unreachable).as("label"))
     iterateMin(vertices, edges, BfsIters, 1L)

@@ -71,7 +71,7 @@ object Similarity {
     * by construction (single probe) — the deterministic trade the scale
     * path makes. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = withBucket(quantized(spark, dir))
+    val e = withBucket(quantized(spark, dir)).persist()
     val queries = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("qid"), col("q").as("qv"), col("nrm").as("qn"), col("bucket"))
     val cands = e.select(col("vec_id").as("nid"), col("q").as("cv"), col("nrm").as("cn"), col("bucket"))
@@ -95,7 +95,7 @@ object Similarity {
       .withColumn("nrm", expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
       .filter(col("nrm") > 0)
     val corpus = withBucket(e.select("vec_id", "q", "nrm")
-      .unionAll(perturbed.select("vec_id", "q", "nrm")))
+      .unionAll(perturbed.select("vec_id", "q", "nrm"))).persist()
     val a = corpus.select(col("vec_id").as("a"), col("q").as("qv"), col("nrm").as("qn"), col("bucket"))
     val b = corpus.select(col("vec_id").as("b"), col("q").as("cv"), col("nrm").as("cn"), col("bucket"))
     a.join(b, "bucket").filter(col("a") < col("b"))
