@@ -38,6 +38,38 @@ object SparkEntry {
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n_rows"))
     }),
+    // sort/limit surface: top-10 orders by exact integer revenue
+    "q03_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .withColumn("rev_c",
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1.0 - l_discount) * 100) AS BIGINT)"))
+        .groupBy("l_orderkey").agg(sum("rev_c").as("revenue_c"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("revenue_c").desc, col("l_orderkey"))))
+        .filter(col("rank") <= 10)
+    }),
+    // window-function surface: top-2 orders per customer
+    "q04_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("price_c", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("o_custkey")
+            .orderBy(col("price_c").desc, col("o_orderkey"))))
+        .filter(col("rank") <= 2)
+        .select("o_custkey", "o_orderkey", "price_c", "rank")
+    }),
+    // chain reconstruction (§2.9: grouped aggregation producing the
+    // per-owner chain ARRAY<LONG> instead of pointer walking)
+    "rec_chain_reconstruction" -> ((s, dir) => {
+      val rels = graft.model.TpchGraph.rels(s, dir)
+      val inc = rels.select(col("src").as("node"), col("id").as("rel_id"))
+        .unionAll(rels.select(col("dst").as("node"), col("id").as("rel_id")))
+      inc.groupBy("node")
+        .agg(sort_array(collect_list("rel_id")).as("chain"),
+          count(lit(1)).as("chain_len"))
+    }),
     // G9/A3 node census
     "g_node_count_by_kind" -> ((s, dir) => GraphOps.nodeCountByKind(s, dir)),
     // A4 rel count by type
@@ -63,6 +95,12 @@ object SparkEntry {
     "cc_summary" -> ((s, dir) =>
       cachedViolations(s, dir).groupBy("record_type", "violation")
         .agg(count(lit(1)).as("n"))),
+    // J12 incremental diff check: the corruption as one transaction's
+    // DiffStore, checkChange "...NotUpdated" predicates
+    "cc_diff_check" -> ((s, dir) => {
+      val old = RecordStores.deriveCached(s, dir)
+      graft.checker.DiffCheck.violations(old, Corruption(old))
+    }),
     // D1-D3 seeded generators (oracle regenerates from range())
     "gen_summary" -> ((s, _) => graft.operators.DataGen.summary(s, 10000L)),
     // iterative analytics: bounded min-propagation (traversal surface)
@@ -101,6 +139,29 @@ object SparkEntry {
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q03_topk" ->
+      """WITH r AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |             CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |  FROM lineitem GROUP BY l_orderkey),
+        |rk AS (SELECT l_orderkey, revenue_c,
+        |  row_number() OVER (ORDER BY revenue_c DESC, l_orderkey) AS rnk FROM r)
+        |SELECT l_orderkey, revenue_c, rnk AS rank FROM rk WHERE rnk <= 10""".stripMargin,
+    "q04_window_rank" ->
+      """WITH p AS (SELECT o_custkey, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM orders),
+        |rk AS (SELECT *, row_number() OVER (
+        |  PARTITION BY o_custkey ORDER BY price_c DESC, o_orderkey) AS rnk FROM p)
+        |SELECT o_custkey, o_orderkey, price_c, rnk AS rank FROM rk WHERE rnk <= 2""".stripMargin,
+    "rec_chain_reconstruction" ->
+      s"""${Ctes.graph},
+         |inc AS (
+         |  SELECT src AS node, id AS rel_id FROM rels
+         |  UNION ALL SELECT dst, id FROM rels)
+         |SELECT node, list(rel_id ORDER BY rel_id) AS chain,
+         |  count(*) AS chain_len
+         |FROM inc GROUP BY node""".stripMargin,
     "g_node_count_by_kind" ->
       s"${Ctes.graph} SELECT kind, count(*) AS n FROM nodes GROUP BY kind",
     "g_rel_count_by_type" ->
@@ -155,6 +216,7 @@ object SparkEntry {
     "rec_stores_profile" -> RecordCtes.recProfile,
     "cc_violations" -> RecordCtes.ccViolations,
     "cc_summary" -> RecordCtes.ccSummary,
+    "cc_diff_check" -> RecordCtes.ccDiffCheck,
     "gen_summary" -> GenCtes.summary,
     "it_connected_components" -> IterCtes.connectedComponents,
     "it_bfs_depth" -> IterCtes.bfsDepth,

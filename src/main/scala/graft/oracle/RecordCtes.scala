@@ -307,6 +307,41 @@ object RecordCtes {
        |SELECT record_type, violation, count(*) AS n
        |FROM violations GROUP BY record_type, violation""".stripMargin
 
+  /** Incremental diff check (J12 checkChange) — twin of
+    * graft.checker.DiffCheck over the corruption "transaction"
+    * (old = consistent stores, new = corrupted stores). */
+  val ccDiffCheck: String =
+    s"""$world,
+       |node_diff AS (
+       |  SELECT o.id, o.in_use AS o_iu, n.in_use AS n_iu,
+       |    o.next_rel AS o_nr, n.next_rel AS n_nr,
+       |    o.next_prop AS o_np, n.next_prop AS n_np
+       |  FROM node_recs0 o JOIN c_nodes n ON o.id = n.id
+       |  WHERE o.in_use <> n.in_use OR o.next_rel <> n.next_rel
+       |     OR o.next_prop <> n.next_prop),
+       |rel_diff AS (
+       |  SELECT o.id, o.first_next AS o_fn, r.first_next AS n_fn
+       |  FROM rel_recs0 o JOIN c_rels r ON o.id = r.id
+       |  WHERE o.type_id <> r.type_id OR o.first_next <> r.first_next),
+       |prop_diff AS (
+       |  SELECT o.id FROM prop_recs0 o JOIN c_props p ON o.id = p.id
+       |  WHERE o.prev_prop <> p.prev_prop)
+       |SELECT 'node' AS record_type, 'relationship_not_updated' AS violation,
+       |  id AS record_id
+       |FROM node_diff
+       |WHERE o_nr <> n_nr AND o_nr <> -1
+       |  AND NOT EXISTS (SELECT 1 FROM rel_diff r WHERE r.id = node_diff.o_nr)
+       |UNION ALL
+       |SELECT 'node', 'property_not_updated', id
+       |FROM node_diff
+       |WHERE o_np <> n_np AND o_np <> -1
+       |  AND NOT EXISTS (SELECT 1 FROM prop_diff p WHERE p.id = node_diff.o_np)
+       |UNION ALL
+       |SELECT 'relationship', 'next_relationship_not_updated', id
+       |FROM rel_diff rd
+       |WHERE o_fn <> n_fn AND o_fn <> -1
+       |  AND NOT EXISTS (SELECT 1 FROM rel_diff r2 WHERE r2.id = rd.o_fn)""".stripMargin
+
   /** Per-store profile of the CONSISTENT derivation — parity probe for
     * the record-twin derivation itself (modulo keeps sums in BIGINT
     * range at any sf). */
