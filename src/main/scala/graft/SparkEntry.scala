@@ -107,6 +107,9 @@ object SparkEntry {
     "it_connected_components" -> ((s, dir) =>
       graft.operators.Iterative.connectedComponents(s, dir)),
     "it_bfs_depth" -> ((s, dir) => graft.operators.Iterative.bfsDepth(s, dir)),
+    // whole-graph analytic: fixed-point PageRank (GraphX surface,
+    // DataFrame-first, integer-exact)
+    "it_pagerank" -> ((s, dir) => graft.operators.PageRank.topRanks(s, dir)),
     // ---- streaming/CDC batch twins (SURVEY §2.5, §3.3) ----
     "s_hourly_agg" -> ((s, dir) =>
       graft.streaming.EventStreams.hourlyAgg(graft.streaming.EventStreams.events(s, dir))),
@@ -220,6 +223,7 @@ object SparkEntry {
     "gen_summary" -> GenCtes.summary,
     "it_connected_components" -> IterCtes.connectedComponents,
     "it_bfs_depth" -> IterCtes.bfsDepth,
+    "it_pagerank" -> graft.oracle.PageRankCtes.topRanks,
     "s_hourly_agg" -> EventCtes.hourlyAgg,
     "s_user_state" -> EventCtes.userState,
     "s_sessionize" -> EventCtes.sessionize,

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.TpchGraph
+
+/** PageRank over the property graph (the GraphX-style whole-graph
+  * analytic, SURVEY.md §1.6 last row) expressed DataFrame-first in
+  * FIXED-POINT arithmetic:
+  *
+  *   pr(v) ← d·S + (1−d)·Σ_{u→v} (pr(u) div outdeg(u))
+  *
+  * with ranks scaled by 10⁹ (BIGINT), damping 0.85 as ×85 div 100, and
+  * integer division for the per-edge share. Every operation is exact
+  * integer math, so iteration order, partitioning, and engine cannot
+  * change a single rank — the DuckDB oracle unrolls the same rounds and
+  * matches bit-for-bit (a floating PageRank could never be
+  * hash-compared). The dangling-mass term is dropped (ranks are
+  * relative ordering, not a probability distribution).
+  *
+  * Each round is one broadcast-join + partial-agg shuffle like
+  * [[Iterative.iterateMin]]; at node counts beyond broadcast range the
+  * rank table joins co-partitioned instead.
+  */
+object PageRank {
+  val Iters = 5
+  val Scale = 1000000000L // 1e9 fixed-point
+  val TopK = 20
+
+  def topRanks(spark: SparkSession, dir: String): DataFrame = {
+    val edges = TpchGraph.relsLite(spark, dir).select("src", "dst").persist()
+    val outdeg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg")).persist()
+    val nodes = TpchGraph.nodes(spark, dir).select(col("id").as("node")).persist()
+
+    var pr = nodes.withColumn("pr", lit(Scale))
+    for (_ <- 0 until Iters) {
+      val shares = edges
+        .join(broadcast(pr.join(outdeg, "node")
+          .select(col("node").as("u"), expr("pr div outdeg").as("share"))),
+          col("src") === col("u"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum("share").as("inflow"))
+      val next = nodes.join(shares, Seq("node"), "left")
+        .select(col("node"),
+          // integer div, not `/` (Spark's / on BIGINT yields DOUBLE)
+          expr(s"(15 * CAST($Scale AS BIGINT)) div 100 + (85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100").as("pr"))
+        .persist()
+      next.count()
+      pr = next
+    }
+    edges.unpersist(); outdeg.unpersist()
+
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pr").desc, col("node"))
+    pr.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("rank"), col("node"), col("pr"))
+  }
+}
