@@ -44,12 +44,14 @@ object Dedup {
   }
 
   /** Exact dedup: group by content fingerprint, keep min id. */
-  def exact(spark: SparkSession, dir: String): DataFrame =
+  def exact(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.ensureRegistered(spark)
     exactCorpus(spark, dir)
       .select(col("doc_id"), expr(fpSql("text")).as("fp"))
       .groupBy("fp")
       .agg(min("doc_id").as("keeper"), count(lit(1)).as("n"))
       .filter(col("n") > 1)
+  }
 
   /** distinct (doc_id, shingle-fingerprint) pairs, df-capped. */
   def shingles(corpus: DataFrame): DataFrame = {
@@ -82,8 +84,10 @@ object Dedup {
 
   /** n-gram Jaccard near-dup: inverted-index pair generation + exact
     * Jaccard ≥ τ (every pair sharing ≥1 surviving shingle is scored). */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.ensureRegistered(spark)
     verifiedPairs(shingles(nearCorpus(spark, dir)), None)
+  }
 
   /** MinHash parameters: h_i(x) = (a_i·x + b_i) mod P, 16 hashes in 4
     * bands of 4. */
@@ -94,6 +98,7 @@ object Dedup {
     * Jaccard verify. Candidate generation is near-linear (equi-join on
     * (band, sig₀..sig₃)), the scalable path at corpus scale. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.ensureRegistered(spark)
     val sh = shingles(nearCorpus(spark, dir))
     val mh = sh
       .select(col("doc_id"), col("sfp"), explode(sequence(lit(0), lit(NumHashes - 1))).as("i"))

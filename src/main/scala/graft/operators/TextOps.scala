@@ -21,10 +21,18 @@ object TextOps {
   /** whitespace tokens of trimmed text */
   def toks(c: Column): Column = split(trim(c), "\\s+")
 
-  /** polynomial rolling hash of a string: fold (acc*31 + ascii) mod P —
-    * the document-fingerprinting primitive (rolling hash). */
-  def fpSql(x: String): String =
-    s"aggregate(transform(split($x, ''), c -> ascii(c)), CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % $P)"
+  /** polynomial rolling hash of a string: fold (acc*31 + code) mod P —
+    * the document-fingerprinting primitive. Backed by the native
+    * codegen expression [[graft.functions.PolyHash]] (callers must
+    * [[ensureRegistered]] on the session first); byte-fold equals the
+    * oracle's per-char ascii fold on this ASCII corpus. */
+  def fpSql(x: String): String = s"graft_polyhash($x)"
+
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  def ensureRegistered(spark: SparkSession): Unit =
+    if (registered.add(spark)) graft.functions.GraftFunctions.register(spark)
 
   def docs(spark: SparkSession, dir: String): DataFrame =
     Tpch.table(spark, dir, "documents")
@@ -79,13 +87,16 @@ object TextOps {
           .otherwise("en").as("pred"))
 
   /** Whole-document rolling-hash fingerprint. */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
     docs(spark, dir).select(col("doc_id"), expr(fpSql("text")).as("fp"))
+  }
 
   /** 30-bit SimHash over the distinct-token fingerprint set: bit j is
     * the sign of Σ_tokens (±1 by token-hash bit j). Computed in long
     * format (doc × bit) so the plan is two partial-aggregable groupBys. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
     val tf = docs(spark, dir)
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       .select(col("doc_id"), expr(fpSql("tok")).as("tfp"))
