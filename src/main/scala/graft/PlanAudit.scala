@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints the plan facts that matter at scale for key queries —
+  * pushed filters, read schemas (column pruning), join strategies,
+  * codegen stages. Run: `sbt "runMain graft.PlanAudit [sfDir]"`. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val interesting = Seq("PushedFilters", "ReadSchema", "BroadcastHashJoin",
+      "SortMergeJoin", "BroadcastExchange", "Exchange hashpartitioning")
+    def audit(name: String): Unit = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      println(s"== $name")
+      plan.linesIterator
+        .filter(l => interesting.exists(l.contains))
+        .map(_.trim.take(160))
+        .take(12)
+        .foreach(l => println(s"   $l"))
+    }
+    Seq("g_point_lookup", "q01_scan_agg", "g_orders_per_nation",
+      "cc_violations", "ann_lsh").foreach(audit)
+    spark.stop()
+  }
+}

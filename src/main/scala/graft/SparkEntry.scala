@@ -117,6 +117,9 @@ object SparkEntry {
       graft.streaming.EventStreams.userState(graft.streaming.EventStreams.events(s, dir))),
     "s_sessionize" -> ((s, dir) =>
       graft.streaming.EventStreams.sessionize(graft.streaming.EventStreams.events(s, dir))),
+    // as-of join (sorted-union-window composition)
+    "s_asof_join" -> ((s, dir) =>
+      graft.operators.AsOfJoin.purchaseLastClick(s, dir)),
     // snapshot ⊕ increment ≡ full replay: oracle IS the direct replay
     "cdc_incremental" -> ((s, dir) =>
       graft.streaming.EventStreams.incrementalEquivalence(s, dir)),
@@ -227,6 +230,7 @@ object SparkEntry {
     "s_hourly_agg" -> EventCtes.hourlyAgg,
     "s_user_state" -> EventCtes.userState,
     "s_sessionize" -> EventCtes.sessionize,
+    "s_asof_join" -> EventCtes.asofJoin,
     "cdc_incremental" -> EventCtes.userState,
     "t_token_count" -> TextCtes.tokenCount,
     "t_quality" -> TextCtes.quality,

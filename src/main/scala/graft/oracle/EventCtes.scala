@@ -23,6 +23,28 @@ object EventCtes {
        |  max(CASE WHEN rn = 1 THEN event_id END) AS last_event_id
        |FROM r GROUP BY user_id""".stripMargin
 
+  /** twin of AsOfJoin.purchaseLastClick: same tagged-union-window
+    * construction (portable ≤-with-tiebreak semantics, rather than
+    * DuckDB's native ASOF JOIN whose tie rules could differ). */
+  val asofJoin: String =
+    s"""WITH $ev,
+       |evu AS (SELECT *, epoch_us(ts) AS us FROM ev),
+       |tagged AS (
+       |  SELECT user_id AS key, us AS tss, event_id AS id, 0 AS tag
+       |  FROM evu WHERE event_type = 'click'
+       |  UNION ALL
+       |  SELECT user_id, us, event_id, 1 FROM evu WHERE event_type = 'purchase'),
+       |marked AS (
+       |  SELECT *, last_value(CASE WHEN tag = 0 THEN id END IGNORE NULLS)
+       |    OVER (PARTITION BY key ORDER BY tss, tag, id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_id
+       |  FROM tagged),
+       |clicks AS (SELECT event_id, epoch_us(ts) AS click_us FROM evu WHERE event_type = 'click')
+       |SELECT m.id AS purchase_id, m.key AS user_id, m.asof_id AS last_click_id,
+       |  m.tss - c.click_us AS gap_us
+       |FROM marked m LEFT JOIN clicks c ON m.asof_id = c.event_id
+       |WHERE m.tag = 1""".stripMargin
+
   val sessionize: String =
     s"""WITH $ev,
        |s1 AS (SELECT *, epoch_us(ts) AS us,
