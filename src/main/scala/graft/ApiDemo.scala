@@ -29,6 +29,11 @@ object ApiDemo {
     val tx2 = s.beginTx(); tx2.delete(alice); tx2.success()
     try tx2.finish()
     catch { case e: Exception => println(s"[demo] referential guard: ${e.getMessage}") }
+    // an aborted commit must leave the graph untouched and the session usable
+    println(s"[demo] alice survives abort: ${s.hasNode(alice)}")
+    val tx3 = s.beginTx(); val carol = tx3.createNode()
+    tx3.setProperty(carol, "name", "carol"); tx3.success(); tx3.finish()
+    println(s"[demo] post-abort tx committed: ${s.nodeById(carol)}")
     s.nodesDF.show(false)
     spark.stop()
   }

@@ -65,7 +65,29 @@ final class EngineSession(spark: SparkSession) {
   private[operators] def allocate(): Long = { val id = nextId; nextId += 1; id }
 
   private[operators] def commit(tx: Tx): Unit = synchronized {
-    // referential guard first: node deletes with live rels abort the batch
+    try commitValidated(tx)
+    finally activeTx = None // a failed commit must not wedge the session
+  }
+
+  /** Validation strictly precedes mutation so an aborting batch leaves
+    * the graph untouched (batch atomicity — the tx contract of G12). */
+  private def commitValidated(tx: Tx): Unit = {
+    // sequential shadow of live ids: catches ops against entities that
+    // are missing, or deleted earlier in the same batch
+    val live = mutable.Set[Long](nodes.keysIterator.toSeq: _*)
+    val liveRels = mutable.Set[Long](rels.keysIterator.toSeq: _*)
+    tx.ops.foreach {
+      case CreateNode(id) => live += id
+      case CreateRel(id, src, dst, _) =>
+        require(live(src) && live(dst), "endpoint missing")
+        liveRels += id
+      case SetNodeProp(id, _, _) => require(live(id), s"node $id not found")
+      case SetRelProp(id, _, _) => require(liveRels(id), s"rel $id not found")
+      case DeleteNode(id) => live -= id
+      case DeleteRel(id) => liveRels -= id
+      case _ => ()
+    }
+    // referential guard: node deletes with surviving rels abort the batch
     val deletedNodes = tx.ops.collect { case DeleteNode(id) => id }.toSet
     val survivingRels = (rels.keySet -- tx.ops.collect { case DeleteRel(id) => id }) ++
       tx.ops.collect { case CreateRel(id, _, _, _) => id }
@@ -92,7 +114,6 @@ final class EngineSession(spark: SparkSession) {
       case IndexAdd(name, k, v, id) =>
         indexes.getOrElseUpdate((name, k, v), mutable.LinkedHashSet.empty) += id
     }
-    activeTx = None
   }
 
   private[operators] def rollback(tx: Tx): Unit = synchronized { activeTx = None }
