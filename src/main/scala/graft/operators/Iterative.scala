@@ -30,28 +30,41 @@ object Iterative {
     * exponentially deeper plan). The edge table is persisted once and
     * reused by all rounds — the standard iterate-over-cached-edges shape
     * (what GraphX does under the hood), valid at any cluster size. */
-  def iterateMin(v0: DataFrame, edges0: DataFrame, iters: Int, delta: Long): DataFrame = {
+  /** Delta (frontier) iteration: only labels that CHANGED last round
+    * propagate. Exact for monotone min-propagation (any round-k
+    * improvement arrives via a node improved at round k-1), so each
+    * round's labels equal full propagation — the oracle's unrolled
+    * full rounds still compare bit-for-bit. The frontier collapses
+    * fast (BFS over this corpus: 5 → 25 → 1.6k → 15k → 2k → 0), so
+    * every round is two small broadcasts against the cached edge
+    * table plus one partial-agg shuffle; the full label table is
+    * never re-shuffled. `frontier0` lets BFS seed with just the
+    * sources (sentinel labels can never improve a neighbor). */
+  def iterateMin(v0: DataFrame, edges0: DataFrame, iters: Int, delta: Long,
+                 frontier0: Option[DataFrame] = None): DataFrame = {
     val edges = edges0.persist()
-    var v = v0
-    var prev: Option[DataFrame] = None
+    var v = v0.persist()
+    v.count()
+    var frontier = frontier0.getOrElse(v)
+    var toFree: Seq[DataFrame] = Nil
     for (_ <- 0 until iters) {
-      // label table ≪ edge table: broadcast it so the cached edges are
-      // never shuffled — each round is one map-side join + one partial
-      // agg shuffle of per-node minima. (At node counts beyond broadcast
-      // range, swap for a bucketed co-partitioned join.)
       val m = edges
-        .join(broadcast(v.select(col("node").as("n2"), col("label"))),
+        .join(broadcast(frontier.select(col("node").as("n2"), col("label"))),
           col("src") === col("n2"))
         .groupBy(col("dst").as("node"))
         .agg(min(col("label") + delta).as("minl"))
-      val next = v.join(m, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("minl"), col("label"))).as("label"))
+      val joined = v.join(broadcast(m), Seq("node"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("minl"), col("label"))).as("newl"))
         .persist()
-      next.count() // materialize so the next round starts from cache
-      prev.foreach(_.unpersist())
-      prev = Some(next)
+      joined.count()
+      val nextFrontier = joined.filter(col("newl") < col("label"))
+        .select(col("node"), col("newl").as("label"))
+      val next = joined.select(col("node"), col("newl").as("label"))
+      toFree.foreach(_.unpersist())
+      toFree = Seq(joined)
       v = next
+      frontier = nextFrontier
     }
     edges.unpersist()
     v
@@ -78,7 +91,8 @@ object Iterative {
     val edges = symmetrize(TpchGraph.relsLite(spark, dir))
     val vertices = g.nodes.select(col("id").as("node"),
       when(col("kind") === "region", 0L).otherwise(Unreachable).as("label"))
-    iterateMin(vertices, edges, BfsIters, 1L)
+    val seeds = vertices.filter(col("label") === 0L)
+    iterateMin(vertices, edges, BfsIters, 1L, frontier0 = Some(seeds))
       .groupBy(col("label").as("depth"))
       .agg(count(lit(1)).as("n_nodes"))
   }
