@@ -30,6 +30,8 @@ object PlanAudit {
     }
     Seq("g_point_lookup", "q01_scan_agg", "g_orders_per_nation",
       "cc_violations", "ann_lsh").foreach(audit)
+    // driver t1 smoke simulation: entry must return rows on sf0.001
+    println(s"== entry smoke: ${SparkEntry.entry(spark).count()} rows")
     spark.stop()
   }
 }
