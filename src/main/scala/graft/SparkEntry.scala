@@ -134,6 +134,7 @@ object SparkEntry {
     "dd_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "ann_topk" -> ((s, dir) => Similarity.annBruteForce(s, dir)),
     "ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
+    "ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
     "dd_embedding" -> ((s, dir) => Similarity.embeddingDup(s, dir)),
     "mm_media_features" -> ((s, dir) => Media.mediaFeatures(s, dir)),
   )
@@ -242,6 +243,7 @@ object SparkEntry {
     "dd_minhash_lsh" -> TextCtes.minhashLsh,
     "ann_topk" -> TextCtes.annBruteForce,
     "ann_lsh" -> TextCtes.annLsh,
+    "ann_ivf" -> TextCtes.annIvf,
     "dd_embedding" -> TextCtes.embeddingDup,
     "mm_media_features" -> TextCtes.mediaFeatures,
   )

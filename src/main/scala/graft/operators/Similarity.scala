@@ -85,6 +85,59 @@ object Similarity {
       .select(col("qid"), col("bucket"), col("rank"), col("nid"), col("cos"))
   }
 
+  val CentroidMod = 25    // vec_id % CentroidMod == 0 → centroid set
+  val NProbe = 2
+
+  /** IVF-style ANN: a deterministic centroid subset partitions the
+    * corpus into inverted lists (nearest centroid by integer cosine,
+    * min-id tiebreak); a query probes only its NProbe nearest lists.
+    * Complements [[annLsh]]: IVF lists adapt to the data distribution
+    * where hyperplane buckets are data-independent. All arithmetic is
+    * the same exact-integer cosine, so assignment and ranking are
+    * engine-invariant. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir).persist()
+    val cents = e.filter(col("vec_id") % CentroidMod === 0)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn"))
+
+    // inverted lists: every vector assigned to its nearest centroid
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("cid"))
+    val assign = e.crossJoin(broadcast(cents))
+      .withColumn("dot", dot("q", "cq"))
+      .withColumn("cos", col("dot") / (sqrt(col("nrm")) * sqrt(col("cn"))))
+      .withColumn("r", row_number().over(wAssign))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("cid"))
+
+    // probe lists: each query's NProbe nearest centroids
+    val queries = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qv"), col("nrm").as("qn"))
+    val wProbe = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("cid"))
+    val probes = broadcast(queries).crossJoin(broadcast(cents))
+      .withColumn("dot", dot("qv", "cq"))
+      .withColumn("cos", col("dot") / (sqrt(col("qn")) * sqrt(col("cn"))))
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= NProbe)
+      .select(col("qid"), col("cid"))
+
+    // candidates = members of probed lists; exact rerank within them
+    val cands = probes
+      .join(assign, "cid")
+      .select(col("qid"), col("vec_id").as("nid"))
+      .join(e.select(col("vec_id").as("nid"), col("q").as("cv"), col("nrm").as("cn2")), "nid")
+    val scored = cands
+      .join(broadcast(queries), "qid")
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("dot", dot("qv", "cv"))
+      .withColumn("cos", col("dot") / (sqrt(col("qn")) * sqrt(col("cn2"))))
+    val wRank = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+  }
+
   /** Embedding-cosine near-dup over embeddings ∪ perturbed copy
     * (each quantized component +1, ids offset): pairs in the same LSH
     * bucket with cos ≥ τ. Bucket-blocked join = linear-scale near-dup. */

@@ -205,6 +205,50 @@ object TextCtes {
        |  FROM scored)
        |SELECT qid, bucket, rnk AS rank, nid, cos FROM ranked WHERE rnk <= 5""".stripMargin
 
+  /** twin of Similarity.annIvf: same centroid assignment, probe lists,
+    * and exact rerank in long format. */
+  val annIvf: String =
+    s"""WITH $embBase,
+       |cents AS (SELECT vec_id AS cid FROM e WHERE vec_id % 25 = 0),
+       |adots AS (
+       |  SELECT a.vec_id, b.vec_id AS cid, CAST(sum(a.x * b.x) AS BIGINT) AS dot
+       |  FROM el a JOIN el b ON a.i = b.i
+       |  JOIN cents c ON b.vec_id = c.cid
+       |  GROUP BY 1, 2),
+       |ascored AS (
+       |  SELECT d.vec_id, d.cid,
+       |    d.dot / (sqrt(va.nrm) * sqrt(vc.nrm)) AS cos
+       |  FROM adots d JOIN valid va ON d.vec_id = va.vec_id
+       |  JOIN valid vc ON d.cid = vc.vec_id),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS r
+       |    FROM ascored) WHERE r = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS r
+       |    FROM ascored WHERE vec_id % 50 = 0) WHERE r <= 2),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS nid FROM probes p JOIN assign a ON p.cid = a.cid),
+       |dots AS (
+       |  SELECT c.qid, c.nid, CAST(sum(a.x * b.x) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN el a ON a.vec_id = c.qid
+       |  JOIN el b ON b.vec_id = c.nid AND b.i = a.i
+       |  WHERE c.qid <> c.nid
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.qid, d.nid, d.dot / (sqrt(qa.nrm) * sqrt(qb.nrm)) AS cos
+       |  FROM dots d JOIN valid qa ON d.qid = qa.vec_id
+       |  JOIN valid qb ON d.nid = qb.vec_id),
+       |ranked AS (
+       |  SELECT qid, nid, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+       |  FROM scored)
+       |SELECT qid, rnk AS rank, nid, cos FROM ranked WHERE rnk <= 5""".stripMargin
+
   val embeddingDup: String =
     s"""WITH $embBase,
        |corp AS (

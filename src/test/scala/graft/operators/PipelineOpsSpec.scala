@@ -61,6 +61,22 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("ivf ann cosines agree with brute force; recall is substantial") {
+    val bf = Similarity.annBruteForce(spark, dir)
+      .select("qid", "nid", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.annIvf(spark, dir)
+      .select("qid", "nid", "cos").collect()
+    ivf.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      // same integer arithmetic ⇒ exact same cosine where both scored
+      bf.get(k).foreach(c => assert(c === r.getDouble(2)))
+    }
+    // nprobe=2 over 20 lists: expect a reasonable share of true top-5
+    val hits = ivf.count(r => bf.contains((r.getLong(0), r.getLong(1))))
+    assert(hits > ivf.length / 4, s"recall too low: $hits/${ivf.length}")
+  }
+
   test("embedding near-dup finds the perturbed twins") {
     val pairs = Similarity.embeddingDup(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
