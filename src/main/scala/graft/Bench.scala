@@ -10,7 +10,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // noop sink: forces FULL computation of every output row (count()
     // would let Catalyst prune join trees and fake the numbers)
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -22,14 +22,6 @@ object Iterative {
   val BfsIters = 6
   val Unreachable = 999999L
 
-  /** bounded min-propagation: one round = min over in-neighbors' labels
-    * (+delta), kept if smaller. Edges must be pre-symmetrized.
-    *
-    * Each round is persisted and materialized: without it the lineage
-    * re-executes every prior round per iteration (O(iters²) work and an
-    * exponentially deeper plan). The edge table is persisted once and
-    * reused by all rounds — the standard iterate-over-cached-edges shape
-    * (what GraphX does under the hood), valid at any cluster size. */
   /** Delta (frontier) iteration: only labels that CHANGED last round
     * propagate. Exact for monotone min-propagation (any round-k
     * improvement arrives via a node improved at round k-1), so each
@@ -39,15 +31,28 @@ object Iterative {
     * every round is two small broadcasts against the cached edge
     * table plus one partial-agg shuffle; the full label table is
     * never re-shuffled. `frontier0` lets BFS seed with just the
-    * sources (sentinel labels can never improve a neighbor). */
+    * sources (sentinel labels can never improve a neighbor).
+    *
+    * Each round ends in an eager `localCheckpoint`, not persist+count:
+    * round k+1 references round k TWICE (labels and frontier), so
+    * without lineage truncation the logical plan doubles per round —
+    * caching shortcuts re-EXECUTION, but Catalyst still re-analyzes an
+    * exponentially growing tree, and by round ~6 driver-side planning
+    * dwarfs the actual work. Checkpointing pins each round to a
+    * constant-size LogicalRDD; superseded rounds are dropped when their
+    * reference goes (ContextCleaner), and the edge table stays persisted
+    * across all rounds — the iterate-over-cached-edges shape GraphX
+    * uses, valid at any cluster size. */
+  private def itLog(msg: => String): Unit =
+    if (sys.env.contains("GRAFT_ITER_LOG")) println(s"[iter] $msg")
+
   def iterateMin(v0: DataFrame, edges0: DataFrame, iters: Int, delta: Long,
                  frontier0: Option[DataFrame] = None): DataFrame = {
     val edges = edges0.persist()
-    var v = v0.persist()
-    v.count()
+    var v = v0.localCheckpoint(true)
     var frontier = frontier0.getOrElse(v)
-    var toFree: Seq[DataFrame] = Nil
-    for (_ <- 0 until iters) {
+    for (round <- 0 until iters) {
+      val t0 = System.nanoTime()
       val m = edges
         .join(broadcast(frontier.select(col("node").as("n2"), col("label"))),
           col("src") === col("n2"))
@@ -56,15 +61,11 @@ object Iterative {
       val joined = v.join(broadcast(m), Seq("node"), "left")
         .select(col("node"), col("label"),
           least(col("label"), coalesce(col("minl"), col("label"))).as("newl"))
-        .persist()
-      joined.count()
-      val nextFrontier = joined.filter(col("newl") < col("label"))
+        .localCheckpoint(true)
+      itLog(s"round $round: ${(System.nanoTime() - t0) / 1e9}s")
+      frontier = joined.filter(col("newl") < col("label"))
         .select(col("node"), col("newl").as("label"))
-      val next = joined.select(col("node"), col("newl").as("label"))
-      toFree.foreach(_.unpersist())
-      toFree = Seq(joined)
-      v = next
-      frontier = nextFrontier
+      v = joined.select(col("node"), col("newl").as("label"))
     }
     edges.unpersist()
     v

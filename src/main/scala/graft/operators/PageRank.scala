@@ -42,20 +42,24 @@ object PageRank {
           col("src") === col("u"))
         .groupBy(col("dst").as("node"))
         .agg(sum("share").as("inflow"))
-      val next = nodes.join(shares, Seq("node"), "left")
+      // eager localCheckpoint: truncates lineage so round k+1 plans
+      // against a constant-size LogicalRDD (see Iterative.iterateMin);
+      // superseded rounds are garbage-collected with their reference.
+      pr = nodes.join(shares, Seq("node"), "left")
         .select(col("node"),
           // integer div, not `/` (Spark's / on BIGINT yields DOUBLE)
           expr(s"(15 * CAST($Scale AS BIGINT)) div 100 + (85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100").as("pr"))
-        .persist()
-      next.count()
-      pr = next
+        .localCheckpoint(true)
     }
-    edges.unpersist(); outdeg.unpersist()
+    edges.unpersist(); outdeg.unpersist(); nodes.unpersist()
 
+    // top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    // heap + driver merge, no single-partition global sort); the rank
+    // window then only sees TopK rows.
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("pr").desc, col("node"))
-    pr.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
+    pr.orderBy(col("pr").desc, col("node")).limit(TopK)
+      .withColumn("rank", row_number().over(w))
       .select(col("rank"), col("node"), col("pr"))
   }
 }
