@@ -11,6 +11,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // untimed warmup: first-touch costs (FileSystem + parquet reader
+    // init, planner/codegen JIT) land here, not on whichever query the
+    // map happens to order first — per-query numbers are steady-state,
+    // like the reference perf harness's phased report
+    graft.sources.Tpch.tableNames.foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
     // noop sink: forces FULL computation of every output row (count()
     // would let Catalyst prune join trees and fake the numbers)
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -37,6 +37,18 @@ case class PropertyGraph(nodes: DataFrame, rels: DataFrame)
 object TpchGraph {
   val Base = 1000000000000L // 1e12 — above any key at any realistic sf
 
+  /** Session-level memo of the derived graph tables, keyed by
+    * (session, dir): ~15 queries per Verify/Bench run start from
+    * nodes/rels, and without sharing each re-reads the parquet and
+    * re-runs the lineitem row_number window. Lazy persist — the first
+    * consumer fills the cache; at cluster scale this is the
+    * materialize-the-graph-once step every serious deployment does. */
+  private val memo = scala.collection.concurrent
+    .TrieMap[(SparkSession, String, String), DataFrame]()
+  private def memoized(spark: SparkSession, dir: String, what: String)(
+      build: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((spark, dir, what), build.persist())
+
   // node kind codes
   val Region = 1L; val Nation = 2L; val Customer = 3L
   val Supplier = 4L; val Part = 5L; val Order = 6L
@@ -44,7 +56,10 @@ object TpchGraph {
   val RInRegion = 11L; val RCustNation = 12L; val RSuppNation = 13L
   val RPlacedBy = 14L; val RHasPart = 15L; val RSuppliedBy = 16L
 
-  def nodes(spark: SparkSession, dir: String): DataFrame = {
+  def nodes(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "nodes")(buildNodes(spark, dir))
+
+  private def buildNodes(spark: SparkSession, dir: String): DataFrame = {
     def t(n: String) = Tpch.table(spark, dir, n)
     val region = t("region").select(
       (lit(Region * Base) + col("r_regionkey")).as("id"),
@@ -69,7 +84,10 @@ object TpchGraph {
       .unionAll(part).unionAll(order)
   }
 
-  def rels(spark: SparkSession, dir: String): DataFrame = {
+  def rels(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "rels")(buildRels(spark, dir))
+
+  private def buildRels(spark: SparkSession, dir: String): DataFrame = {
     def t(n: String) = Tpch.table(spark, dir, n)
     val inRegion = t("nation").select(
       (lit(RInRegion * Base) + col("n_nationkey")).as("id"),
@@ -99,55 +117,36 @@ object TpchGraph {
       .partitionBy("l_orderkey")
       .orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
         "l_extendedprice")
+    // one windowed pass over lineitem emitting BOTH rels per row:
+    // separate HAS_PART/SUPPLIED_BY branches would each re-run the
+    // row_number sort (Catalyst does not share common subtrees across
+    // union branches)
     val li = t("lineitem").withColumn("rn", row_number().over(wOrd))
-    val hasPart = li.select(
-      (lit(RHasPart * Base) + col("l_orderkey") * 32 + col("rn")).as("id"),
-      (lit(Order * Base) + col("l_orderkey")).as("src"),
-      (lit(Part * Base) + col("l_partkey")).as("dst"),
-      lit("HAS_PART").as("type"))
-    val suppliedBy = li.select(
-      (lit(RSuppliedBy * Base) + col("l_orderkey") * 32 + col("rn")).as("id"),
-      (lit(Order * Base) + col("l_orderkey")).as("src"),
-      (lit(Supplier * Base) + col("l_suppkey")).as("dst"),
-      lit("SUPPLIED_BY").as("type"))
+      .select(col("l_orderkey"), col("rn"), col("l_partkey"), col("l_suppkey"))
+    val liRels = li.select(explode(array(
+      struct(
+        (lit(RHasPart * Base) + col("l_orderkey") * 32 + col("rn")).as("id"),
+        (lit(Order * Base) + col("l_orderkey")).as("src"),
+        (lit(Part * Base) + col("l_partkey")).as("dst"),
+        lit("HAS_PART").as("type")),
+      struct(
+        (lit(RSuppliedBy * Base) + col("l_orderkey") * 32 + col("rn")).as("id"),
+        (lit(Order * Base) + col("l_orderkey")).as("src"),
+        (lit(Supplier * Base) + col("l_suppkey")).as("dst"),
+        lit("SUPPLIED_BY").as("type")))).as("r"))
+      .select(col("r.id").as("id"), col("r.src").as("src"),
+        col("r.dst").as("dst"), col("r.type").as("type"))
     inRegion.unionAll(custNation).unionAll(suppNation)
-      .unionAll(placedBy).unionAll(hasPart).unionAll(suppliedBy)
+      .unionAll(placedBy).unionAll(liRels)
   }
 
-  /** rels WITHOUT the id column: skips the per-order row_number window
-    * (a sort-shuffle over lineitem). Use for operators that only need
-    * (src, dst, type) — degree counts, traversals, expands — where the
-    * id would be dead weight; Catalyst cannot prune the window itself
-    * because id correctness depends on it. */
-  def relsLite(spark: SparkSession, dir: String): DataFrame = {
-    def t(n: String) = Tpch.table(spark, dir, n)
-    val inRegion = t("nation").select(
-      (lit(Nation * Base) + col("n_nationkey")).as("src"),
-      (lit(Region * Base) + col("n_regionkey")).as("dst"),
-      lit("IN_REGION").as("type"))
-    val custNation = t("customer").select(
-      (lit(Customer * Base) + col("c_custkey")).as("src"),
-      (lit(Nation * Base) + col("c_nationkey")).as("dst"),
-      lit("IN_NATION").as("type"))
-    val suppNation = t("supplier").select(
-      (lit(Supplier * Base) + col("s_suppkey")).as("src"),
-      (lit(Nation * Base) + col("s_nationkey")).as("dst"),
-      lit("IN_NATION").as("type"))
-    val placedBy = t("orders").select(
-      (lit(Order * Base) + col("o_orderkey")).as("src"),
-      (lit(Customer * Base) + col("o_custkey")).as("dst"),
-      lit("PLACED_BY").as("type"))
-    val hasPart = t("lineitem").select(
-      (lit(Order * Base) + col("l_orderkey")).as("src"),
-      (lit(Part * Base) + col("l_partkey")).as("dst"),
-      lit("HAS_PART").as("type"))
-    val suppliedBy = t("lineitem").select(
-      (lit(Order * Base) + col("l_orderkey")).as("src"),
-      (lit(Supplier * Base) + col("l_suppkey")).as("dst"),
-      lit("SUPPLIED_BY").as("type"))
-    inRegion.unionAll(custNation).unionAll(suppNation)
-      .unionAll(placedBy).unionAll(hasPart).unionAll(suppliedBy)
-  }
+  /** rels WITHOUT the id column, for operators that only need
+    * (src, dst, type) — degree counts, traversals, expands. A column
+    * prune over the shared memoized rel cache: the id window is paid
+    * once per session, and every consumer after that reads the same
+    * in-memory table. */
+  def relsLite(spark: SparkSession, dir: String): DataFrame =
+    rels(spark, dir).select(col("src"), col("dst"), col("type"))
 
   def apply(spark: SparkSession, dir: String): PropertyGraph =
     PropertyGraph(nodes(spark, dir), rels(spark, dir))

@@ -127,20 +127,55 @@ object RecordStores {
     * the derivation would execute once PER BRANCH. One cached
     * derivation per sf dir (dimension stores are literal, no need). */
   private val cached = scala.collection.concurrent.TrieMap[String, Stores]()
+  private def slog(msg: => String): Unit =
+    if (sys.env.contains("GRAFT_ITER_LOG"))
+      println(f"[stores] t=${System.currentTimeMillis() % 1000000}%d $msg")
   def deriveCached(spark: SparkSession, dir: String): Stores =
     cached.getOrElseUpdate(dir, {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      slog("deriveCached enter")
       // tap persists the shared intermediates (rels-with-ids, incidence
       // windows, prop rows): five stores otherwise re-derive them once
       // each during cache fill
-      val s = derive(spark, dir, tap = _.persist())
-      val out = s.copy(nodes = s.nodes.persist(), rels = s.rels.persist(),
-        props = s.props.persist(), blocks = s.blocks.persist(),
-        dyns = s.dyns.persist())
-      // eager fill, one store at a time: the first consumer is a ~20-way
-      // union whose branches would otherwise race to fill the same cache
-      Seq(out.nodes, out.rels, out.props, out.blocks, out.dyns)
-        .foreach(_.count())
-      out
+      val taps = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      val s = derive(spark, dir, tap = { d => val p = d.persist(); taps += p; p })
+      slog("derive() plan built")
+      // taps arrive in derive() call order: rels-with-ids, incidence,
+      // propRows. incidence depends on rels; propRows is independent —
+      // fill the two chains concurrently, then materialize the five
+      // stores in parallel (all shared subtrees cached by then, so no
+      // branch races another's work).
+      val Seq(rels0, incPN, rows) = taps.toSeq
+      Await.result(Future.sequence(Seq(
+        Future { rels0.count(); incPN.count(); slog("taps rels+inc filled") },
+        Future { rows.count(); slog("tap rows filled") })), Duration.Inf)
+      // Each store ends in repartition-by-id + eager localCheckpoint:
+      // the checkpoint truncates the derivation out of the logical plan
+      // (the ~20 checker joins — and every later query over the stores —
+      // would otherwise re-run Catalyst analysis over the whole
+      // derivation tree per query, which costs more than the joins at
+      // this scale), and LogicalRDD keeps the hash partitioning, so
+      // pointer joins building on id skip one exchange.
+      val ckpt = Await.result(Future.sequence(Seq(
+        "nodes" -> s.nodes.repartition(col("id")),
+        "rels" -> s.rels.repartition(col("id")),
+        "props" -> s.props.repartition(col("id")),
+        "blocks" -> s.blocks.repartition(col("prop_id")),
+        "dyns" -> s.dyns.repartition(col("id"))
+      ).map { case (n, df) => Future {
+        val t0 = System.nanoTime()
+        val c = df.localCheckpoint(true)
+        slog(f"$n fill ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        n -> c
+      } }), Duration.Inf).toMap
+      // stores are now self-contained RDDs; the tap caches only served
+      // the fill and would otherwise hold memory for the whole session
+      taps.foreach(_.unpersist())
+      slog("fills done")
+      s.copy(nodes = ckpt("nodes"), rels = ckpt("rels"),
+        props = ckpt("props"), blocks = ckpt("blocks"), dyns = ckpt("dyns"))
     })
 
   /** prop_rows: one row per (entity, property) with only structural
