@@ -50,8 +50,12 @@ object SparkEntry {
         .groupBy("l_orderkey").agg(sum("rev_c").as("revenue_c"))
         .orderBy(col("revenue_c").desc, col("l_orderkey"))
         .limit(10)
+        // constant partition key: the window sees only the 10 surviving
+        // rows, and a non-empty partitionBy avoids WindowExec's
+        // single-partition warning on every run
         .withColumn("rank", row_number().over(
-          Window.orderBy(col("revenue_c").desc, col("l_orderkey"))))
+          Window.partitionBy(lit(0))
+            .orderBy(col("revenue_c").desc, col("l_orderkey"))))
     }),
     // window-function surface: top-2 orders per customer
     "q04_window_rank" -> ((s, dir) => {

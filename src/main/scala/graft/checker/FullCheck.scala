@@ -75,23 +75,31 @@ object FullCheck {
       "relationship")
   }
 
-  /** J3: both endpoint nodes in use; chain heads referenced back. */
+  /** J3: both endpoint nodes in use; chain heads referenced back.
+    * Both sides are melted into one (rel, side) long table before a
+    * single join against the node store: two per-side joins would
+    * shuffle the full rel store twice for the same probe volume. */
   def relEndpoints(s: Stores): DataFrame = {
-    def side(nodeCol: String, prevCol: String, name: String): DataFrame = {
-      val n = s.nodes.select(col("id").as("n_id"), col("in_use").as("n_in_use"),
-        col("next_rel").as("n_next_rel"))
-      viol(s.rels.filter(col("in_use"))
-        .join(n, col(nodeCol) === col("n_id"), "left")
-        .withColumn("violation",
-          when(col("n_id").isNull || !col("n_in_use"), s"${name}_node_not_in_use")
-            .when(col(prevCol) === NIL && col("n_next_rel") === NIL,
-              s"${name}_node_has_no_relationships")
-            .when(col(prevCol) === NIL && col("n_next_rel") =!= col("id"),
-              s"${name}_node_does_not_reference_back")),
-        "relationship")
-    }
-    side("first_node", "first_prev", "source")
-      .unionAll(side("second_node", "second_prev", "target"))
+    val n = s.nodes.select(col("id").as("n_id"), col("in_use").as("n_in_use"),
+      col("next_rel").as("n_next_rel"))
+    val sides = s.rels.filter(col("in_use"))
+      .select(col("id"), explode(array(
+        struct(lit("source").as("nm"), col("first_node").as("node"),
+          col("first_prev").as("prev")),
+        struct(lit("target").as("nm"), col("second_node").as("node"),
+          col("second_prev").as("prev")))).as("p"))
+      .select(col("id"), col("p.nm").as("nm"), col("p.node").as("node"),
+        col("p.prev").as("prev"))
+    viol(sides
+      .join(n, col("node") === col("n_id"), "left")
+      .withColumn("violation",
+        when(col("n_id").isNull || !col("n_in_use"),
+          concat(col("nm"), lit("_node_not_in_use")))
+          .when(col("prev") === NIL && col("n_next_rel") === NIL,
+            concat(col("nm"), lit("_node_has_no_relationships")))
+          .when(col("prev") === NIL && col("n_next_rel") =!= col("id"),
+            concat(col("nm"), lit("_node_does_not_reference_back")))),
+      "relationship")
   }
 
   /** J4 ×4: every chain pointer must reach an in-use relationship that
@@ -103,22 +111,36 @@ object FullCheck {
       col("first_node").as("o_first"), col("second_node").as("o_second"),
       col("first_prev").as("o_fp"), col("first_next").as("o_fn"),
       col("second_prev").as("o_sp"), col("second_next").as("o_sn"))
-    def ptr(field: String, nodeCol: String, backIsNext: Boolean, name: String): DataFrame = {
-      val back =
-        when(col("o_first") === col(nodeCol), if (backIsNext) col("o_fn") else col("o_fp"))
-          .when(col("o_second") === col(nodeCol), if (backIsNext) col("o_sn") else col("o_sp"))
-      viol(s.rels.filter(col("in_use") && col(field) =!= NIL)
-        .join(o, col(field) === col("o_id"), "left")
-        .withColumn("violation",
-          when(col("o_id").isNull || !col("o_in_use"), s"${name}_not_in_use")
-            .when(back.isNull, s"${name}_references_other_node")
-            .when(back =!= col("id"), s"${name}_does_not_reference_back")),
-        "relationship")
-    }
-    ptr("first_prev", "first_node", backIsNext = true, "source_prev")
-      .unionAll(ptr("first_next", "first_node", backIsNext = false, "source_next"))
-      .unionAll(ptr("second_prev", "second_node", backIsNext = true, "target_prev"))
-      .unionAll(ptr("second_next", "second_node", backIsNext = false, "target_next"))
+    // melt the four chain pointers into one (rel, pointer) long table —
+    // a single shuffle join against the rel store instead of four; the
+    // per-pointer predicates become one CASE over (nm, back_is_next)
+    val ptrs = s.rels.filter(col("in_use"))
+      .select(col("id"), explode(array(
+        struct(lit("source_prev").as("nm"), col("first_prev").as("ptr"),
+          col("first_node").as("node"), lit(true).as("back_is_next")),
+        struct(lit("source_next").as("nm"), col("first_next").as("ptr"),
+          col("first_node").as("node"), lit(false).as("back_is_next")),
+        struct(lit("target_prev").as("nm"), col("second_prev").as("ptr"),
+          col("second_node").as("node"), lit(true).as("back_is_next")),
+        struct(lit("target_next").as("nm"), col("second_next").as("ptr"),
+          col("second_node").as("node"), lit(false).as("back_is_next")))).as("p"))
+      .select(col("id"), col("p.nm").as("nm"), col("p.ptr").as("ptr"),
+        col("p.node").as("node"), col("p.back_is_next").as("back_is_next"))
+      .filter(col("ptr") =!= NIL)
+    val back =
+      when(col("o_first") === col("node"),
+        when(col("back_is_next"), col("o_fn")).otherwise(col("o_fp")))
+        .when(col("o_second") === col("node"),
+          when(col("back_is_next"), col("o_sn")).otherwise(col("o_sp")))
+    viol(ptrs
+      .join(o, col("ptr") === col("o_id"), "left")
+      .withColumn("violation",
+        when(col("o_id").isNull || !col("o_in_use"),
+          concat(col("nm"), lit("_not_in_use")))
+          .when(back.isNull, concat(col("nm"), lit("_references_other_node")))
+          .when(back =!= col("id"),
+            concat(col("nm"), lit("_does_not_reference_back")))),
+      "relationship")
   }
 
   /** J5: each in-use node's next_prop must head an in-use property chain. */
@@ -133,21 +155,29 @@ object FullCheck {
       "node")
   }
 
-  /** J6: property chain pointers resolve and reciprocate. */
+  /** J6: property chain pointers resolve and reciprocate — both
+    * pointers melted into one join like [[relChains]]. */
   def propChains(s: Stores): DataFrame = {
     val o = s.props.select(col("id").as("o_id"), col("in_use").as("o_in_use"),
       col("prev_prop").as("o_prev"), col("next_prop").as("o_next"))
-    def ptr(field: String, backIsNext: Boolean, name: String): DataFrame = {
-      val back = if (backIsNext) col("o_next") else col("o_prev")
-      viol(s.props.filter(col("in_use") && col(field) =!= NIL)
-        .join(o, col(field) === col("o_id"), "left")
-        .withColumn("violation",
-          when(col("o_id").isNull || !col("o_in_use"), s"${name}_not_in_use")
-            .when(back =!= col("id"), s"${name}_does_not_reference_back")),
-        "property")
-    }
-    ptr("prev_prop", backIsNext = true, "prev")
-      .unionAll(ptr("next_prop", backIsNext = false, "next"))
+    val ptrs = s.props.filter(col("in_use"))
+      .select(col("id"), explode(array(
+        struct(lit("prev").as("nm"), col("prev_prop").as("ptr"),
+          lit(true).as("back_is_next")),
+        struct(lit("next").as("nm"), col("next_prop").as("ptr"),
+          lit(false).as("back_is_next")))).as("p"))
+      .select(col("id"), col("p.nm").as("nm"), col("p.ptr").as("ptr"),
+        col("p.back_is_next").as("back_is_next"))
+      .filter(col("ptr") =!= NIL)
+    val back = when(col("back_is_next"), col("o_next")).otherwise(col("o_prev"))
+    viol(ptrs
+      .join(o, col("ptr") === col("o_id"), "left")
+      .withColumn("violation",
+        when(col("o_id").isNull || !col("o_in_use"),
+          concat(col("nm"), lit("_not_in_use")))
+          .when(back =!= col("id"),
+            concat(col("nm"), lit("_does_not_reference_back")))),
+      "property")
   }
 
   /** J7: every block's key must exist in the dictionary (broadcast). */

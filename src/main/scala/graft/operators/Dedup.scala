@@ -67,6 +67,14 @@ object Dedup {
     sh.join(df.filter(col("df") <= MaxDf).select("sfp"), "sfp").persist()
   }
 
+  /** Both near-dup operators (ngram Jaccard, MinHash LSH) start from
+    * the same df-capped shingle table — memoize it per (session, dir)
+    * so a Verify/Bench run builds it once. */
+  private val shMemo = scala.collection.concurrent
+    .TrieMap[(SparkSession, String), DataFrame]()
+  private def nearShingles(spark: SparkSession, dir: String): DataFrame =
+    shMemo.getOrElseUpdate((spark, dir), shingles(nearCorpus(spark, dir)))
+
   private def verifiedPairs(sh: DataFrame, cand: Option[DataFrame]): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val shared = sh.select(col("doc_id").as("a"), col("sfp"))
@@ -86,7 +94,7 @@ object Dedup {
     * Jaccard ≥ τ (every pair sharing ≥1 surviving shingle is scored). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     TextOps.ensureRegistered(spark)
-    verifiedPairs(shingles(nearCorpus(spark, dir)), None)
+    verifiedPairs(nearShingles(spark, dir), None)
   }
 
   /** MinHash parameters: h_i(x) = (a_i·x + b_i) mod P, 16 hashes in 4
@@ -99,21 +107,25 @@ object Dedup {
     * (band, sig₀..sig₃)), the scalable path at corpus scale. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     TextOps.ensureRegistered(spark)
-    val sh = shingles(nearCorpus(spark, dir))
-    val mh = sh
-      .select(col("doc_id"), col("sfp"), explode(sequence(lit(0), lit(NumHashes - 1))).as("i"))
-      .select(col("doc_id"), col("i"),
-        expr(s"((1 + 7919 * i) * sfp + 104729 * i) % $P").as("h"))
-      .groupBy("doc_id", "i").agg(min("h").as("mh"))
-    val bands = mh
-      .withColumn("band", expr(s"i div $BandSize"))
-      .withColumn("slot", expr(s"i % $BandSize"))
-      .groupBy("doc_id", "band")
-      .agg(
-        max(when(col("slot") === 0, col("mh"))).as("s0"),
-        max(when(col("slot") === 1, col("mh"))).as("s1"),
-        max(when(col("slot") === 2, col("mh"))).as("s2"),
-        max(when(col("slot") === 3, col("mh"))).as("s3"))
+    val sh = nearShingles(spark, dir)
+    // all 16 minhashes in ONE aggregation over the shingle table (the
+    // hash index i is a compile-time constant per column) — an
+    // explode(0..15) long format would push 16× the rows through the
+    // shuffle for the same 16 mins
+    val mhCols = (0 until NumHashes).map { i =>
+      min(expr(s"((${1 + 7919 * i}) * sfp + ${104729 * i}) % $P")).as(s"mh$i")
+    }
+    val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    val bands = mh.select(col("doc_id"), explode(array(
+      (0 until NumHashes / BandSize).map { b =>
+        struct(lit(b).as("band"),
+          col(s"mh${BandSize * b}").as("s0"),
+          col(s"mh${BandSize * b + 1}").as("s1"),
+          col(s"mh${BandSize * b + 2}").as("s2"),
+          col(s"mh${BandSize * b + 3}").as("s3"))
+      }: _*)).as("p"))
+      .select(col("doc_id"), col("p.band").as("band"), col("p.s0").as("s0"),
+        col("p.s1").as("s1"), col("p.s2").as("s2"), col("p.s3").as("s3"))
     val cand = bands.select(col("doc_id").as("a"), col("band"), col("s0"), col("s1"), col("s2"), col("s3"))
       .join(bands.select(col("doc_id").as("b"), col("band"), col("s0"), col("s1"), col("s2"), col("s3")),
         Seq("band", "s0", "s1", "s2", "s3"))

@@ -57,7 +57,8 @@ object PageRank {
     // heap + driver merge, no single-partition global sort); the rank
     // window then only sees TopK rows.
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("pr").desc, col("node"))
+      .partitionBy(lit(0)) // constant: TopK rows, silences the
+      .orderBy(col("pr").desc, col("node")) // single-partition warning
     pr.orderBy(col("pr").desc, col("node")).limit(TopK)
       .withColumn("rank", row_number().over(w))
       .select(col("rank"), col("node"), col("pr"))
