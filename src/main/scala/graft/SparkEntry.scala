@@ -101,6 +101,8 @@ object SparkEntry {
     "g_point_lookup" -> ((s, dir) => GraphOps.pointLookup(s, dir)),
     "g_prop_keys" -> ((s, dir) => GraphOps.propKeys(s, dir)),
     "g_expand_directions" -> ((s, dir) => GraphOps.expandBothDirections(s, dir)),
+    // Cypher-style variable-length expansion (paths 1..3, counted)
+    "g_path_expand" -> ((s, dir) => GraphOps.pathExpand(s, dir)),
     "g_index_lookup" -> ((s, dir) => GraphOps.indexLookup(s, dir)),
     "g_degree_histogram" -> ((s, dir) => GraphOps.degreeHistogram(s, dir)),
     // record-twin derivation parity probe (SURVEY §1.2/§1.6)
@@ -150,6 +152,7 @@ object SparkEntry {
     "dd_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "dd_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "dd_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
+    "dd_simhash_band" -> ((s, dir) => Dedup.simhashDup(s, dir)),
     "ann_topk" -> ((s, dir) => Similarity.annBruteForce(s, dir)),
     "ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
     "ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
@@ -228,6 +231,21 @@ object SparkEntry {
          |SELECT n.name AS nation, d.type, d.n_out, d.n_in
          |FROM nodes n JOIN deg d ON n.id = d.nation_id
          |WHERE n.kind = 'nation'""".stripMargin,
+    "g_path_expand" ->
+      s"""${Ctes.graph},
+         |er AS (SELECT dst AS f, src AS t FROM rels),
+         |reg AS (SELECT id, name AS region FROM nodes WHERE kind = 'region'),
+         |c1 AS (SELECT r.region, e.t, count(*) AS n
+         |  FROM reg r JOIN er e ON e.f = r.id GROUP BY 1, 2),
+         |c2 AS (SELECT c.region, e.t, CAST(sum(c.n) AS BIGINT) AS n
+         |  FROM c1 c JOIN er e ON e.f = c.t GROUP BY 1, 2),
+         |c3 AS (SELECT c.region, e.t, CAST(sum(c.n) AS BIGINT) AS n
+         |  FROM c2 c JOIN er e ON e.f = c.t GROUP BY 1, 2)
+         |SELECT region, 1 AS depth, CAST(sum(n) AS BIGINT) AS n_paths FROM c1 GROUP BY region
+         |UNION ALL
+         |SELECT region, 2 AS depth, CAST(sum(n) AS BIGINT) AS n_paths FROM c2 GROUP BY region
+         |UNION ALL
+         |SELECT region, 3 AS depth, CAST(sum(n) AS BIGINT) AS n_paths FROM c3 GROUP BY region""".stripMargin,
     "g_index_lookup" ->
       s"""SELECT 'customers_by_segment' AS index_name, 'mktsegment' AS key,
          |  c_mktsegment AS value, count(*) AS n,
@@ -261,6 +279,7 @@ object SparkEntry {
     "dd_exact" -> TextCtes.dedupExact,
     "dd_ngram_jaccard" -> TextCtes.ngramJaccard,
     "dd_minhash_lsh" -> TextCtes.minhashLsh,
+    "dd_simhash_band" -> TextCtes.simhashDup,
     "ann_topk" -> TextCtes.annBruteForce,
     "ann_lsh" -> TextCtes.annLsh,
     "ann_ivf" -> TextCtes.annIvf,

@@ -102,6 +102,59 @@ object Dedup {
   val NumHashes = 16
   val BandSize = 4
 
+  /** SimHash banding: 30 bits split into 3 bands of 10; pairs sharing
+    * any band bucket are candidates, kept if hamming ≤ MaxHam. */
+  val SimBands = 3
+  val SimBandBits = 10
+  val MaxHam = 6
+
+  /** SimHash-banded near-dup: the third dedup family (after shingle
+    * Jaccard and MinHash) — a 30-bit signature per document, banded so
+    * near-identical signatures collide in at least one 10-bit bucket.
+    * Candidate generation is an equi-join on (band, bits) — near-linear,
+    * no all-pairs product — and verification is one bit_count(xor) per
+    * candidate pair.
+    *
+    * The signature is computed over SHINGLE fingerprints, not token
+    * fingerprints: this corpus draws every document from a ~31-word
+    * vocabulary, so token-level simhashes all collapse toward the same
+    * signature and the band join degenerates to quadratic; 3-gram
+    * shingles are drawn from a combinatorially larger space, which
+    * spreads unrelated documents across buckets while near-dups (a few
+    * shingles changed) still land within MaxHam bits. */
+  def simhashDup(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.ensureRegistered(spark)
+    val sh = nearShingles(spark, dir)
+    // all 30 per-bit sign sums in one aggregation (cf. minhashLsh)
+    val bitCols = (0 until 30).map { j =>
+      sum(when(expr(s"(shiftright(sfp, $j) & 1)") === 1, 1).otherwise(-1))
+        .as(s"s$j")
+    }
+    val simExpr = (0 until 30)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString("CAST(", " + ", " AS BIGINT)")
+    val sim = sh.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"), expr(simExpr).as("simhash"))
+    val bands = sim.select(col("doc_id"), explode(array(
+      (0 until SimBands).map { b =>
+        struct(lit(b).as("band"),
+          expr(s"(simhash >> ${SimBandBits * b}) & ${(1 << SimBandBits) - 1}")
+            .as("bits"))
+      }: _*)).as("p"))
+      .select(col("doc_id"), col("p.band").as("band"), col("p.bits").as("bits"))
+    val cand = bands.select(col("doc_id").as("a"), col("band"), col("bits"))
+      .join(bands.select(col("doc_id").as("b"), col("band"), col("bits")),
+        Seq("band", "bits"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    cand
+      .join(sim.select(col("doc_id").as("a"), col("simhash").as("ha")), "a")
+      .join(sim.select(col("doc_id").as("b"), col("simhash").as("hb")), "b")
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= MaxHam)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
   /** MinHash+LSH: signature → banded bucket join → candidates → exact
     * Jaccard verify. Candidate generation is near-linear (equi-join on
     * (band, sig₀..sig₃)), the scalable path at corpus scale. */

@@ -113,6 +113,40 @@ object GraphOps {
       .agg(count(lit(1)).as("n"), min("node_id").as("min_id"), max("node_id").as("max_id"))
   }
 
+  /** Variable-length path expansion — the relational form of Cypher's
+    * `MATCH (r:region)<-[*1..3]-(x) RETURN r.name, length(p), count(*)`
+    * (reference traversal surface, SURVEY §1.6/§2.6 G6 generalized to
+    * bounded-depth paths). Paths run along REVERSED edges (region ←
+    * nation ← customer/supplier ← order).
+    *
+    * Scale shape: the frontier is COMPRESSED to per-(region, node) path
+    * counts after every hop — each hop is one equi-join + partial-agg
+    * shuffle over the edge table, and the state never exceeds
+    * |regions|×|nodes| rows regardless of how many paths exist (path
+    * multiplicities multiply through the sums, exactly like Cypher path
+    * counting; materializing individual paths would be exponential). */
+  val PathDepth = 3
+  def pathExpand(spark: SparkSession, dir: String): DataFrame = {
+    val er = TpchGraph.relsLite(spark, dir)
+      .select(col("dst").as("from"), col("src").as("to"))
+    val regions = TpchGraph.nodes(spark, dir).filter(col("kind") === "region")
+      .select(col("id").as("from"), col("name").as("region"))
+    var frontier = broadcast(regions).join(er, "from")
+      .groupBy("region", "to").agg(count(lit(1)).cast("long").as("n"))
+    var out: DataFrame = null
+    for (depth <- 1 to PathDepth) {
+      val summary = frontier.groupBy("region")
+        .agg(sum("n").as("n_paths"))
+        .select(col("region"), lit(depth).as("depth"), col("n_paths"))
+      out = if (out == null) summary else out.unionAll(summary)
+      if (depth < PathDepth)
+        frontier = frontier.select(col("region"), col("to").as("from"), col("n"))
+          .join(er, "from")
+          .groupBy("region", "to").agg(sum("n").as("n"))
+    }
+    out
+  }
+
   /** A2-style histogram: degree distribution of the graph (how many
     * nodes have degree d) — two partial-aggregable shuffles. */
   def degreeHistogram(spark: SparkSession, dir: String): DataFrame = {

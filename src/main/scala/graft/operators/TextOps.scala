@@ -97,7 +97,14 @@ object TextOps {
     * format (doc × bit) so the plan is two partial-aggregable groupBys. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     ensureRegistered(spark)
-    val tf = docs(spark, dir)
+    simhashOf(docs(spark, dir))
+  }
+
+  /** simhash over an arbitrary (doc_id, text) corpus — shared with the
+    * banded near-dup operator ([[Dedup.simhashDup]]). Caller must
+    * [[ensureRegistered]]. */
+  def simhashOf(corpus: DataFrame): DataFrame = {
+    val tf = corpus
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
       .select(col("doc_id"), expr(fpSql("tok")).as("tfp"))
       .distinct()

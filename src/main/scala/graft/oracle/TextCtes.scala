@@ -60,15 +60,20 @@ object TextCtes {
   val fingerprint: String =
     s"SELECT doc_id, ${fp("text")} AS fp FROM documents"
 
-  val simhash: String =
-    s"""WITH tf AS (SELECT DISTINCT doc_id, ${fp("tok")} AS tfp FROM (
-       |  SELECT doc_id, unnest(${toks("text")}) AS tok FROM documents)),
-       |b AS (SELECT doc_id, j,
+  /** simhash CTE chain over any (doc_id, text) table, ending in
+    * `sim(doc_id, simhash)` — twin of TextOps.simhashOf */
+  private def simhashCtes(table: String): String =
+    s"""tf AS (SELECT DISTINCT doc_id, ${fp("tok")} AS tfp FROM (
+       |  SELECT doc_id, unnest(${toks("text")}) AS tok FROM $table)),
+       |sb AS (SELECT doc_id, j,
        |  CAST(sum(CASE WHEN ((tfp >> j) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
-       |FROM tf, unnest(generate_series(0, 29)) AS t(j) GROUP BY doc_id, j)
-       |SELECT doc_id,
+       |FROM tf, unnest(generate_series(0, 29)) AS t(j) GROUP BY doc_id, j),
+       |sim AS (SELECT doc_id,
        |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-       |FROM b GROUP BY doc_id""".stripMargin
+       |FROM sb GROUP BY doc_id)""".stripMargin
+
+  val simhash: String =
+    s"WITH ${simhashCtes("documents")} SELECT doc_id, simhash FROM sim"
 
   // ---- dedup -----------------------------------------------------------
 
@@ -141,6 +146,28 @@ object TextCtes {
        |  JOIN cand c ON c.a = a.doc_id AND c.b = b.doc_id
        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
        |$jaccSelect""".stripMargin
+
+  /** twin of Dedup.simhashDup: shingle-feature simhash → banded
+    * buckets → candidate pairs → hamming verify */
+  val simhashDup: String =
+    s"""WITH $shingleCtes,
+       |simb AS (SELECT doc_id, j,
+       |  CAST(sum(CASE WHEN ((sfp >> j) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
+       |FROM sh, unnest(generate_series(0, 29)) AS t(j) GROUP BY doc_id, j),
+       |sim AS (SELECT doc_id,
+       |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+       |FROM simb GROUP BY doc_id),
+       |sbands AS (
+       |  SELECT doc_id, b AS band, (simhash >> (10 * b)) & 1023 AS bits
+       |  FROM sim, unnest(generate_series(0, 2)) AS t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM sbands a JOIN sbands b ON a.band = b.band AND a.bits = b.bits
+       |    AND a.doc_id < b.doc_id)
+       |SELECT c.a, c.b,
+       |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+       |FROM cand c JOIN sim sa ON c.a = sa.doc_id JOIN sim sb ON c.b = sb.doc_id
+       |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 6""".stripMargin
 
   // ---- similarity ------------------------------------------------------
 

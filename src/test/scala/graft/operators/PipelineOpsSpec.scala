@@ -103,4 +103,34 @@ class PipelineOpsSpec extends SparkTestBase {
     // spread: not all docs collapse to one signature
     assert(sh.values.toSet.size > 100)
   }
+
+  test("simhash-banded near-dup finds constructed twins without pair blowup") {
+    val rows = Dedup.simhashDup(spark, dir).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val twins = pairs.count { case (a, b) => b == a + Dedup.IdOffset }
+    // shingle-feature simhash: a 3-token edit flips few of 30 bits, but
+    // the flips can straddle all 3 bands (no clean band ⇒ no candidate)
+    // — ~77% recall is this LSH's real trade, like any banding scheme
+    assert(twins > 350, s"only $twins twins found")
+    // and unrelated docs do NOT flood the band buckets (the token-level
+    // variant degenerates to ~quadratic pairs on this shared-vocab corpus)
+    assert(pairs.size < 2000, s"${pairs.size} pairs — band join blew up")
+    rows.foreach(r => assert(r.getInt(2) <= Dedup.MaxHam))
+  }
+
+  test("variable-length path expansion matches hand-joined counts") {
+    val out = GraphOps.pathExpand(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out.size === 15) // 5 regions × depths 1..3
+    // depth-1 paths from all regions = 25 nations
+    assert(out.collect { case ((_, 1), n) => n }.sum === 25L)
+    // depth-2 = customers + suppliers (every one reaches via its nation)
+    val nCust = spark.read.parquet(s"$dir/customer.parquet").count()
+    val nSupp = spark.read.parquet(s"$dir/supplier.parquet").count()
+    assert(out.collect { case ((_, 2), n) => n }.sum === nCust + nSupp)
+    // depth-3 = orders (PLACED_BY) + lineitem-side paths (SUPPLIED_BY)
+    val nOrders = spark.read.parquet(s"$dir/orders.parquet").count()
+    val nLine = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    assert(out.collect { case ((_, 3), n) => n }.sum === nOrders + nLine)
+  }
 }
