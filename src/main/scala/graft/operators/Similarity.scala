@@ -25,16 +25,21 @@ object Similarity {
   val DupCosTau = 0.999
   val IdOffset = 100000L
 
-  /** (vec_id, q: ARRAY<BIGINT> quantized, nrm: BIGINT Σq²) */
-  def quantized(spark: SparkSession, dir: String): DataFrame =
+  /** (vec_id, q: ARRAY<BIGINT> quantized, nrm: BIGINT Σq²).
+    * Norms and dots run through the native codegen expression
+    * [[graft.functions.DotProduct]] (`graft_dot`) — the HOF form
+    * (`aggregate(zip_with(...))`) is interpreted per element. */
+  def quantized(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.ensureRegistered(spark)
     Tpch.table(spark, dir, "embeddings").select(
       col("vec_id"),
       expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
-      .withColumn("nrm", expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      .withColumn("nrm", expr("graft_dot(q, q)"))
       .filter(col("nrm") > 0)
+  }
 
   private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+    expr(s"graft_dot($a, $b)")
 
   private def cos: Column = col("dot") / (sqrt(col("qn")) * sqrt(col("cn")))
 
@@ -56,12 +61,14 @@ object Similarity {
   }
 
   /** Deterministic hyperplane p (0..7): component j = ((p·73+j·37) mod
-    * 41) − 20; bucket = Σ 2^p·[dot(q, plane_p) > 0]. */
+    * 41) − 20; bucket = Σ 2^p·[dot(q, plane_p) > 0]. Plane weights are
+    * computed driver-side and embedded as array literals, so each plane
+    * dot is one codegen'd `graft_dot` against a constant. */
   def withBucket(e: DataFrame): DataFrame = {
     val bucket = (0 until NumPlanes).map { p =>
-      val plane = s"transform(sequence(0, 63), j -> CAST((($p * 73 + j * 37) % 41) - 20 AS BIGINT))"
-      val d = s"aggregate(zip_with(q, $plane, (x, w) -> x * w), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-      expr(s"CASE WHEN ($d) > 0 THEN ${1L << p} ELSE 0 END")
+      val weights = (0 until 64).map(j => ((p * 73 + j * 37) % 41) - 20)
+      val plane = weights.map(w => s"${w}L").mkString("array(", ", ", ")")
+      expr(s"CASE WHEN graft_dot(q, $plane) > 0 THEN ${1L << p} ELSE 0 END")
     }.reduce(_ + _)
     e.withColumn("bucket", bucket)
   }
@@ -145,7 +152,7 @@ object Similarity {
     val e = quantized(spark, dir)
     val perturbed = e.select((col("vec_id") + IdOffset).as("vec_id"),
       expr("transform(q, x -> x + 1)").as("q"))
-      .withColumn("nrm", expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      .withColumn("nrm", expr("graft_dot(q, q)"))
       .filter(col("nrm") > 0)
     val corpus = withBucket(e.select("vec_id", "q", "nrm")
       .unionAll(perturbed.select("vec_id", "q", "nrm"))).persist()
