@@ -140,6 +140,10 @@ object SparkEntry {
     // as-of join (sorted-union-window composition)
     "s_asof_join" -> ((s, dir) =>
       graft.operators.AsOfJoin.purchaseLastClick(s, dir)),
+    // stream-stream interval join (batch twin; streaming form tested)
+    "s_interval_join" -> ((s, dir) =>
+      graft.streaming.EventStreams.purchaseClicks(
+        graft.streaming.EventStreams.events(s, dir))),
     // snapshot ⊕ increment ≡ full replay: oracle IS the direct replay
     "cdc_incremental" -> ((s, dir) =>
       graft.streaming.EventStreams.incrementalEquivalence(s, dir)),
@@ -270,6 +274,7 @@ object SparkEntry {
     "s_user_state" -> EventCtes.userState,
     "s_sessionize" -> EventCtes.sessionize,
     "s_asof_join" -> EventCtes.asofJoin,
+    "s_interval_join" -> EventCtes.intervalJoin,
     "cdc_incremental" -> EventCtes.userState,
     "t_token_count" -> TextCtes.tokenCount,
     "t_quality" -> TextCtes.quality,

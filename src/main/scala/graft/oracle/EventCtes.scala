@@ -45,6 +45,21 @@ object EventCtes {
        |FROM marked m LEFT JOIN clicks c ON m.asof_id = c.event_id
        |WHERE m.tag = 1""".stripMargin
 
+  /** twin of EventStreams.purchaseClicks (stream-stream interval join,
+    * batch form) */
+  val intervalJoin: String =
+    s"""WITH $ev,
+       |p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+       |  FROM ev WHERE event_type = 'purchase'),
+       |c AS (SELECT user_id AS cu, event_id AS click_id, epoch_us(ts) AS cus
+       |  FROM ev WHERE event_type = 'click')
+       |SELECT p.purchase_id, p.user_id,
+       |  count(c.click_id) AS n_clicks_1h,
+       |  max(c.click_id) AS last_click_id
+       |FROM p LEFT JOIN c ON p.user_id = c.cu
+       |  AND c.cus >= p.pus - 3600000000 AND c.cus <= p.pus
+       |GROUP BY 1, 2""".stripMargin
+
   val sessionize: String =
     s"""WITH $ev,
        |s1 AS (SELECT *, epoch_us(ts) AS us,

@@ -112,6 +112,49 @@ object EventStreams {
       userState(ev.filter(col("event_id") > w)))
   }
 
+  /** Interval-join window: clicks within the hour before a purchase. */
+  val JoinWindowMicros: Long = 3600L * 1000000L
+
+  /** Stream-stream interval join, batch twin: every purchase joined to
+    * the same user's clicks in the preceding hour (count + latest click
+    * id; purchases with no clicks survive with n=0). One shuffle keyed
+    * by user with the time predicate applied inside the key group —
+    * the batch shape of Spark's watermarked interval join, whose state
+    * is bounded by watermark + interval at any stream rate. */
+  def purchaseClicks(ev: DataFrame): DataFrame = {
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        expr("unix_micros(ts)").as("pus"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        expr("unix_micros(ts)").as("cus"))
+    p.join(c, col("user_id") === col("cu") &&
+        col("cus") >= col("pus") - JoinWindowMicros && col("cus") <= col("pus"),
+        "left")
+      .groupBy("purchase_id", "user_id")
+      .agg(count(col("click_id")).as("n_clicks_1h"),
+        max(col("click_id")).as("last_click_id"))
+  }
+
+  /** Streaming form: watermarked stream-stream interval join (inner;
+    * the pairs are compared against the batch twin's inner pairs in
+    * EventStreamsSpec). Both sides carry a 2-hour watermark, so join
+    * state for a click is dropped once the purchase-side watermark
+    * passes click_ts + 1 hour. */
+  def purchaseClicksStream(src: DataFrame): DataFrame = {
+    val p = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val c = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    p.join(c, expr(
+      "p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"))
+      .select(col("purchase_id"), col("p_user").as("user_id"), col("click_id"))
+  }
+
   final case class EvRow(event_id: Long, user_id: Long, cents: Long)
   final case class UserAgg(n: Long, total: Long, lastId: Long)
 

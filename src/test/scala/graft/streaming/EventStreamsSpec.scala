@@ -81,6 +81,35 @@ class EventStreamsSpec extends SparkTestBase {
     assert(asRows(streamed) === asRows(batch))
   }
 
+  test("stream-stream interval join pairs equal the batch twin's inner pairs") {
+    val staged = stagedStreamDir()
+    val schema = spark.read.parquet(s"$staged/part0.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$staged/part*.parquet")
+    val q = EventStreams.purchaseClicksStream(src)
+      .writeStream.format("memory").queryName("ival_stream")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = asRows(spark.table("ival_stream"))
+    // batch inner pairs: re-derive from the same corpus
+    val ev = EventStreams.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        expr("unix_micros(ts)").as("pus"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        expr("unix_micros(ts)").as("cus"))
+    val batch = asRows(p.join(c, col("user_id") === col("cu") &&
+        col("cus") >= col("pus") - EventStreams.JoinWindowMicros &&
+        col("cus") <= col("pus"))
+      .select(col("purchase_id"), col("user_id"), col("click_id")))
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("mapGroupsWithState running totals equal the batch aggregate") {
     import spark.implicits._
     val ev = EventStreams.events(spark, dir)
