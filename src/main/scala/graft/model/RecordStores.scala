@@ -149,7 +149,8 @@ object RecordStores {
       // branch races another's work).
       val Seq(rels0, incPN, rows) = taps.toSeq
       Await.result(Future.sequence(Seq(
-        Future { rels0.count(); incPN.count(); slog("taps rels+inc filled") },
+        Future { rels0.count(); slog("tap rels0 filled")
+                 incPN.count(); slog("tap inc filled") },
         Future { rows.count(); slog("tap rows filled") })), Duration.Inf)
       // Each store ends in repartition-by-id + eager localCheckpoint:
       // the checkpoint truncates the derivation out of the logical plan
