@@ -157,6 +157,8 @@ object SparkEntry {
     "dd_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "dd_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "dd_simhash_band" -> ((s, dir) => Dedup.simhashDup(s, dir)),
+    "dd_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
+    "t_vocab_topk" -> ((s, dir) => TextOps.vocabTopK(s, dir)),
     "ann_topk" -> ((s, dir) => Similarity.annBruteForce(s, dir)),
     "ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
     "ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
@@ -285,6 +287,8 @@ object SparkEntry {
     "dd_ngram_jaccard" -> TextCtes.ngramJaccard,
     "dd_minhash_lsh" -> TextCtes.minhashLsh,
     "dd_simhash_band" -> TextCtes.simhashDup,
+    "dd_clusters" -> TextCtes.dedupClusters,
+    "t_vocab_topk" -> TextCtes.vocabTopK,
     "ann_topk" -> TextCtes.annBruteForce,
     "ann_lsh" -> TextCtes.annLsh,
     "ann_ivf" -> TextCtes.annIvf,

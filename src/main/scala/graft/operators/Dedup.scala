@@ -102,6 +102,28 @@ object Dedup {
   val NumHashes = 16
   val BandSize = 4
 
+  /** rounds of min-propagation over the pair graph (dup chains in this
+    * corpus are short; the oracle unrolls the same bound) */
+  val ClusterIters = 3
+
+  /** Dedup-cluster canonicalization — the step a production pipeline
+    * runs AFTER pair generation: pairs only say "a ~ b"; connected
+    * components over the pair graph + min-id canonicalization decide
+    * which documents survive. Reuses the bounded min-propagation
+    * operator ([[Iterative.iterateMin]]) over the verified
+    * ngram-Jaccard pairs; output is the drop list (doc → canonical
+    * keeper, canonical rows omitted). */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir).select(col("a"), col("b"))
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val v = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    Iterative.iterateMin(v, edges, ClusterIters, 0L)
+      .filter(col("label") < col("node"))
+      .select(col("node").as("doc_id"), col("label").as("canonical"))
+  }
+
   /** SimHash banding: 30 bits split into 3 bands of 10; pairs sharing
     * any band bucket are candidates, kept if hamming ≤ MaxHam. */
   val SimBands = 3

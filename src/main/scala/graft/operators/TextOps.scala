@@ -86,6 +86,18 @@ object TextOps {
           .when(col("s_fr") > col("s_en"), "fr")
           .otherwise("en").as("pred"))
 
+  /** Corpus vocabulary: top-k tokens by document frequency-weighted
+    * count — the vocabulary-building pass of a tokenizer pipeline.
+    * groupBy token (map-side combinable) + distributed top-k
+    * (TakeOrderedAndProject), deterministic (count desc, token) order. */
+  val VocabK = 20
+  def vocabTopK(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(toks(lower(col("text")))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(VocabK)
+
   /** Whole-document rolling-hash fingerprint. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     ensureRegistered(spark)

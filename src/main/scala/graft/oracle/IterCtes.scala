@@ -7,7 +7,10 @@ import graft.operators.Iterative.{BfsIters, CcIters, Unreachable}
   * reliance on recursive-CTE aggregation support). */
 object IterCtes {
 
-  private def unrolled(iters: Int, delta: Long): String =
+  /** bounded min-propagation rounds as chained CTEs over `edges`,
+    * starting from `l0(node, label)` — shared with the dedup-cluster
+    * oracle ([[graft.oracle.TextCtes.dedupClusters]]). */
+  private[oracle] def unrolled(iters: Int, delta: Long): String =
     (0 until iters).map { i =>
       s"""l${i + 1} AS (
          |  SELECT v.node, least(v.label, coalesce(m.minl, v.label)) AS label

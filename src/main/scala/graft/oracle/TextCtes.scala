@@ -147,6 +147,28 @@ object TextCtes {
        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
        |$jaccSelect""".stripMargin
 
+  /** twin of TextOps.vocabTopK */
+  val vocabTopK: String =
+    s"""SELECT tok, count(*) AS n
+       |FROM (SELECT unnest(${toks("lower(text)")}) AS tok FROM documents)
+       |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin
+
+  /** twin of Dedup.dedupClusters: the ngram-Jaccard pairs as an edge
+    * list, then IterCtes' unrolled min-propagation + canonicalization */
+  val dedupClusters: String =
+    s"""WITH $shingleCtes,
+       |pairs AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+       |  FROM sh a JOIN sh b USING (sfp)
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       |jpairs AS ($jaccSelect),
+       |edges AS (SELECT a AS src, b AS dst FROM jpairs
+       |  UNION ALL SELECT b, a FROM jpairs),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+       |${IterCtes.unrolled(graft.operators.Dedup.ClusterIters, 0L)}
+       |SELECT node AS doc_id, label AS canonical
+       |FROM l${graft.operators.Dedup.ClusterIters} WHERE label < node""".stripMargin
+
   /** twin of Dedup.simhashDup: shingle-feature simhash → banded
     * buckets → candidate pairs → hamming verify */
   val simhashDup: String =

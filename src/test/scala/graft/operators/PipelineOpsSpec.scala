@@ -118,6 +118,32 @@ class PipelineOpsSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getInt(2) <= Dedup.MaxHam))
   }
 
+  test("dedup clusters canonicalize every pair member to the cluster min") {
+    val drops = Dedup.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.ngramJaccard(spark, dir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every doc appearing in a pair resolves to one canonical ≤ both ends
+    def canon(d: Long): Long = drops.getOrElse(d, d)
+    pairs.foreach { case (a, b) =>
+      assert(canon(a) === canon(b), s"pair ($a,$b) split across clusters")
+      assert(canon(a) <= a && canon(a) <= b)
+    }
+    // canonicals are never themselves dropped
+    drops.values.foreach(c => assert(!drops.contains(c)))
+    assert(drops.nonEmpty)
+  }
+
+  test("vocab top-k is the token frequency head, deterministically ordered") {
+    val rows = TextOps.vocabTopK(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length === TextOps.VocabK)
+    // non-increasing counts with (n desc, tok) tie-break
+    rows.sliding(2).foreach { case Array((t1, n1), (t2, n2)) =>
+      assert(n1 > n2 || (n1 == n2 && t1 < t2))
+    }
+  }
+
   test("variable-length path expansion matches hand-joined counts") {
     val out = GraphOps.pathExpand(spark, dir).collect()
       .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
