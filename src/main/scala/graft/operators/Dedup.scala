@@ -92,9 +92,15 @@ object Dedup {
 
   /** n-gram Jaccard near-dup: inverted-index pair generation + exact
     * Jaccard ≥ τ (every pair sharing ≥1 surviving shingle is scored). */
+  /** verified pairs are memoized (and persisted) like the shingle
+    * table: both the pair query and cluster canonicalization consume
+    * them, and pair generation is the expensive half. */
+  private val pairsMemo = scala.collection.concurrent
+    .TrieMap[(SparkSession, String), DataFrame]()
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     TextOps.ensureRegistered(spark)
-    verifiedPairs(nearShingles(spark, dir), None)
+    pairsMemo.getOrElseUpdate((spark, dir),
+      verifiedPairs(nearShingles(spark, dir), None).persist())
   }
 
   /** MinHash parameters: h_i(x) = (a_i·x + b_i) mod P, 16 hashes in 4
