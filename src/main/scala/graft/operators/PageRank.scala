@@ -31,13 +31,18 @@ object PageRank {
   def topRanks(spark: SparkSession, dir: String): DataFrame = {
     val edges = TpchGraph.relsLite(spark, dir).select("src", "dst").persist()
     val outdeg = edges.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("outdeg")).persist()
-    val nodes = TpchGraph.nodes(spark, dir).select(col("id").as("node")).persist()
+      .agg(count(lit(1)).as("outdeg"))
+    // outdeg rides along in the rank state, so each round skips the
+    // separate pr⋈outdeg join (sinks carry null and emit no shares,
+    // matching the inner join the fold replaced)
+    val base = TpchGraph.nodes(spark, dir).select(col("id").as("node"))
+      .join(outdeg, Seq("node"), "left")
+      .localCheckpoint(true)
 
-    var pr = nodes.withColumn("pr", lit(Scale))
+    var pr = base.withColumn("pr", lit(Scale))
     for (_ <- 0 until Iters) {
       val shares = edges
-        .join(broadcast(pr.join(outdeg, "node")
+        .join(broadcast(pr.filter(col("outdeg").isNotNull)
           .select(col("node").as("u"), expr("pr div outdeg").as("share"))),
           col("src") === col("u"))
         .groupBy(col("dst").as("node"))
@@ -45,13 +50,13 @@ object PageRank {
       // eager localCheckpoint: truncates lineage so round k+1 plans
       // against a constant-size LogicalRDD (see Iterative.iterateMin);
       // superseded rounds are garbage-collected with their reference.
-      pr = nodes.join(shares, Seq("node"), "left")
-        .select(col("node"),
+      pr = base.join(shares, Seq("node"), "left")
+        .select(col("node"), col("outdeg"),
           // integer div, not `/` (Spark's / on BIGINT yields DOUBLE)
           expr(s"(15 * CAST($Scale AS BIGINT)) div 100 + (85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100").as("pr"))
         .localCheckpoint(true)
     }
-    edges.unpersist(); outdeg.unpersist(); nodes.unpersist()
+    edges.unpersist()
 
     // top-k via orderBy+limit (TakeOrderedAndProject: per-partition
     // heap + driver merge, no single-partition global sort); the rank
