@@ -57,6 +57,35 @@ object SparkEntry {
           Window.partitionBy(lit(0))
             .orderBy(col("revenue_c").desc, col("l_orderkey"))))
     }),
+    // TPC-H Q5 shape: 6-way join (region→nation→customer→orders→
+    // lineitem→supplier, same-nation constraint), revenue per nation.
+    // Dimensions broadcast; the lineitem⋈orders join is the one real
+    // shuffle — the multi-join planning showcase.
+    "q05_join_agg" -> ((s, dir) => {
+      def t(n: String) = s.read.parquet(s"$dir/$n.parquet")
+      t("lineitem")
+        .withColumn("rev_c",
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1.0 - l_discount) * 100) AS BIGINT)"))
+        .join(t("orders").filter(expr("year(o_orderdate) = 1996")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t("customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t("supplier")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t("nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t("region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(sum("rev_c").as("revenue_c"), count(lit(1)).as("n_items"))
+    }),
+    // skew-safe two-phase aggregation (operators.Salt): exact equality
+    // with the direct groupBy is the point — the oracle IS the direct
+    // form
+    "q06_salted_agg" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .withColumn("cents", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      graft.operators.Salt.saltedSum(li, "l_returnflag", "cents")
+    }),
     // window-function surface: top-2 orders per customer
     "q04_window_rank" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -182,6 +211,22 @@ object SparkEntry {
         |rk AS (SELECT l_orderkey, revenue_c,
         |  row_number() OVER (ORDER BY revenue_c DESC, l_orderkey) AS rnk FROM r)
         |SELECT l_orderkey, revenue_c, rnk AS rank FROM rk WHERE rnk <= 10""".stripMargin,
+    "q05_join_agg" ->
+      """SELECT n_name AS nation,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey AND year(o_orderdate) = 1996
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+    "q06_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q04_window_rank" ->
       """WITH p AS (SELECT o_custkey, o_orderkey,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM orders),

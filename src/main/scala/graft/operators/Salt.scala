@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-safe two-phase aggregation: groupBy (key, salt) partial
+  * aggregate, then groupBy key combine — the standard treatment for a
+  * hot key that would otherwise pin one reducer (SCALE.md "salting for
+  * skew"). Exact for any commutative-associative aggregate; the salt
+  * derives from row content (hash of the value column mod buckets), so
+  * results are partitioning-independent and deterministic.
+  *
+  * Spark's own partial aggregation (map-side combine) already handles
+  * MOST skew for algebraic aggregates; explicit salting matters when
+  * the per-key state is large (collect-style aggregates) or the
+  * combine runs in a single reducer per key downstream. The operator
+  * exists so pipelines can opt in without restructuring. */
+object Salt {
+
+  /** Σ valueCol per keyCol via salted two-phase aggregation. */
+  def saltedSum(df: DataFrame, keyCol: String, valueCol: String,
+      buckets: Int = 32): DataFrame =
+    df.withColumn("_salt", pmod(hash(col(valueCol)), lit(buckets)))
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(sum(col(valueCol)).as("_partial"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("_partial")).as(s"sum_$valueCol"))
+
+  /** generic form: partial and final expressions supplied by the
+    * caller, e.g. partial = count, final = sum of partials. */
+  def salted(df: DataFrame, keyCol: String, saltSource: Column, buckets: Int)(
+      partial: Seq[Column], combine: Seq[Column]): DataFrame =
+    df.withColumn("_salt", pmod(hash(saltSource), lit(buckets)))
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(col(keyCol))
+      .agg(combine.head, combine.tail: _*)
+}

@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Salted two-phase aggregation must be exactly the direct groupBy on
+  * skewed data, and actually spread the hot key across salt buckets. */
+class SaltSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("salted sum equals direct sum under 90% single-key skew") {
+    val skewed = spark.range(100000).select(
+      when(col("id") % 10 =!= 0, lit("HOT")).otherwise(concat(lit("k"), col("id") % 7)).as("k"),
+      (col("id") * 3 + 1).as("v"))
+    val direct = skewed.groupBy("k").agg(sum("v").as("sum_v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Salt.saltedSum(skewed, "k", "v", buckets = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === direct)
+  }
+
+  test("the hot key occupies multiple salt buckets in phase one") {
+    val skewed = spark.range(10000).select(
+      lit("HOT").as("k"), (col("id") % 997).as("v"))
+    val phase1 = skewed
+      .withColumn("_salt", pmod(hash(col("v")), lit(16)))
+      .groupBy("k", "_salt").count()
+    assert(phase1.count() > 8) // spread, not one reducer group
+  }
+}
