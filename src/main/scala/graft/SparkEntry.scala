@@ -193,6 +193,8 @@ object SparkEntry {
     "ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
     "dd_embedding" -> ((s, dir) => Similarity.embeddingDup(s, dir)),
     "mm_media_features" -> ((s, dir) => Media.mediaFeatures(s, dir)),
+    // end-to-end curation: quality ∧ language ∧ not-near-dup, per-lang
+    "pipe_curation" -> ((s, dir) => graft.operators.Pipeline.curate(s, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -339,5 +341,6 @@ object SparkEntry {
     "ann_ivf" -> TextCtes.annIvf,
     "dd_embedding" -> TextCtes.embeddingDup,
     "mm_media_features" -> TextCtes.mediaFeatures,
+    "pipe_curation" -> TextCtes.curation,
   )
 }

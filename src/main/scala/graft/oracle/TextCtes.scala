@@ -25,37 +25,52 @@ object TextCtes {
        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_re
        |FROM documents""".stripMargin
 
-  val quality: String =
-    s"""WITH q0 AS (SELECT doc_id, text, ${toks("text")} AS t FROM documents),
+  /** quality CTE chain ending in
+    * `qual(doc_id, n_chars_m, n_tokens, stop_ratio, quality)` —
+    * shared by the quality query and the curation pipeline */
+  private val qualityCtes: String =
+    s"""q0 AS (SELECT doc_id, text, ${toks("text")} AS t FROM documents),
        |q1 AS (SELECT doc_id, text,
        |  CAST(len(t) AS BIGINT) AS n_tokens,
        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(t, x -> CAST(length(x) AS BIGINT))), (a, x) -> a + x) AS sum_len,
        |  CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is','to','in'))) AS BIGINT) AS n_stop
-       |FROM q0)
+       |FROM q0),
+       |qual AS (
        |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m, n_tokens,
        |  n_stop / CAST(n_tokens AS DOUBLE) AS stop_ratio,
        |  least(n_tokens / 200.0, 1.0) * 0.5 +
        |  least((n_stop / CAST(n_tokens AS DOUBLE)) * 4.0, 1.0) * 0.3 +
        |  CASE WHEN (sum_len / CAST(n_tokens AS DOUBLE)) >= 3.0
        |        AND (sum_len / CAST(n_tokens AS DOUBLE)) <= 8.0 THEN 0.2 ELSE 0.0 END AS quality
-       |FROM q1""".stripMargin
+       |FROM q1)""".stripMargin
 
-  val langId: String =
-    s"""WITH q0 AS (SELECT doc_id, text, ${toks("lower(text)")} AS t FROM documents),
-       |s AS (SELECT doc_id,
+  val quality: String =
+    s"""WITH $qualityCtes
+       |SELECT doc_id, n_chars_m, n_tokens, stop_ratio, quality FROM qual""".stripMargin
+
+  /** lang-id CTE chain ending in
+    * `lpred(doc_id, n_zh, s_en, s_de, s_es, s_fr, pred)` */
+  private val langCtes: String =
+    s"""lq0 AS (SELECT doc_id, text, ${toks("lower(text)")} AS t FROM documents),
+       |ls AS (SELECT doc_id,
        |  CAST(len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]')) AS BIGINT) AS n_zh,
        |  CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS s_en,
        |  CAST(len(list_filter(t, x -> x IN ('der','die','und','das','ist'))) AS BIGINT) AS s_de,
        |  CAST(len(list_filter(t, x -> x IN ('el','la','de','y','es'))) AS BIGINT) AS s_es,
        |  CAST(len(list_filter(t, x -> x IN ('le','la','de','et','est'))) AS BIGINT) AS s_fr
-       |FROM q0)
+       |FROM lq0),
+       |lpred AS (
        |SELECT doc_id, n_zh, s_en, s_de, s_es, s_fr,
        |  CASE WHEN n_zh > 0 THEN 'zh'
        |       WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
        |       WHEN s_es > s_en AND s_es >= s_fr THEN 'es'
        |       WHEN s_fr > s_en THEN 'fr'
        |       ELSE 'en' END AS pred
-       |FROM s""".stripMargin
+       |FROM ls)""".stripMargin
+
+  val langId: String =
+    s"""WITH $langCtes
+       |SELECT doc_id, n_zh, s_en, s_de, s_es, s_fr, pred FROM lpred""".stripMargin
 
   val fingerprint: String =
     s"SELECT doc_id, ${fp("text")} AS fp FROM documents"
@@ -168,6 +183,34 @@ object TextCtes {
        |${IterCtes.unrolled(graft.operators.Dedup.ClusterIters, 0L)}
        |SELECT node AS doc_id, label AS canonical
        |FROM l${graft.operators.Dedup.ClusterIters} WHERE label < node""".stripMargin
+
+  /** twin of Pipeline.curate: quality gate ∧ language gate ∧ not in
+    * the dedup drop list, summarized per predicted language. The CTE
+    * reuses the quality, lang-id and cluster chains verbatim — the
+    * whole curation pipeline under one oracle hash. */
+  val curation: String =
+    s"""WITH $shingleCtes,
+       |pairs AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+       |  FROM sh a JOIN sh b USING (sfp)
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       |jpairs AS ($jaccSelect),
+       |edges AS (SELECT a AS src, b AS dst FROM jpairs
+       |  UNION ALL SELECT b, a FROM jpairs),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+       |${IterCtes.unrolled(graft.operators.Dedup.ClusterIters, 0L)},
+       |drops AS (SELECT node AS doc_id
+       |  FROM l${graft.operators.Dedup.ClusterIters}
+       |  WHERE label < node AND node < 100000),
+       |$qualityCtes,
+       |$langCtes
+       |SELECT l.pred AS lang, count(*) AS n_docs,
+       |  CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens
+       |FROM qual q
+       |JOIN lpred l ON q.doc_id = l.doc_id
+       |WHERE q.quality >= ${graft.operators.Pipeline.QualityTau}
+       |  AND q.doc_id NOT IN (SELECT doc_id FROM drops)
+       |GROUP BY l.pred""".stripMargin
 
   /** twin of Dedup.simhashDup: shingle-feature simhash → banded
     * buckets → candidate pairs → hamming verify */

@@ -144,6 +144,21 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("curation composes quality, language and dedup gates consistently") {
+    val out = Pipeline.curate(spark, dir).collect()
+    assert(out.nonEmpty)
+    val totalDocs = out.map(_.getLong(1)).sum
+    // survivors are a strict, non-empty subset of the 500 originals
+    assert(totalDocs > 0 && totalDocs < 500)
+    // cross-check against applying the gates independently
+    val q = TextOps.quality(spark, dir)
+      .filter(col("quality") >= Pipeline.QualityTau).select("doc_id")
+    val drops = Dedup.dedupClusters(spark, dir)
+      .filter(col("doc_id") < Dedup.IdOffset).select("doc_id")
+    val expected = q.join(drops, Seq("doc_id"), "left_anti").count()
+    assert(totalDocs === expected)
+  }
+
   test("variable-length path expansion matches hand-joined counts") {
     val out = GraphOps.pathExpand(spark, dir).collect()
       .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
