@@ -193,6 +193,7 @@ object SparkEntry {
     "ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
     "dd_embedding" -> ((s, dir) => Similarity.embeddingDup(s, dir)),
     "mm_media_features" -> ((s, dir) => Media.mediaFeatures(s, dir)),
+    "mm_frame_sample" -> ((s, dir) => Media.frameSample(s, dir)),
     // end-to-end curation: quality ∧ language ∧ not-near-dup, per-lang
     "pipe_curation" -> ((s, dir) => graft.operators.Pipeline.curate(s, dir)),
   )
@@ -341,6 +342,7 @@ object SparkEntry {
     "ann_ivf" -> TextCtes.annIvf,
     "dd_embedding" -> TextCtes.embeddingDup,
     "mm_media_features" -> TextCtes.mediaFeatures,
+    "mm_frame_sample" -> TextCtes.frameSample,
     "pipe_curation" -> TextCtes.curation,
   )
 }

@@ -48,6 +48,30 @@ object Media {
     }
   }
 
+  /** Frame sampling — the one-blob-to-many-rows expansion every video
+    * pipeline needs (decode → sample every k-th frame → per-frame
+    * features). The stub "frame" is a FrameBytes-sized byte window and
+    * the extracted feature is its first byte; the REAL part is the
+    * shape: a flatMap inside mapPartitions that multiplies rows without
+    * driver involvement, keyed output (doc, frame) ready for a
+    * per-frame feature join. */
+  val FrameStride = 2
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val lastFrame = (bytes.length - 1) / FrameBytes
+          (0 to lastFrame by FrameStride).iterator.map { f =>
+            (id, f.toLong, (bytes(f * FrameBytes) & 0xff).toLong)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "first_byte")
+  }
+
   /** Feature extraction over the binary column via typed mapPartitions
     * — the distributed decode pass. */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {

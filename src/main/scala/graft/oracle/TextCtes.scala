@@ -366,6 +366,14 @@ object TextCtes {
 
   // ---- multimodal ------------------------------------------------------
 
+  /** twin of Media.frameSample: ASCII corpus ⇒ byte at offset ==
+    * char code at that position */
+  val frameSample: String =
+    s"""SELECT doc_id, f AS frame_idx,
+       |  CAST(ascii(substring(text, CAST(f * 256 + 1 AS INT), 1)) AS BIGINT) AS first_byte
+       |FROM documents,
+       |  unnest(generate_series(0, CAST((length(text) - 1) // 256 AS BIGINT), 2)) AS t(f)""".stripMargin
+
   /** ASCII corpus ⇒ UTF-8 byte checksum == char-code checksum */
   val mediaFeatures: String =
     s"""SELECT doc_id,

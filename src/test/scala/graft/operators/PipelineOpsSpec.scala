@@ -96,6 +96,19 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(row.getLong(3) === bytes.map(_ & 0xff).map(_.toLong).sum % Media.ChecksumMod)
   }
 
+  test("frame sampling expands each blob to its strided frame rows") {
+    val rows = Media.frameSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val texts = TextOps.docs(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.map(_._1).toSet === texts.keySet)
+    rows.foreach { case (id, f, b) =>
+      val bytes = texts(id).getBytes("UTF-8")
+      assert(f % Media.FrameStride === 0)
+      assert(b === (bytes((f * Media.FrameBytes).toInt) & 0xff).toLong)
+    }
+  }
+
   test("simhash of identical token sets is identical, fingerprint differs") {
     val sh = TextOps.simhash(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
