@@ -17,7 +17,8 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
 
     val interesting = Seq("PushedFilters", "ReadSchema", "BroadcastHashJoin",
-      "SortMergeJoin", "BroadcastExchange", "Exchange hashpartitioning")
+      "SortMergeJoin", "BroadcastExchange", "Exchange hashpartitioning",
+      "LeftAnti", "TakeOrderedAndProject", "graft_dot")
     def audit(name: String): Unit = {
       val df = SparkEntry.queries(name)(spark, dir)
       val plan = df.queryExecution.executedPlan.toString
@@ -29,7 +30,8 @@ object PlanAudit {
         .foreach(l => println(s"   $l"))
     }
     Seq("g_point_lookup", "q01_scan_agg", "g_orders_per_nation",
-      "cc_violations", "ann_lsh").foreach(audit)
+      "cc_violations", "ann_lsh", "q03_topk", "q05_join_agg",
+      "pipe_curation").foreach(audit)
     // driver t1 smoke simulation: entry must return rows on sf0.001
     println(s"== entry smoke: ${SparkEntry.entry(spark).count()} rows")
     spark.stop()
