@@ -17,12 +17,28 @@ import graft.oracle.{Ctes, EventCtes, GenCtes, IterCtes, RecordCtes, TextCtes}
 object SparkEntry {
 
   /** cc_summary is a groupBy of cc_violations — share one persisted
-    * violations DF per sf dir so the ~20 check joins run once. */
-  private val violCache =
-    scala.collection.concurrent.TrieMap[String, DataFrame]()
+    * violations DF per (session, sf dir) so the ~20 check joins run
+    * once (evicted on session end). */
+  private val violCache = new graft.SessionMemo[DataFrame]
   private def cachedViolations(s: SparkSession, dir: String): DataFrame =
-    violCache.getOrElseUpdate(dir,
+    violCache.getOrElseUpdate(s, dir)(
       FullCheck.violations(Corruption(RecordStores.deriveCached(s, dir))).persist())
+
+  /** Pre-materializes the shared memoized intermediates (graph tables,
+    * record stores, corrupted-store violations, dedup shingle + pair
+    * tables) so per-query timings are steady-state: without this, the
+    * cache-fill cost lands on whichever query the Map happens to order
+    * first, making per-query numbers incomparable across runs. Bench
+    * calls this in its untimed block and reports the fill time
+    * separately. */
+  def warm(s: SparkSession, dir: String): Unit = {
+    def quiet(f: => Any): Unit = try { f; () } catch { case _: Throwable => () }
+    quiet(graft.model.TpchGraph.nodes(s, dir).count())
+    quiet(graft.model.TpchGraph.rels(s, dir).count())
+    quiet(RecordStores.deriveCached(s, dir))
+    quiet(cachedViolations(s, dir).count())
+    quiet(Dedup.ngramJaccard(s, dir).count())
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -97,25 +113,24 @@ object SparkEntry {
         .filter(col("rank") <= 2)
         .select("o_custkey", "o_orderkey", "price_c", "rank")
     }),
-    // chain reconstruction (§2.9: grouped aggregation producing the
-    // per-owner chain ARRAY<LONG> instead of pointer walking). The
-    // output is scalar chain statistics — head/tail/len plus a
-    // multiset signature folded over the reconstructed array — because
-    // the driver's oracle compare hashes scalar cells. rel ids within
-    // a chain are distinct, so (len, head, tail, sig) pins the sorted
-    // chain as strongly as the array itself.
+    // chain reconstruction (§2.9: per-owner chain statistics via
+    // grouped aggregation instead of pointer walking). Head/tail/len
+    // plus a multiset signature pin the sorted chain as strongly as
+    // the array itself (rel ids within a chain are distinct) — and all
+    // four are plain min/max/count/sum aggregates with map-side
+    // partials; a collect_list array form (r2) materialized the full
+    // per-node chain on one reducer only to reduce it to these same
+    // scalars, which a high-degree node at 100× scale would blow up.
     "rec_chain_reconstruction" -> ((s, dir) => {
       val rels = graft.model.TpchGraph.rels(s, dir)
       val inc = rels.select(col("src").as("node"), col("id").as("rel_id"))
         .unionAll(rels.select(col("dst").as("node"), col("id").as("rel_id")))
       inc.groupBy("node")
-        .agg(sort_array(collect_list("rel_id")).as("chain"),
-          count(lit(1)).as("chain_len"))
-        .select(col("node"), col("chain_len"),
-          element_at(col("chain"), 1).as("chain_head"),
-          element_at(col("chain"), -1).as("chain_tail"),
-          expr("aggregate(chain, CAST(0 AS BIGINT), (a, x) -> a + (x % 1000003) * (x % 999983))")
-            .as("chain_sig"))
+        .agg(count(lit(1)).as("chain_len"),
+          min("rel_id").as("chain_head"),
+          max("rel_id").as("chain_tail"),
+          sum(expr("(rel_id % 1000003) * (rel_id % 999983)")).as("chain_sig"))
+        .select("node", "chain_len", "chain_head", "chain_tail", "chain_sig")
     }),
     // G9/A3 node census
     "g_node_count_by_kind" -> ((s, dir) => GraphOps.nodeCountByKind(s, dir)),

@@ -18,14 +18,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * doGenCode beats UDF beats interpreted HOF), applied to the second
   * hot path that needed it.
   *
-  * Semantics: Σ over i < min(len(a), len(b)); null array → null
-  * (BinaryExpression's default null intolerance); elements are
-  * assumed non-null (the quantization step constructs them).
+  * Semantics match the HOF form exactly, so the optimizer rewrite
+  * ([[graft.plans.DotProductRewrite]]) never changes user-visible
+  * results: null array → null; arrays of UNEQUAL length → null
+  * (zip_with pads the shorter side with nulls, poisoning the fold);
+  * any null ELEMENT → null (null product poisons the fold). Equal
+  * lengths with non-null elements → Σ aᵢ·bᵢ.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_dot"
+  // null is produced on length mismatch / null elements even when both
+  // inputs are non-nullable
+  override def nullable: Boolean = true
 
   private def isLongArray(dt: DataType): Boolean = dt match {
     case ArrayType(LongType, _) => true
@@ -41,10 +47,12 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getLong(i) * y.getLong(i)
       i += 1
     }
@@ -57,12 +65,17 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -42,12 +42,12 @@ object TpchGraph {
     * nodes/rels, and without sharing each re-reads the parquet and
     * re-runs the lineitem row_number window. Lazy persist — the first
     * consumer fills the cache; at cluster scale this is the
-    * materialize-the-graph-once step every serious deployment does. */
-  private val memo = scala.collection.concurrent
-    .TrieMap[(SparkSession, String, String), DataFrame]()
+    * materialize-the-graph-once step every serious deployment does.
+    * Entries evict when the session ends ([[graft.SessionMemo]]). */
+  private val memo = new graft.SessionMemo[DataFrame]
   private def memoized(spark: SparkSession, dir: String, what: String)(
       build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((spark, dir, what), build.persist())
+    memo.getOrElseUpdate(spark, s"$dir#$what")(build.persist())
 
   // node kind codes
   val Region = 1L; val Nation = 2L; val Customer = 3L

@@ -69,20 +69,15 @@ object Dedup {
 
   /** Both near-dup operators (ngram Jaccard, MinHash LSH) start from
     * the same df-capped shingle table — memoize it per (session, dir)
-    * so a Verify/Bench run builds it once. */
-  private val shMemo = scala.collection.concurrent
-    .TrieMap[(SparkSession, String), DataFrame]()
+    * so a Verify/Bench run builds it once (evicted on session end). */
+  private val shMemo = new graft.SessionMemo[DataFrame]
   private def nearShingles(spark: SparkSession, dir: String): DataFrame =
-    shMemo.getOrElseUpdate((spark, dir), shingles(nearCorpus(spark, dir)))
+    shMemo.getOrElseUpdate(spark, dir)(shingles(nearCorpus(spark, dir)))
 
-  private def verifiedPairs(sh: DataFrame, cand: Option[DataFrame]): DataFrame = {
+  /** Jaccard from per-pair intersection counts: attach sizes, keep ≥ τ. */
+  private def jaccard(sh: DataFrame, inter: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val shared = sh.select(col("doc_id").as("a"), col("sfp"))
-      .join(sh.select(col("doc_id").as("b"), col("sfp")), "sfp")
-      .filter(col("a") < col("b"))
-    val restricted = cand.fold(shared)(c => shared.join(c, Seq("a", "b"), "left_semi"))
-    restricted
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
       .join(sizes.select(col("doc_id").as("a"), col("nsh").as("na")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("nsh").as("nb")), "b")
       .withColumn("jacc", col("inter") / (col("na") + col("nb") - col("inter")))
@@ -90,17 +85,38 @@ object Dedup {
       .select(col("a"), col("b"), col("jacc"))
   }
 
+  /** Exact Jaccard over ALL pairs sharing ≥1 surviving shingle — the
+    * inverted-index path (linear in Σ df², bounded by the df cap). */
+  private def verifiedPairs(sh: DataFrame): DataFrame =
+    jaccard(sh,
+      sh.select(col("doc_id").as("a"), col("sfp"))
+        .join(sh.select(col("doc_id").as("b"), col("sfp")), "sfp")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter")))
+
+  /** Exact Jaccard over an EXPLICIT candidate set: candidates join to
+    * each side's shingle set and shared fingerprints are counted per
+    * pair — cost |cand| × shingles/doc. The r2 form semi-joined the
+    * full inverted-index pair expansion instead, paying the exact cost
+    * LSH exists to avoid; this shape keeps the verify proportional to
+    * what the banding admitted. */
+  private def scoreCandidates(sh: DataFrame, cand: DataFrame): DataFrame =
+    jaccard(sh,
+      cand
+        .join(sh.select(col("doc_id").as("a"), col("sfp")), "a")
+        .join(sh.select(col("doc_id").as("b"), col("sfp")), Seq("b", "sfp"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter")))
+
   /** n-gram Jaccard near-dup: inverted-index pair generation + exact
     * Jaccard ≥ τ (every pair sharing ≥1 surviving shingle is scored). */
   /** verified pairs are memoized (and persisted) like the shingle
     * table: both the pair query and cluster canonicalization consume
     * them, and pair generation is the expensive half. */
-  private val pairsMemo = scala.collection.concurrent
-    .TrieMap[(SparkSession, String), DataFrame]()
+  private val pairsMemo = new graft.SessionMemo[DataFrame]
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     TextOps.ensureRegistered(spark)
-    pairsMemo.getOrElseUpdate((spark, dir),
-      verifiedPairs(nearShingles(spark, dir), None).persist())
+    pairsMemo.getOrElseUpdate(spark, dir)(
+      verifiedPairs(nearShingles(spark, dir)).persist())
   }
 
   /** MinHash parameters: h_i(x) = (a_i·x + b_i) mod P, 16 hashes in 4
@@ -135,6 +151,14 @@ object Dedup {
   val SimBands = 3
   val SimBandBits = 10
   val MaxHam = 6
+  /** drop band buckets holding more than this many docs — the
+    * band-join twin of [[MaxDf]]: a popular 10-bit band value (a
+    * natural cluster of near-identical signatures) otherwise
+    * degenerates to quadratic pairs within its bucket. Near-dups lost
+    * to one capped band still collide in the other bands unless their
+    * whole signature region is hot — the same recall trade the
+    * stop-shingle cap makes, mirrored in the oracle. */
+  val MaxBucket = 100L
 
   /** SimHash-banded near-dup: the third dedup family (after shingle
     * Jaccard and MinHash) — a 30-bit signature per document, banded so
@@ -170,8 +194,15 @@ object Dedup {
             .as("bits"))
       }: _*)).as("p"))
       .select(col("doc_id"), col("p.band").as("band"), col("p.bits").as("bits"))
-    val cand = bands.select(col("doc_id").as("a"), col("band"), col("bits"))
-      .join(bands.select(col("doc_id").as("b"), col("band"), col("bits")),
+    // hot-bucket guard: count docs per (band, bits) and drop buckets
+    // over MaxBucket before the self-join
+    val okBuckets = bands.groupBy("band", "bits")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= MaxBucket)
+      .select("band", "bits")
+    val capped = bands.join(okBuckets, Seq("band", "bits"))
+    val cand = capped.select(col("doc_id").as("a"), col("band"), col("bits"))
+      .join(capped.select(col("doc_id").as("b"), col("band"), col("bits")),
         Seq("band", "bits"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
@@ -212,6 +243,6 @@ object Dedup {
         Seq("band", "s0", "s1", "s2", "s3"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    verifiedPairs(sh, Some(cand))
+    scoreCandidates(sh, cand)
   }
 }

@@ -63,7 +63,9 @@ object Media {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          val lastFrame = (bytes.length - 1) / FrameBytes
+          // floorDiv: an empty blob gives lastFrame = -1 → no frames
+          // (Scala's truncating / would give 0 and index into bytes(0))
+          val lastFrame = math.floorDiv(bytes.length - 1, FrameBytes)
           (0 to lastFrame by FrameStride).iterator.map { f =>
             (id, f.toLong, (bytes(f * FrameBytes) & 0xff).toLong)
           }

@@ -6,9 +6,16 @@ import org.apache.spark.sql.functions._
 /** Skew-safe two-phase aggregation: groupBy (key, salt) partial
   * aggregate, then groupBy key combine — the standard treatment for a
   * hot key that would otherwise pin one reducer (SCALE.md "salting for
-  * skew"). Exact for any commutative-associative aggregate; the salt
-  * derives from row content (hash of the value column mod buckets), so
-  * results are partitioning-independent and deterministic.
+  * skew"). Exact for any commutative-associative aggregate.
+  *
+  * The salt is ROW-LOCAL (monotonically_increasing_id mod buckets:
+  * partition id in the high bits, a per-partition counter in the low
+  * bits Spark assigns without any shuffle), NOT derived from row
+  * content — a content-derived salt (r2 hashed the value column)
+  * degenerates back to one bucket exactly in the canonical skew case,
+  * a hot key whose rows all carry the same value. A row-local salt
+  * spreads any value distribution uniformly; the final combine makes
+  * the result independent of which bucket each row landed in.
   *
   * Spark's own partial aggregation (map-side combine) already handles
   * MOST skew for algebraic aggregates; explicit salting matters when
@@ -20,7 +27,7 @@ object Salt {
   /** Σ valueCol per keyCol via salted two-phase aggregation. */
   def saltedSum(df: DataFrame, keyCol: String, valueCol: String,
       buckets: Int = 32): DataFrame =
-    df.withColumn("_salt", pmod(hash(col(valueCol)), lit(buckets)))
+    df.withColumn("_salt", pmod(monotonically_increasing_id(), lit(buckets)))
       .groupBy(col(keyCol), col("_salt"))
       .agg(sum(col(valueCol)).as("_partial"))
       .groupBy(col(keyCol))

@@ -156,10 +156,11 @@ object TextCtes {
        |    AND a.s1 = b.s1 AND a.s2 = b.s2 AND a.s3 = b.s3
        |    AND a.doc_id < b.doc_id),
        |pairs AS (
-       |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
-       |  FROM sh a JOIN sh b USING (sfp)
-       |  JOIN cand c ON c.a = a.doc_id AND c.b = b.doc_id
-       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       |  SELECT c.a, c.b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.a
+       |  JOIN sh b ON b.doc_id = c.b AND b.sfp = a.sfp
+       |  GROUP BY 1, 2)
        |$jaccSelect""".stripMargin
 
   /** twin of TextOps.vocabTopK */
@@ -225,9 +226,14 @@ object TextCtes {
        |sbands AS (
        |  SELECT doc_id, b AS band, (simhash >> (10 * b)) & 1023 AS bits
        |  FROM sim, unnest(generate_series(0, 2)) AS t(b)),
+       |ok_buckets AS (
+       |  SELECT band, bits FROM sbands GROUP BY band, bits
+       |  HAVING count(*) <= ${graft.operators.Dedup.MaxBucket}),
+       |capped AS (SELECT s.doc_id, s.band, s.bits
+       |  FROM sbands s JOIN ok_buckets USING (band, bits)),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-       |  FROM sbands a JOIN sbands b ON a.band = b.band AND a.bits = b.bits
+       |  FROM capped a JOIN capped b ON a.band = b.band AND a.bits = b.bits
        |    AND a.doc_id < b.doc_id)
        |SELECT c.a, c.b,
        |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming

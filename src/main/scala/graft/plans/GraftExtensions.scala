@@ -19,14 +19,16 @@ import graft.functions.{DotProduct, PolyHash}
   * The HOF form is interpreted per element and allocates the zipped
   * intermediate array; the rewrite makes any user query written in the
   * portable form run at native speed — the "let Catalyst optimize"
-  * principle applied to the engine's own extension. Fires only when
-  * both arrays are ARRAY<BIGINT> with non-null elements (null elements
-  * make the HOF fold return null, which DotProduct does not model).
+  * principle applied to the engine's own extension. Safe for ANY
+  * ARRAY<BIGINT> inputs: DotProduct models the HOF semantics exactly,
+  * including the null-poisoning cases (unequal lengths — zip_with pads
+  * with nulls — and null elements both yield NULL), so an injected
+  * rule never silently alters user-visible results.
   */
 object DotProductRewrite extends Rule[LogicalPlan] {
 
-  private def isNonNullLongArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(LongType, containsNull) => !containsNull
+  private def isLongArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
     case _ => false
   }
 
@@ -58,7 +60,7 @@ object DotProductRewrite extends Rule[LogicalPlan] {
             Literal(0L, LongType),
             merge: LambdaFunction,
             finish: LambdaFunction)
-          if isNonNullLongArray(left) && isNonNullLongArray(right) &&
+          if isLongArray(left) && isLongArray(right) &&
             isBinOpOfArgs(mul, { case Multiply(x, y, _) => (x, y) }) &&
             isBinOpOfArgs(merge, { case Add(x, y, _) => (x, y) }) &&
             isIdentity(finish) =>

@@ -35,13 +35,27 @@ class DotProductSpec extends SparkTestBase {
     assert(plan.contains("*(1) Project [graft_dot"), plan)
   }
 
-  test("null array yields null, mismatched lengths use the shorter") {
+  test("null array, length mismatch and null elements all yield null — like the HOF") {
     TextOps.ensureRegistered(spark)
-    val df = Seq((Some(Seq(1L, 2L)), Seq(10L, 20L, 30L)), (None, Seq(1L)))
+    // all three null-poisoning cases must agree with the interpreted
+    // fold, or the optimizer rewrite would change user-visible results
+    val df = Seq(
+      (Some(Seq[Option[Long]](Some(1L), Some(2L))),
+        Seq[Option[Long]](Some(10L), Some(20L), Some(30L))),   // length mismatch
+      (None, Seq[Option[Long]](Some(1L))),                     // null array
+      (Some(Seq[Option[Long]](Some(1L), None)),
+        Seq[Option[Long]](Some(5L), Some(6L))),                // null element
+      (Some(Seq[Option[Long]](Some(2L), Some(3L))),
+        Seq[Option[Long]](Some(5L), Some(6L))))                // clean: 28
       .toDF("a", "b")
-      .withColumn("d", expr("graft_dot(a, b)"))
-    val rows = df.orderBy(col("a").asc_nulls_first).collect()
-    assert(rows(0).isNullAt(2))
-    assert(rows(1).getLong(2) === 50L)
+      .withColumn("native", expr("graft_dot(a, b)"))
+      .withColumn("legacy", expr(legacy))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(2) === r.isNullAt(3), r.toString)
+      if (!r.isNullAt(2)) assert(r.getLong(2) === r.getLong(3), r.toString)
+    }
+    assert(rows.count(_.isNullAt(2)) === 3)
+    assert(rows.filter(!_.isNullAt(2)).map(_.getLong(2)).toSeq === Seq(28L))
   }
 }

@@ -20,11 +20,23 @@ class SaltSpec extends SparkTestBase {
     assert(salted === direct)
   }
 
+  test("salted sum is exact for a hot key with a CONSTANT value") {
+    // the canonical skew case that defeats content-derived salts: every
+    // hot row carries the same value, so hash(value) lands them all in
+    // one bucket — the row-local salt must still be exact here
+    val skewed = spark.range(50000).select(
+      lit("HOT").as("k"), lit(7L).as("v"))
+    val salted = Salt.saltedSum(skewed, "k", "v", buckets = 16).head()
+    assert(salted.getString(0) === "HOT")
+    assert(salted.getLong(1) === 7L * 50000)
+  }
+
   test("the hot key occupies multiple salt buckets in phase one") {
+    // row-local salt: constant-value rows still spread across buckets
     val skewed = spark.range(10000).select(
-      lit("HOT").as("k"), (col("id") % 997).as("v"))
+      lit("HOT").as("k"), lit(7L).as("v"))
     val phase1 = skewed
-      .withColumn("_salt", pmod(hash(col("v")), lit(16)))
+      .withColumn("_salt", pmod(monotonically_increasing_id(), lit(16)))
       .groupBy("k", "_salt").count()
     assert(phase1.count() > 8) // spread, not one reducer group
   }
