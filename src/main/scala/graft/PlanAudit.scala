@@ -31,7 +31,12 @@ object PlanAudit {
     }
     Seq("g_point_lookup", "q01_scan_agg", "g_orders_per_nation",
       "cc_violations", "ann_lsh", "q03_topk", "q05_join_agg",
-      "pipe_curation").foreach(audit)
+      "pipe_curation",
+      // r3 additions: candidate-scored LSH verify (no inverted-index
+      // self-join), capped simhash band join, array-store checks,
+      // partial-agg chain stats
+      "dd_minhash_lsh", "dd_simhash_band", "rec_prop_stats",
+      "rec_chain_reconstruction").foreach(audit)
     // driver t1 smoke simulation: entry must return rows on sf0.001
     println(s"== entry smoke: ${SparkEntry.entry(spark).count()} rows")
     spark.stop()

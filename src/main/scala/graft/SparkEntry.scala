@@ -152,6 +152,20 @@ object SparkEntry {
     // record-twin derivation parity probe (SURVEY §1.2/§1.6)
     "rec_stores_profile" -> ((s, dir) =>
       StoreProfile.profile(RecordStores.deriveCached(s, dir))),
+    // A2 property-store histograms (reference PropertyStats.java:32-70:
+    // blocks-per-record and PropertyType frequency over the property
+    // store) — two partial-agg groupBys over the blocks table
+    "rec_prop_stats" -> ((s, dir) => {
+      val st = RecordStores.deriveCached(s, dir)
+      val bpr = st.blocks.groupBy("prop_id").agg(count(lit(1)).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .select(lit("blocks_per_record").as("stat"),
+          col("k").cast("long").as("key"), col("n"))
+      val pt = st.blocks.groupBy("ptype").agg(count(lit(1)).as("n"))
+        .select(lit("ptype").as("stat"),
+          col("ptype").cast("long").as("key"), col("n"))
+      bpr.unionAll(pt)
+    }),
     // full consistency check over corruption-injected stores
     // (SURVEY §2.3 J1-J15, §3.1 lifecycle)
     "cc_violations" -> ((s, dir) => cachedViolations(s, dir)),
@@ -191,6 +205,26 @@ object SparkEntry {
     // snapshot ⊕ increment ≡ full replay: oracle IS the direct replay
     "cdc_incremental" -> ((s, dir) =>
       graft.streaming.EventStreams.incrementalEquivalence(s, dir)),
+    // backup lifecycle WITH verify-after-restore (BackupService.java:
+    // 99-102): full backup at W, incremental catch-up, rebuild from the
+    // backup files, then verify restored ≡ live. The oracle computes
+    // the same totals directly from the events table with n_mismatch=0,
+    // so a restore that drifts in ANY row fails the hash compare.
+    "cdc_backup_verify" -> ((s, dir) => {
+      import graft.streaming.{Backup, EventStreams}
+      val ev = EventStreams.events(s, dir)
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_backup_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val w = ev.agg(expr("CAST(max(event_id) div 2 AS BIGINT)")).head().getLong(0)
+      Backup.full(s, ev.filter(col("event_id") <= w), tmp)
+      Backup.incremental(s, ev, tmp)
+      Backup.rebuildState(s, tmp).agg(
+        count(lit(1)).as("n_users"),
+        sum("n_events").as("n_events"),
+        sum("total_cents").as("total_cents"))
+        .crossJoin(Backup.verifyRestore(s, tmp, ev)
+          .agg(count(lit(1)).as("n_mismatch")))
+    }),
     // ---- LLM-pipeline operators (north star) ----
     "t_token_count" -> ((s, dir) => TextOps.tokenCount(s, dir)),
     "t_quality" -> ((s, dir) => TextOps.quality(s, dir)),
@@ -328,6 +362,7 @@ object SparkEntry {
          |deg AS (SELECT node, count(*) AS degree FROM inc GROUP BY node)
          |SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree""".stripMargin,
     "rec_stores_profile" -> RecordCtes.recProfile,
+    "rec_prop_stats" -> RecordCtes.recPropStats,
     "cc_violations" -> RecordCtes.ccViolations,
     "cc_summary" -> RecordCtes.ccSummary,
     "cc_diff_check" -> RecordCtes.ccDiffCheck,
@@ -341,6 +376,12 @@ object SparkEntry {
     "s_asof_join" -> EventCtes.asofJoin,
     "s_interval_join" -> EventCtes.intervalJoin,
     "cdc_incremental" -> EventCtes.userState,
+    "cdc_backup_verify" ->
+      """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  CAST(0 AS BIGINT) AS n_mismatch
+        |FROM events""".stripMargin,
     "t_token_count" -> TextCtes.tokenCount,
     "t_quality" -> TextCtes.quality,
     "t_lang_id" -> TextCtes.langId,

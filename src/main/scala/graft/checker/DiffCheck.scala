@@ -13,12 +13,21 @@ import graft.model.Stores
   * ConsistencyReport.java:54-56,124-127).
   *
   * A transaction's DiffStore is the per-store set of (old, new) record
-  * pairs. The core incremental predicate family is "...NotUpdated":
-  * when a chain pointer changes, the record it USED to point at must
-  * itself be part of the same transaction (its back-pointer had to
-  * change too) — otherwise the tx left a dangling back-reference.
-  * Re-expressed relationally: diff ⋈ diff anti-joins on the old pointer
-  * value.
+  * pairs. The core incremental predicate family is "...NotUpdated"
+  * (ConsistencyReport.java:233-266): when a chain pointer changes, the
+  * record it USED to point at must itself be part of the same
+  * transaction (its back-pointer had to change too) — otherwise the tx
+  * left a dangling back-reference. Re-expressed relationally:
+  * diff ⋈ diff anti-joins on the old pointer value. The full family:
+  *
+  *  - node.next_rel          → relationship_not_updated
+  *  - node.next_prop         → property_not_updated
+  *  - rel.first_prev/next,
+  *    rel.second_prev/next   → source/target_prev/next_not_updated ×4
+  *    (the reference's RelationshipField NotUpdated quartet)
+  *  - rel.next_prop          → property_not_updated (rel owner kind)
+  *  - neo.next_prop          → property_not_updated (neostore kind)
+  *  - prop.prev/next_prop    → prev/next_property_not_updated
   *
   * The streaming form treats each micro-batch as one transaction and
   * runs [[violations]] per batch via foreachBatch (stream-static:
@@ -36,37 +45,73 @@ object DiffCheck {
       .filter(cols.map(c => col(s"o_$c") =!= col(s"n_$c")).reduce(_ || _))
   }
 
+  /** "old pointer must be in the tx" for one melted pointer table:
+    * ptrs(record_type, violation, id, ptr) anti-joined against the
+    * diff-id set the pointer targets. */
+  private def notUpdated(ptrs: DataFrame, targetIds: DataFrame): DataFrame =
+    ptrs.join(targetIds, col("ptr") === col("did"), "left_anti")
+      .select(col("record_type"), col("violation"), col("id").as("record_id"))
+
   /** All checkChange violations of one transaction given the old and
     * new store bundles. */
   def violations(oldS: Stores, newS: Stores): DataFrame = {
     val nodeDiff = diff(oldS.nodes, newS.nodes,
       Seq("in_use", "next_rel", "next_prop"))
-    val relDiff = diff(oldS.rels, newS.rels, Seq("type_id", "first_next"))
-    val propDiff = diff(oldS.props, newS.props, Seq("prev_prop"))
+    val relDiff = diff(oldS.rels, newS.rels,
+      Seq("type_id", "first_prev", "first_next",
+        "second_prev", "second_next", "next_prop"))
+    val propDiff = diff(oldS.props, newS.props, Seq("prev_prop", "next_prop"))
+    val neoDiff = diff(oldS.neo, newS.neo, Seq("next_prop"))
     val relDiffIds = relDiff.select(col("id").as("did"))
     val propDiffIds = propDiff.select(col("id").as("did"))
 
-    // node.next_rel changed ⇒ the old first rel must be in the tx
-    val relNotUpdated = nodeDiff
+    // pointers whose old target must be a REL in the tx: node chain
+    // heads + the rel quartet, melted into one anti-join
+    val relPtrs = nodeDiff
       .filter(col("o_next_rel") =!= col("n_next_rel") && col("o_next_rel") =!= NIL)
-      .join(relDiffIds, col("o_next_rel") === col("did"), "left_anti")
       .select(lit("node").as("record_type"),
-        lit("relationship_not_updated").as("violation"), col("id").as("record_id"))
+        lit("relationship_not_updated").as("violation"),
+        col("id"), col("o_next_rel").as("ptr"))
+      .unionAll(relDiff.select(col("id"), explode(array(Seq(
+        ("source_prev", "first_prev"), ("source_next", "first_next"),
+        ("target_prev", "second_prev"), ("target_next", "second_next"))
+        .map { case (nm, c) =>
+          struct(lit(s"${nm}_not_updated").as("violation"),
+            col(s"o_$c").as("ptr"),
+            (col(s"o_$c") =!= col(s"n_$c")).as("changed"))
+        }: _*)).as("p"))
+        .filter(col("p.changed") && col("p.ptr") =!= NIL)
+        .select(lit("relationship").as("record_type"),
+          col("p.violation").as("violation"), col("id"), col("p.ptr").as("ptr")))
 
-    // node.next_prop changed ⇒ the old chain head must be in the tx
-    val propNotUpdated = nodeDiff
+    // pointers whose old target must be a PROP in the tx: owner chain
+    // heads (node / rel / neostore) + the prop record's own prev/next
+    val propPtrs = nodeDiff
       .filter(col("o_next_prop") =!= col("n_next_prop") && col("o_next_prop") =!= NIL)
-      .join(propDiffIds, col("o_next_prop") === col("did"), "left_anti")
       .select(lit("node").as("record_type"),
-        lit("property_not_updated").as("violation"), col("id").as("record_id"))
+        lit("property_not_updated").as("violation"),
+        col("id"), col("o_next_prop").as("ptr"))
+      .unionAll(relDiff
+        .filter(col("o_next_prop") =!= col("n_next_prop") && col("o_next_prop") =!= NIL)
+        .select(lit("relationship").as("record_type"),
+          lit("property_not_updated").as("violation"),
+          col("id"), col("o_next_prop").as("ptr")))
+      .unionAll(neoDiff
+        .filter(col("o_next_prop") =!= col("n_next_prop") && col("o_next_prop") =!= NIL)
+        .select(lit("neostore").as("record_type"),
+          lit("property_not_updated").as("violation"),
+          col("id"), col("o_next_prop").as("ptr")))
+      .unionAll(propDiff.select(col("id"), explode(array(Seq(
+        ("prev_property", "prev_prop"), ("next_property", "next_prop"))
+        .map { case (nm, c) =>
+          struct(lit(s"${nm}_not_updated").as("violation"),
+            col(s"o_$c").as("ptr"),
+            (col(s"o_$c") =!= col(s"n_$c")).as("changed"))
+        }: _*)).as("p"))
+        .filter(col("p.changed") && col("p.ptr") =!= NIL)
+        .select(lit("property").as("record_type"),
+          col("p.violation").as("violation"), col("id"), col("p.ptr").as("ptr")))
 
-    // rel.first_next changed ⇒ the old next rel must be in the tx
-    val nextRelNotUpdated = relDiff
-      .filter(col("o_first_next") =!= col("n_first_next") && col("o_first_next") =!= NIL)
-      .join(relDiffIds, col("o_first_next") === col("did"), "left_anti")
-      .select(lit("relationship").as("record_type"),
-        lit("next_relationship_not_updated").as("violation"), col("id").as("record_id"))
-
-    relNotUpdated.unionAll(propNotUpdated).unionAll(nextRelNotUpdated)
+    notUpdated(relPtrs, relDiffIds).unionAll(notUpdated(propPtrs, propDiffIds))
   }
 }

@@ -143,16 +143,31 @@ object FullCheck {
       "relationship")
   }
 
-  /** J5: each in-use node's next_prop must head an in-use property chain. */
-  def nodePropChain(s: Stores): DataFrame = {
+  /** All property-owning primitives melted into one
+    * (record_type, id, in_use, next_prop) table — the reference runs
+    * ONE shared PrimitiveRecordCheck over nodes, relationships and the
+    * NeoStore record (PrimitiveRecordCheck.java:34, NeoStoreCheck.java:25);
+    * here the same sharing is a union feeding a single join. */
+  private def propOwners(s: Stores): DataFrame =
+    s.nodes.select(lit("node").as("record_type"), col("id"),
+        col("in_use"), col("next_prop"))
+      .unionAll(s.rels.select(lit("relationship").as("record_type"), col("id"),
+        col("in_use"), col("next_prop")))
+      .unionAll(s.neo.select(lit("neostore").as("record_type"), col("id"),
+        col("in_use"), col("next_prop")))
+
+  /** J5: each in-use owner's next_prop must head an in-use property
+    * chain — one join for all three owner kinds. */
+  def ownerPropChain(s: Stores): DataFrame = {
     val p = s.props.select(col("id").as("p_id"), col("in_use").as("p_in_use"),
       col("prev_prop").as("p_prev"))
-    viol(s.nodes.filter(col("in_use") && col("next_prop") =!= NIL)
+    propOwners(s).filter(col("in_use") && col("next_prop") =!= NIL)
       .join(p, col("next_prop") === col("p_id"), "left")
       .withColumn("violation",
         when(col("p_id").isNull || !col("p_in_use"), "property_not_in_use")
-          .when(col("p_prev") =!= NIL, "property_not_first_in_chain")),
-      "node")
+          .when(col("p_prev") =!= NIL, "property_not_first_in_chain"))
+      .filter(col("violation").isNotNull)
+      .select(col("record_type"), col("violation"), col("id").as("record_id"))
   }
 
   /** J6: property chain pointers resolve and reciprocate — both
@@ -190,17 +205,28 @@ object FullCheck {
       "property", "prop_id")
   }
 
-  /** J8: long-string blocks reference an in-use, non-empty dynamic chain. */
-  def blockStrings(s: Stores): DataFrame = {
-    val d = s.dyns.select(col("id").as("d_id"), col("in_use").as("d_in_use"),
+  /** J8: long-string / array blocks reference an in-use, non-empty
+    * chain in their OWN dynamic store (the reference follows
+    * STRING_PROPERTY and ARRAY_PROPERTY blocks into separate stores —
+    * PropertyRecordCheck.java:139-162, arrayNotInUse
+    * ConsistencyReport.java:359-373). */
+  private def blockDynamic(s: Stores, ptypeCode: Int, store: DataFrame,
+      kind: String): DataFrame = {
+    val d = store.select(col("id").as("d_id"), col("in_use").as("d_in_use"),
       col("length").as("d_len"))
-    viol(s.blocks.filter(col("ptype") === 4)
+    viol(s.blocks.filter(col("ptype") === ptypeCode)
       .join(d, col("value_ref") === col("d_id"), "left")
       .withColumn("violation",
-        when(col("d_id").isNull || !col("d_in_use"), "string_not_in_use")
-          .when(col("d_len") <= 0, "string_empty")),
+        when(col("d_id").isNull || !col("d_in_use"), s"${kind}_not_in_use")
+          .when(col("d_len") <= 0, s"${kind}_empty")),
       "property", "prop_id")
   }
+
+  def blockStrings(s: Stores): DataFrame =
+    blockDynamic(s, 4, s.dyns, "string")
+
+  def blockArrays(s: Stores): DataFrame =
+    blockDynamic(s, 5, s.arrays, "array")
 
   /** J9: dynamic record invariants — length range, full-if-chained,
     * self-reference, next in use and non-empty. */
@@ -238,42 +264,54 @@ object FullCheck {
   }
 
   /** J13: two in-use owners claiming the same property chain head —
-    * a groupBy over claimed heads, not the reference's shared
-    * ConcurrentMap (OwnerCheck.java:61). */
+    * a groupBy over claimed heads across ALL owner kinds (node, rel,
+    * neostore), not the reference's shared ConcurrentMap
+    * (OwnerCheck.java:61 populates one map from every primitive). */
   def duplicatePropOwners(s: Stores): DataFrame = {
-    s.nodes.filter(col("in_use") && col("next_prop") =!= NIL)
+    propOwners(s).filter(col("in_use") && col("next_prop") =!= NIL)
       .groupBy(col("next_prop").as("record_id")).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
       .select(lit("property").as("record_type"),
         lit("multiple_owners").as("violation"), col("record_id"))
   }
 
-  /** J14: two long-string blocks claiming the same dynamic chain head. */
-  def duplicateDynOwners(s: Stores): DataFrame = {
-    s.blocks.filter(col("ptype") === 4)
+  /** J14: two blocks claiming the same dynamic chain head — per
+    * dynamic store (string blocks vs array blocks,
+    * ConsistencyReport.java:359-373). */
+  private def dupDynOwners(s: Stores, ptypeCode: Int, kind: String): DataFrame =
+    s.blocks.filter(col("ptype") === ptypeCode)
       .groupBy(col("value_ref").as("record_id")).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
-      .select(lit("string").as("record_type"),
+      .select(lit(kind).as("record_type"),
         lit("multiple_owners").as("violation"), col("record_id"))
-  }
 
-  /** J15: chain heads never claimed by any owner — anti-joins. */
+  def duplicateDynOwners(s: Stores): DataFrame =
+    dupDynOwners(s, 4, "string").unionAll(dupDynOwners(s, 5, "array"))
+
+  /** J15: chain heads never claimed by any owner — anti-joins over the
+    * union of owner kinds (props) and per-store block claims (string /
+    * array chains). Chain heads in the dynamic stores are multiples of
+    * 8 by the value_ref arithmetic. */
   def orphans(s: Stores): DataFrame = {
-    val claimedProps = s.nodes.filter(col("in_use"))
+    val claimedProps = propOwners(s).filter(col("in_use"))
       .select(col("next_prop").as("head"))
     val orphanProps = s.props
       .filter(col("in_use") && col("prev_prop") === NIL)
       .join(claimedProps, col("id") === col("head"), "left_anti")
       .select(lit("property").as("record_type"),
         lit("orphan_chain").as("violation"), col("id").as("record_id"))
-    val claimedDyns = s.blocks.filter(col("ptype") === 4)
-      .select(col("value_ref").as("head"))
-    val orphanDyns = s.dyns
-      .filter(col("in_use") && col("id") % 8 === 0)
-      .join(claimedDyns, col("id") === col("head"), "left_anti")
-      .select(lit("string").as("record_type"),
-        lit("orphan_chain").as("violation"), col("id").as("record_id"))
-    orphanProps.unionAll(orphanDyns)
+    def orphanDyn(store: DataFrame, ptypeCode: Int, kind: String): DataFrame = {
+      val claimed = s.blocks.filter(col("ptype") === ptypeCode)
+        .select(col("value_ref").as("head"))
+      store
+        .filter(col("in_use") && col("id") % 8 === 0)
+        .join(claimed, col("id") === col("head"), "left_anti")
+        .select(lit(kind).as("record_type"),
+          lit("orphan_chain").as("violation"), col("id").as("record_id"))
+    }
+    orphanProps
+      .unionAll(orphanDyn(s.dyns, 4, "string"))
+      .unionAll(orphanDyn(s.arrays, 5, "array"))
   }
 
   /** All checks unioned: the full-check "task list"
@@ -283,11 +321,13 @@ object FullCheck {
       .unionAll(relLabel(s))
       .unionAll(relEndpoints(s))
       .unionAll(relChains(s))
-      .unionAll(nodePropChain(s))
+      .unionAll(ownerPropChain(s))
       .unionAll(propChains(s))
       .unionAll(blockKeys(s))
       .unionAll(blockStrings(s))
+      .unionAll(blockArrays(s))
       .unionAll(dynamics(s.dyns, "string", graft.model.RecordSpec.BlockSize))
+      .unionAll(dynamics(s.arrays, "array", graft.model.RecordSpec.BlockSize))
       .unionAll(dynamics(s.typeNames, "label_name", graft.model.RecordSpec.BlockSize))
       .unionAll(dynamics(s.keyNames, "key_name", graft.model.RecordSpec.BlockSize))
       .unionAll(dictNames(s.relTypes, s.typeNames, "label"))

@@ -22,9 +22,11 @@ object StoreProfile {
       .unionAll(p(s.rels, "rels",
         (col("first_prev") + col("first_next")) % M,
         (col("second_prev") + col("second_next")) % M))
+      .unionAll(p(s.neo, "neo", col("next_prop") % M, lit(0L)))
       .unionAll(p(s.props, "props", col("prev_prop") % M, col("next_prop") % M))
       .unionAll(p(s.blocks, "blocks", col("value_ref") % M,
         col("vlen") + col("key_id") * 31 + col("ptype")))
       .unionAll(p(s.dyns, "dyns", col("next_block") % M, col("length")))
+      .unionAll(p(s.arrays, "arrays", col("next_block") % M, col("length")))
   }
 }

@@ -49,9 +49,12 @@ object RecordSpec {
   val BlocksPerRecord = 4
 
   /** value-type codes for property blocks (reference PropertyType:
-    * inlined primitives vs dynamic-store strings,
+    * inlined primitives vs dynamic-store strings vs dynamic-store
+    * arrays — the reference keeps STRING_PROPERTY and ARRAY_PROPERTY
+    * as two separate dynamic stores, RecordType.java:22-28,
     * PropertyRecordCheck.java:128-162) */
   val TLong = 1; val TDouble = 2; val TShortString = 3; val TLongString = 4
+  val TArray = 5
 
   /** One extra (non-name) property of a node kind.
     * `vlenExpr` is ANSI SQL over the source table's columns, shared
@@ -72,17 +75,45 @@ object RecordSpec {
       Extra(3, 1, TShortString, "length(p_brand)"),
       Extra(4, 2, TShortString, "length(p_type)"),
       Extra(5, 3, TLong, "0"),
-      Extra(6, 4, TDouble, "0"))),
+      Extra(6, 4, TDouble, "0"),
+      // ARRAY-typed property: 8 bytes per element, 1..5 elements —
+      // chunked into the separate array dynamic store exactly like
+      // long strings chunk into the string store
+      Extra(12, 5, TArray, "8 * (p_partkey % 5 + 1)"))),
     KindProps(Order, "orders", "o_orderkey", Seq(
       Extra(7, 1, TShortString, "length(o_orderstatus)"),
       Extra(8, 2, TDouble, "0"))),
   )
 
+  /** Relationship properties (reference: property chains hang off
+    * nodes, relationships AND the NeoStore record through one shared
+    * checker — PrimitiveRecordCheck.java:34, NeoStoreCheck.java:25).
+    * Derived from rel-id arithmetic so the DuckDB oracle reproduces
+    * them exactly: every rel carries `weight` (inlined long); rels
+    * with id % [[RelNoteMod]] == 1 also carry `note`, a string of
+    * 5 + id % 29 chars that overflows into the string dynamic store
+    * when longer than a block — giving relationships their own
+    * dynamic chains. */
+  val RelWeightKey = 9
+  val RelNoteKey = 10
+  val RelNoteMod = 37
+
+  /** The NeoStore pseudo-record: one well-known record (id 0, below
+    * every entity id namespace) holding graph-wide properties — the
+    * twin of the reference's NeoStore property chain
+    * (NeoStoreCheck.java:25, graph props read at MasterImpl.java:96). */
+  val NeoStoreId = 0L
+  val NeoNameKey = 0
+  val NeoTxKey = 11
+  /** vlen of the neostore's `name` graph property ("graft-graph") */
+  val NeoNameLen = 11L
+
   /** property-key dictionary (reference PropertyIndexRecord store) */
   val propKeys: Seq[(Int, String)] = Seq(
     0 -> "name", 1 -> "acctbal", 2 -> "mktsegment", 3 -> "brand",
     4 -> "type", 5 -> "size", 6 -> "retailprice", 7 -> "status",
-    8 -> "totalprice")
+    8 -> "totalprice", 9 -> "weight", 10 -> "note", 11 -> "tx_count",
+    12 -> "sizes")
 
   /** relationship-type dictionary (reference RelationshipTypeRecord store) */
   val relTypes: Seq[(Int, String)] = Seq(
@@ -109,9 +140,11 @@ final case class Stores(
   nodes: DataFrame,     // id, in_use, next_rel, next_prop
   rels: DataFrame,      // id, in_use, type_id, first_node, second_node,
                         //   first_prev, first_next, second_prev, second_next, next_prop
+  neo: DataFrame,       // id, in_use, next_prop — the single NeoStore record
   props: DataFrame,     // id, in_use, owner, prev_prop, next_prop
   blocks: DataFrame,    // prop_id, idx, key_id, ptype, value_ref, vlen
-  dyns: DataFrame,      // id, in_use, length, next_block
+  dyns: DataFrame,      // id, in_use, length, next_block (STRING store)
+  arrays: DataFrame,    // id, in_use, length, next_block (ARRAY store)
   relTypes: DataFrame,  // id, in_use, name_id
   propKeys: DataFrame,  // id, in_use, name_id
   typeNames: DataFrame, // id, in_use, length, next_block
@@ -126,12 +159,12 @@ object RecordStores {
     * dedupe common subtrees across union branches — without persistence
     * the derivation would execute once PER BRANCH. One cached
     * derivation per sf dir (dimension stores are literal, no need). */
-  private val cached = scala.collection.concurrent.TrieMap[String, Stores]()
+  private val cached = new graft.SessionMemo[Stores]
   private def slog(msg: => String): Unit =
     if (sys.env.contains("GRAFT_ITER_LOG"))
       println(f"[stores] t=${System.currentTimeMillis() % 1000000}%d $msg")
   def deriveCached(spark: SparkSession, dir: String): Stores =
-    cached.getOrElseUpdate(dir, {
+    cached.getOrElseUpdate(spark, dir) {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
@@ -164,7 +197,8 @@ object RecordStores {
         "rels" -> s.rels.repartition(col("id")),
         "props" -> s.props.repartition(col("id")),
         "blocks" -> s.blocks.repartition(col("prop_id")),
-        "dyns" -> s.dyns.repartition(col("id"))
+        "dyns" -> s.dyns.repartition(col("id")),
+        "arrays" -> s.arrays.repartition(col("id"))
       ).map { case (n, df) => Future {
         val t0 = System.nanoTime()
         val c = df.localCheckpoint(true)
@@ -173,17 +207,23 @@ object RecordStores {
       } }), Duration.Inf).toMap
       // stores are now self-contained RDDs; the tap caches only served
       // the fill and would otherwise hold memory for the whole session
+      // (neo is a one-row literal — nothing to checkpoint)
       taps.foreach(_.unpersist())
       slog("fills done")
       s.copy(nodes = ckpt("nodes"), rels = ckpt("rels"),
-        props = ckpt("props"), blocks = ckpt("blocks"), dyns = ckpt("dyns"))
-    })
+        props = ckpt("props"), blocks = ckpt("blocks"), dyns = ckpt("dyns"),
+        arrays = ckpt("arrays"))
+    }
 
   /** prop_rows: one row per (entity, property) with only structural
     * fields — (owner, key_id, seq, ptype, value_ref, vlen). Values
     * themselves never enter the record stores (the checker validates
-    * structure, not content — PropertyRecordCheck.java:128-162). */
-  def propRows(spark: SparkSession, dir: String): DataFrame = {
+    * structure, not content — PropertyRecordCheck.java:128-162).
+    * Owners span all three primitive kinds the reference's shared
+    * checker walks (PrimitiveRecordCheck.java:34): nodes, relationships
+    * (weight on every rel, an overflowing note on a deterministic
+    * subset) and the NeoStore record (graph properties). */
+  def propRows(spark: SparkSession, dir: String, rels: DataFrame): DataFrame = {
     val name = TpchGraph.nodes(spark, dir).select(
       col("id").as("owner"), lit(0).as("key_id"), lit(0).as("seq"),
       lit(TShortString).as("ptype0"), length(col("name")).cast("long").as("vlen"))
@@ -196,12 +236,24 @@ object RecordStores {
           lit(e.ptype0).as("ptype0"), expr(e.vlenExpr).cast("long").as("vlen"))
       }
     }
-    (name +: extras).reduce(_ unionAll _)
+    val relWeight = rels.select(col("id").as("owner"),
+      lit(RelWeightKey).as("key_id"), lit(0).as("seq"),
+      lit(TLong).as("ptype0"), lit(0L).as("vlen"))
+    val relNote = rels.filter(col("id") % RelNoteMod === 1)
+      .select(col("id").as("owner"), lit(RelNoteKey).as("key_id"),
+        lit(1).as("seq"), lit(TShortString).as("ptype0"),
+        (lit(5L) + col("id") % 29).as("vlen"))
+    import spark.implicits._
+    val neoRows = Seq(
+      (NeoStoreId, NeoNameKey, 0, TShortString, NeoNameLen),
+      (NeoStoreId, NeoTxKey, 1, TLong, 0L))
+      .toDF("owner", "key_id", "seq", "ptype0", "vlen")
+    (name +: extras :+ relWeight :+ relNote :+ neoRows).reduce(_ unionAll _)
       .withColumn("ptype",
         when(col("ptype0") === TShortString && col("vlen") > BlockSize,
           lit(TLongString)).otherwise(col("ptype0")))
       .withColumn("value_ref",
-        when(col("ptype") === TLongString,
+        when(col("ptype") === TLongString || col("ptype") === TArray,
           (col("owner") * 16 + col("key_id")) * 8).otherwise(lit(-1L)))
       .drop("ptype0")
   }
@@ -235,6 +287,8 @@ object RecordStores {
       max(when(col("side") === 1, col("prev"))).as("second_prev"),
       max(when(col("side") === 1, col("next"))).as("second_next"))
 
+    // every rel owns ≥1 property (weight), so its chain head is id*4 —
+    // the same arithmetic as nodes (PrimitiveRecordCheck walks both)
     val relRecs = g.rels
       .join(chain, g.rels("id") === chain("rel_id"))
       .select(g.rels("id"), lit(true).as("in_use"),
@@ -242,7 +296,7 @@ object RecordStores {
         col("src").as("first_node"), col("dst").as("second_node"),
         col("first_prev"), col("first_next"),
         col("second_prev"), col("second_next"),
-        lit(-1L).as("next_prop"))
+        (g.rels("id") * 4).as("next_prop"))
 
     val minRel = incPN.groupBy("node").agg(min("rel_id").as("min_rel"))
     val nodeRecs = g.nodes
@@ -251,7 +305,7 @@ object RecordStores {
         coalesce(col("min_rel"), lit(-1L)).as("next_rel"),
         (g.nodes("id") * 4).as("next_prop"))
 
-    val rows = tap(propRows(spark, dir))
+    val rows = tap(propRows(spark, dir, g.rels))
 
     // property records: chunk into records of ≤4 blocks, doubly linked
     val pr1 = rows.select(col("owner"), expr("seq div 4").as("ri")).distinct()
@@ -268,8 +322,12 @@ object RecordStores {
       expr("seq % 4").as("idx"),
       col("key_id"), col("ptype"), col("value_ref"), col("vlen"))
 
-    // dynamic string store: chained 16-char blocks for long strings
-    val dyns = rows.filter(col("ptype") === TLongString)
+    // dynamic stores: chained 16-unit blocks for overflowing values.
+    // STRING and ARRAY values chunk identically but live in SEPARATE
+    // stores (reference RecordType STRING_PROPERTY vs ARRAY_PROPERTY),
+    // so the same chunker runs per ptype.
+    def chunked(ptypeCode: Int): DataFrame = rows
+      .filter(col("ptype") === ptypeCode)
       .select(col("value_ref"), col("vlen"),
         expr(s"(vlen + ${BlockSize - 1}) div $BlockSize").as("nb"))
       .select(col("value_ref"), col("vlen"), col("nb"),
@@ -279,6 +337,8 @@ object RecordStores {
           .otherwise(col("vlen") - lit(BlockSize) * (col("nb") - 1)).as("length"),
         when(col("j") < col("nb") - 1, col("value_ref") + col("j") + 1)
           .otherwise(lit(-1L)).as("next_block"))
+    val dyns = chunked(TLongString)
+    val arrays = chunked(TArray)
 
     // dictionaries + their name dynamic stores (dimension-sized: S4 —
     // the reference materializes these wholly, FullCheck.java:127-142;
@@ -292,8 +352,13 @@ object RecordStores {
       .toDF("id", "in_use", "length", "next_block")
     val keyNamesDF = propKeys.flatMap { case (i, n) => nameBlocks(i, n) }
       .toDF("id", "in_use", "length", "next_block")
+    // the single NeoStore record: graph properties chain from id 0
+    // (below every entity namespace, so owner arithmetic stays
+    // collision-free) — NeoStoreCheck.java:25
+    val neoDF = Seq((NeoStoreId, true, NeoStoreId * 4))
+      .toDF("id", "in_use", "next_prop")
 
-    Stores(nodeRecs, relRecs, propRecs, blocks, dyns,
+    Stores(nodeRecs, relRecs, neoDF, propRecs, blocks, dyns, arrays,
       relTypesDF, propKeysDF, typeNamesDF, keyNamesDF)
   }
 }

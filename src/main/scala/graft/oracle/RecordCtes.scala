@@ -46,15 +46,18 @@ object RecordCtes {
       |min_rel AS (SELECT node, min(rel_id) AS min_rel FROM inc GROUP BY node)""".stripMargin
 
   private val baseRecs =
-    """node_recs0 AS (
+    s"""node_recs0 AS (
       |  SELECT n.id, TRUE AS in_use, coalesce(m.min_rel, -1) AS next_rel,
       |    n.id * 4 AS next_prop
       |  FROM nodes n LEFT JOIN min_rel m ON n.id = m.node),
       |rel_recs0 AS (
       |  SELECT r.id, TRUE AS in_use, r.type_id, r.src AS first_node,
       |    r.dst AS second_node, c.first_prev, c.first_next, c.second_prev,
-      |    c.second_next, CAST(-1 AS BIGINT) AS next_prop
-      |  FROM rel_typed r JOIN chain c ON r.id = c.rel_id)""".stripMargin
+      |    c.second_next, r.id * 4 AS next_prop
+      |  FROM rel_typed r JOIN chain c ON r.id = c.rel_id),
+      |neo_recs0 AS (
+      |  SELECT CAST($NeoStoreId AS BIGINT) AS id, TRUE AS in_use,
+      |    CAST(${NeoStoreId * 4} AS BIGINT) AS next_prop)""".stripMargin
 
   private val propRows = {
     val extras = extraProps.flatMap { kp =>
@@ -66,11 +69,18 @@ object RecordCtes {
        |  SELECT id AS owner, 0 AS key_id, 0 AS seq, $TShortString AS ptype0,
        |    length(name) AS vlen
        |  FROM nodes
-       |$extras),
+       |$extras
+       |  UNION ALL SELECT id, $RelWeightKey, 0, $TLong, 0 FROM rel_typed
+       |  UNION ALL SELECT id, $RelNoteKey, 1, $TShortString, 5 + id % 29
+       |    FROM rel_typed WHERE id % $RelNoteMod = 1
+       |  UNION ALL SELECT CAST($NeoStoreId AS BIGINT), $NeoNameKey, 0,
+       |    $TShortString, $NeoNameLen
+       |  UNION ALL SELECT CAST($NeoStoreId AS BIGINT), $NeoTxKey, 1, $TLong, 0),
        |prop_rows AS (
        |  SELECT owner, key_id, seq,
        |    CASE WHEN ptype0 = $TShortString AND vlen > $BlockSize THEN $TLongString ELSE ptype0 END AS ptype,
-       |    CASE WHEN ptype0 = $TShortString AND vlen > $BlockSize THEN (owner * 16 + key_id) * 8 ELSE -1 END AS value_ref,
+       |    CASE WHEN (ptype0 = $TShortString AND vlen > $BlockSize) OR ptype0 = $TArray
+       |         THEN (owner * 16 + key_id) * 8 ELSE -1 END AS value_ref,
        |    CAST(vlen AS BIGINT) AS vlen
        |  FROM prop_rows0)""".stripMargin
   }
@@ -94,7 +104,15 @@ object RecordCtes {
        |  FROM (
        |    SELECT value_ref, vlen, (vlen + ${BlockSize - 1}) // $BlockSize AS nb,
        |      unnest(generate_series(0, (vlen + ${BlockSize - 1}) // $BlockSize - 1)) AS j
-       |    FROM prop_rows WHERE ptype = $TLongString))""".stripMargin
+       |    FROM prop_rows WHERE ptype = $TLongString)),
+       |arrays0 AS (
+       |  SELECT value_ref + j AS id, TRUE AS in_use,
+       |    CASE WHEN j < nb - 1 THEN $BlockSize ELSE vlen - $BlockSize * (nb - 1) END AS len,
+       |    CASE WHEN j < nb - 1 THEN value_ref + j + 1 ELSE -1 END AS next_block
+       |  FROM (
+       |    SELECT value_ref, vlen, (vlen + ${BlockSize - 1}) // $BlockSize AS nb,
+       |      unnest(generate_series(0, (vlen + ${BlockSize - 1}) // $BlockSize - 1)) AS j
+       |    FROM prop_rows WHERE ptype = $TArray))""".stripMargin
 
   private def dimValues(dict: Seq[(Int, String)]): String =
     dict.map { case (i, _) =>
@@ -125,18 +143,25 @@ object RecordCtes {
       |c_rels AS (
       |  SELECT id, in_use,
       |    CASE WHEN id % 103 = 5 THEN 77 ELSE type_id END AS type_id,
-      |    first_node, second_node, first_prev,
+      |    first_node, second_node,
+      |    CASE WHEN id % 181 = 37 AND first_prev <> -1 THEN first_prev + 1000000 ELSE first_prev END AS first_prev,
       |    CASE WHEN id % 109 = 7 AND first_next <> -1 THEN first_next + 1000000 ELSE first_next END AS first_next,
-      |    second_prev, second_next, next_prop
+      |    CASE WHEN id % 191 = 43 AND second_prev <> -1 THEN second_prev + 1000000 ELSE second_prev END AS second_prev,
+      |    CASE WHEN id % 139 = 23 AND second_next <> -1 THEN second_next + 1000000 ELSE second_next END AS second_next,
+      |    CASE WHEN id % 151 = 29 THEN (id + 1) * 4 ELSE next_prop END AS next_prop
       |  FROM rel_recs0),
+      |c_neo AS (
+      |  SELECT id, in_use, CAST(4 AS BIGINT) AS next_prop FROM neo_recs0),
       |c_props AS (
       |  SELECT id, in_use, owner,
       |    CASE WHEN id % 131 = 17 AND prev_prop <> -1 THEN prev_prop + 5000000 ELSE prev_prop END AS prev_prop,
-      |    next_prop
+      |    CASE WHEN id % 157 = 31 AND next_prop <> -1 THEN next_prop + 5000000 ELSE next_prop END AS next_prop
       |  FROM prop_recs0),
       |c_blocks AS (
       |  SELECT prop_id, idx, key_id, ptype,
-      |    CASE WHEN (prop_id // 4) % 149 = 31 AND ptype = 4 AND key_id = 0 THEN value_ref + 128 ELSE value_ref END AS value_ref,
+      |    CASE WHEN (prop_id // 4) % 149 = 31 AND ptype = 4 AND key_id = 0 THEN value_ref + 128
+      |         WHEN (prop_id // 4) % 163 = 41 AND ptype = 5 THEN value_ref + 128
+      |         ELSE value_ref END AS value_ref,
       |    vlen
       |  FROM blocks0),
       |c_dyns AS (
@@ -144,6 +169,11 @@ object RecordCtes {
       |    CASE WHEN id % 137 = 19 THEN 0 ELSE len END AS len,
       |    CASE WHEN id % 127 = 13 AND next_block <> -1 THEN id ELSE next_block END AS next_block
       |  FROM dyns0),
+      |c_arrays AS (
+      |  SELECT id, in_use,
+      |    CASE WHEN id % 173 = 19 THEN 0 ELSE len END AS len,
+      |    CASE WHEN id % 167 = 13 AND next_block <> -1 THEN id ELSE next_block END AS next_block
+      |  FROM arrays0),
       |c_type_names AS (
       |  SELECT id, in_use,
       |    CASE WHEN id = 16 THEN 0 ELSE len END AS len,
@@ -236,13 +266,18 @@ object RecordCtes {
       relChainPtr("second_prev", "second_node", backIsNext = true, "target_prev"),
       relChainPtr("second_next", "second_node", backIsNext = false, "target_next"),
     ).map(check).mkString("\nUNION ALL ")
+    // J5 runs over ALL property-owning primitives (node, rel, neostore)
+    // via one owners union — the twin of FullCheck.propOwners
     val j5 = check(
-      """  SELECT 'node' AS record_type,
+      """  SELECT o.record_type,
         |    CASE WHEN p.id IS NULL OR NOT p.in_use THEN 'property_not_in_use'
         |         WHEN p.prev_prop <> -1 THEN 'property_not_first_in_chain'
-        |    END AS violation, n.id AS record_id
-        |  FROM c_nodes n LEFT JOIN c_props p ON n.next_prop = p.id
-        |  WHERE n.in_use AND n.next_prop <> -1""".stripMargin)
+        |    END AS violation, o.id AS record_id
+        |  FROM (SELECT 'node' AS record_type, id, in_use, next_prop FROM c_nodes
+        |        UNION ALL SELECT 'relationship', id, in_use, next_prop FROM c_rels
+        |        UNION ALL SELECT 'neostore', id, in_use, next_prop FROM c_neo) o
+        |  LEFT JOIN c_props p ON o.next_prop = p.id
+        |  WHERE o.in_use AND o.next_prop <> -1""".stripMargin)
     val j6 = check(propPtr("prev_prop", "next_prop", "prev")) +
       "\nUNION ALL " + check(propPtr("next_prop", "prev_prop", "next"))
     val j7 = check(
@@ -256,30 +291,53 @@ object RecordCtes {
         |         WHEN d.len <= 0 THEN 'string_empty'
         |    END AS violation, b.prop_id AS record_id
         |  FROM c_blocks b LEFT JOIN c_dyns d ON b.value_ref = d.id
-        |  WHERE b.ptype = 4""".stripMargin)
+        |  WHERE b.ptype = 4""".stripMargin) +
+      "\nUNION ALL " + check(
+      """  SELECT 'property' AS record_type,
+        |    CASE WHEN d.id IS NULL OR NOT d.in_use THEN 'array_not_in_use'
+        |         WHEN d.len <= 0 THEN 'array_empty'
+        |    END AS violation, b.prop_id AS record_id
+        |  FROM c_blocks b LEFT JOIN c_arrays d ON b.value_ref = d.id
+        |  WHERE b.ptype = 5""".stripMargin)
     val j9 = dynChecks("c_dyns", "string") +
+      "\nUNION ALL " + dynChecks("c_arrays", "array") +
       "\nUNION ALL " + dynChecks("c_type_names", "label_name") +
       "\nUNION ALL " + dynChecks("key_names0", "key_name")
     val j10 = dictNames("rel_types_d", "c_type_names", "label") +
       "\nUNION ALL " + dictNames("prop_keys_d", "key_names0", "key")
+    val owners =
+      """(SELECT id, in_use, next_prop FROM c_nodes
+        |   UNION ALL SELECT id, in_use, next_prop FROM c_rels
+        |   UNION ALL SELECT id, in_use, next_prop FROM c_neo)""".stripMargin
     val j13 =
-      """SELECT 'property' AS record_type, 'multiple_owners' AS violation,
+      s"""SELECT 'property' AS record_type, 'multiple_owners' AS violation,
         |  next_prop AS record_id
-        |FROM c_nodes WHERE in_use GROUP BY next_prop HAVING count(*) > 1""".stripMargin
+        |FROM $owners o
+        |WHERE in_use AND next_prop <> -1
+        |GROUP BY next_prop HAVING count(*) > 1""".stripMargin
     val j14 =
       """SELECT 'string' AS record_type, 'multiple_owners' AS violation,
         |  value_ref AS record_id
-        |FROM c_blocks WHERE ptype = 4 GROUP BY value_ref HAVING count(*) > 1""".stripMargin
+        |FROM c_blocks WHERE ptype = 4 GROUP BY value_ref HAVING count(*) > 1
+        |UNION ALL
+        |SELECT 'array', 'multiple_owners', value_ref
+        |FROM c_blocks WHERE ptype = 5 GROUP BY value_ref HAVING count(*) > 1""".stripMargin
     val j15 =
-      """SELECT 'property' AS record_type, 'orphan_chain' AS violation, p.id AS record_id
+      s"""SELECT 'property' AS record_type, 'orphan_chain' AS violation, p.id AS record_id
         |FROM c_props p
         |WHERE p.in_use AND p.prev_prop = -1
-        |  AND NOT EXISTS (SELECT 1 FROM c_nodes n WHERE n.in_use AND n.next_prop = p.id)
+        |  AND NOT EXISTS (SELECT 1 FROM $owners o
+        |                  WHERE o.in_use AND o.next_prop = p.id)
         |UNION ALL
         |SELECT 'string', 'orphan_chain', d.id
         |FROM c_dyns d
         |WHERE d.in_use AND d.id % 8 = 0
-        |  AND NOT EXISTS (SELECT 1 FROM c_blocks b WHERE b.ptype = 4 AND b.value_ref = d.id)""".stripMargin
+        |  AND NOT EXISTS (SELECT 1 FROM c_blocks b WHERE b.ptype = 4 AND b.value_ref = d.id)
+        |UNION ALL
+        |SELECT 'array', 'orphan_chain', d.id
+        |FROM c_arrays d
+        |WHERE d.in_use AND d.id % 8 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM c_blocks b WHERE b.ptype = 5 AND b.value_ref = d.id)""".stripMargin
     Seq(j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j13, j14, j15)
       .mkString("\nUNION ALL ")
   }
@@ -307,10 +365,30 @@ object RecordCtes {
        |SELECT record_type, violation, count(*) AS n
        |FROM violations GROUP BY record_type, violation""".stripMargin
 
-  /** Incremental diff check (J12 checkChange) — twin of
+  /** Incremental diff check (J12 checkChange, the full NotUpdated
+    * family — ConsistencyReport.java:233-266) — twin of
     * graft.checker.DiffCheck over the corruption "transaction"
     * (old = consistent stores, new = corrupted stores). */
-  val ccDiffCheck: String =
+  val ccDiffCheck: String = {
+    val relPtrPreds = Seq(
+      ("source_prev", "first_prev"), ("source_next", "first_next"),
+      ("target_prev", "second_prev"), ("target_next", "second_next"))
+      .map { case (nm, c) =>
+        s"""SELECT 'relationship' AS record_type, '${nm}_not_updated' AS violation,
+           |  id AS record_id
+           |FROM rel_diff rd
+           |WHERE o_$c <> n_$c AND o_$c <> -1
+           |  AND NOT EXISTS (SELECT 1 FROM rel_diff r2 WHERE r2.id = rd.o_$c)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    val propPtrPreds = Seq(("prev_property", "prev_prop"),
+      ("next_property", "next_prop"))
+      .map { case (nm, c) =>
+        s"""SELECT 'property' AS record_type, '${nm}_not_updated' AS violation,
+           |  id AS record_id
+           |FROM prop_diff pd
+           |WHERE o_$c <> n_$c AND o_$c <> -1
+           |  AND NOT EXISTS (SELECT 1 FROM prop_diff p2 WHERE p2.id = pd.o_$c)""".stripMargin
+      }.mkString("\nUNION ALL\n")
     s"""$world,
        |node_diff AS (
        |  SELECT o.id, o.in_use AS o_iu, n.in_use AS n_iu,
@@ -320,27 +398,52 @@ object RecordCtes {
        |  WHERE o.in_use <> n.in_use OR o.next_rel <> n.next_rel
        |     OR o.next_prop <> n.next_prop),
        |rel_diff AS (
-       |  SELECT o.id, o.first_next AS o_fn, r.first_next AS n_fn
+       |  SELECT o.id,
+       |    o.first_prev AS o_first_prev, r.first_prev AS n_first_prev,
+       |    o.first_next AS o_first_next, r.first_next AS n_first_next,
+       |    o.second_prev AS o_second_prev, r.second_prev AS n_second_prev,
+       |    o.second_next AS o_second_next, r.second_next AS n_second_next,
+       |    o.next_prop AS o_np, r.next_prop AS n_np
        |  FROM rel_recs0 o JOIN c_rels r ON o.id = r.id
-       |  WHERE o.type_id <> r.type_id OR o.first_next <> r.first_next),
+       |  WHERE o.type_id <> r.type_id
+       |     OR o.first_prev <> r.first_prev OR o.first_next <> r.first_next
+       |     OR o.second_prev <> r.second_prev OR o.second_next <> r.second_next
+       |     OR o.next_prop <> r.next_prop),
        |prop_diff AS (
-       |  SELECT o.id FROM prop_recs0 o JOIN c_props p ON o.id = p.id
-       |  WHERE o.prev_prop <> p.prev_prop)
+       |  SELECT o.id,
+       |    o.prev_prop AS o_prev_prop, p.prev_prop AS n_prev_prop,
+       |    o.next_prop AS o_next_prop, p.next_prop AS n_next_prop
+       |  FROM prop_recs0 o JOIN c_props p ON o.id = p.id
+       |  WHERE o.prev_prop <> p.prev_prop OR o.next_prop <> p.next_prop),
+       |neo_diff AS (
+       |  SELECT o.id, o.next_prop AS o_np, n.next_prop AS n_np
+       |  FROM neo_recs0 o JOIN c_neo n ON o.id = n.id
+       |  WHERE o.next_prop <> n.next_prop)
        |SELECT 'node' AS record_type, 'relationship_not_updated' AS violation,
        |  id AS record_id
        |FROM node_diff
        |WHERE o_nr <> n_nr AND o_nr <> -1
        |  AND NOT EXISTS (SELECT 1 FROM rel_diff r WHERE r.id = node_diff.o_nr)
        |UNION ALL
+       |$relPtrPreds
+       |UNION ALL
        |SELECT 'node', 'property_not_updated', id
        |FROM node_diff
        |WHERE o_np <> n_np AND o_np <> -1
        |  AND NOT EXISTS (SELECT 1 FROM prop_diff p WHERE p.id = node_diff.o_np)
        |UNION ALL
-       |SELECT 'relationship', 'next_relationship_not_updated', id
+       |SELECT 'relationship', 'property_not_updated', id
        |FROM rel_diff rd
-       |WHERE o_fn <> n_fn AND o_fn <> -1
-       |  AND NOT EXISTS (SELECT 1 FROM rel_diff r2 WHERE r2.id = rd.o_fn)""".stripMargin
+       |WHERE o_np <> n_np AND o_np <> -1
+       |  AND NOT EXISTS (SELECT 1 FROM prop_diff p WHERE p.id = rd.o_np)
+       |UNION ALL
+       |SELECT 'neostore', 'property_not_updated', id
+       |FROM neo_diff nd
+       |WHERE o_np <> n_np AND o_np <> -1
+       |  AND NOT EXISTS (SELECT 1 FROM prop_diff p WHERE p.id = nd.o_np)
+       |UNION ALL
+       |$propPtrPreds""".stripMargin
+  }
 
   /** Per-store profile of the CONSISTENT derivation — parity probe for
     * the record-twin derivation itself (modulo keeps sums in BIGINT
@@ -354,6 +457,9 @@ object RecordCtes {
        |UNION ALL SELECT 'rels', count(*),
        |  CAST(sum((first_prev + first_next) % 1000003) AS BIGINT),
        |  CAST(sum((second_prev + second_next) % 1000003) AS BIGINT) FROM rel_recs0
+       |UNION ALL SELECT 'neo', count(*),
+       |  CAST(sum(next_prop % 1000003) AS BIGINT),
+       |  CAST(sum(0) AS BIGINT) FROM neo_recs0
        |UNION ALL SELECT 'props', count(*),
        |  CAST(sum(prev_prop % 1000003) AS BIGINT),
        |  CAST(sum(next_prop % 1000003) AS BIGINT) FROM prop_recs0
@@ -362,5 +468,20 @@ object RecordCtes {
        |  CAST(sum(vlen + key_id * 31 + ptype) AS BIGINT) FROM blocks0
        |UNION ALL SELECT 'dyns', count(*),
        |  CAST(sum(next_block % 1000003) AS BIGINT),
-       |  CAST(sum(len) AS BIGINT) FROM dyns0""".stripMargin
+       |  CAST(sum(len) AS BIGINT) FROM dyns0
+       |UNION ALL SELECT 'arrays', count(*),
+       |  CAST(sum(next_block % 1000003) AS BIGINT),
+       |  CAST(sum(len) AS BIGINT) FROM arrays0""".stripMargin
+
+  /** A2 property-store histograms — twin of the `rec_prop_stats` query
+    * (reference PropertyStats.java:32-70). */
+  val recPropStats: String =
+    s"""$world
+       |SELECT 'blocks_per_record' AS stat, CAST(k AS BIGINT) AS key,
+       |  count(*) AS n
+       |FROM (SELECT prop_id, count(*) AS k FROM blocks0 GROUP BY prop_id)
+       |GROUP BY k
+       |UNION ALL
+       |SELECT 'ptype', CAST(ptype AS BIGINT), count(*)
+       |FROM blocks0 GROUP BY ptype""".stripMargin
 }

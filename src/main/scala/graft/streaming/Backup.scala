@@ -59,4 +59,19 @@ object Backup {
     EventStreams.userState(
       spark.read.parquet(s"$dir/events")
         .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)")))
+
+  /** Verify-after-restore: the reference never trusts a backup until a
+    * full consistency check runs over the restored copy
+    * (BackupService.java:99-102 bootstraps a consistency check after
+    * the backup completes; RebuildFromLogs.java:60-150 is
+    * replay-THEN-check). Here the restored replay state is compared to
+    * the live replay; the result is the symmetric difference tagged by
+    * side — empty ⇔ the backup is provably restorable. */
+  def verifyRestore(spark: SparkSession, dir: String,
+      liveEvents: DataFrame): DataFrame = {
+    val restored = rebuildState(spark, dir)
+    val live = EventStreams.userState(liveEvents)
+    restored.exceptAll(live).withColumn("side", lit("backup_only"))
+      .unionAll(live.exceptAll(restored).withColumn("side", lit("live_only")))
+  }
 }

@@ -14,13 +14,25 @@ class DiffCheckSpec extends SparkTestBase {
   import spark.implicits._
   private val dir = "/root/testdata/sf0.001"
 
-  test("corruption tx produces not-updated violations; identical stores produce none") {
+  test("corruption tx fires the full NotUpdated family; identical stores produce none") {
     val old = RecordStores.derive(spark, dir)
     val v = DiffCheck.violations(old, Corruption(old))
-      .groupBy("violation").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(v.keySet === Set("relationship_not_updated",
-      "property_not_updated", "next_relationship_not_updated"))
+      .groupBy("record_type", "violation").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // the reference's checkChange family (ConsistencyReport.java:233-266):
+    // every pointer kind the corruption touches must report its own
+    // NotUpdated predicate
+    assert(v.keySet === Set(
+      ("node", "relationship_not_updated"),
+      ("node", "property_not_updated"),
+      ("relationship", "source_prev_not_updated"),
+      ("relationship", "source_next_not_updated"),
+      ("relationship", "target_prev_not_updated"),
+      ("relationship", "target_next_not_updated"),
+      ("relationship", "property_not_updated"),
+      ("neostore", "property_not_updated"),
+      ("property", "prev_property_not_updated"),
+      ("property", "next_property_not_updated")))
     assert(v.values.forall(_ > 0))
     // no-op tx: empty diff, no violations
     assert(DiffCheck.violations(old, old).count() === 0L)

@@ -27,15 +27,26 @@ class FullCheckSpec extends SparkTestBase {
   private def dims(rows: (Long, Boolean, Long)*): DataFrame =
     rows.toDF("id", "in_use", "name_id")
 
-  /** Minimal consistent fixture: two nodes, one typed rel, one property
-    * each — mirrors FullCheckIntegrationTest.java:58-73 (2 nodes, 1 rel
-    * type, key=value property). */
+  private def neo(rows: (Long, Boolean, Long)*): DataFrame =
+    rows.toDF("id", "in_use", "next_prop")
+
+  /** Minimal consistent fixture: two nodes, one typed rel (with its own
+    * property chain), the NeoStore record (graph property), one
+    * string-overflow property, one array property — mirrors
+    * FullCheckIntegrationTest.java:58-73 extended to every owner kind
+    * (PrimitiveRecordCheck.java:34, NeoStoreCheck.java:25) and both
+    * dynamic stores (RecordType.java:22-28). */
   private def fixture: Stores = Stores(
     nodes = nodes((1L, true, 10L, 4L), (2L, true, 10L, 8L)),
-    rels = rels((10L, true, 0, 1L, 2L, -1L, -1L, -1L, -1L, -1L)),
-    props = props((4L, true, 1L, -1L, -1L), (8L, true, 2L, -1L, -1L)),
-    blocks = blocks((4L, 0, 0, 3, -1L, 4L), (8L, 0, 0, 4, 100L, 20L)),
+    rels = rels((10L, true, 0, 1L, 2L, -1L, -1L, -1L, -1L, 40L)),
+    neo = neo((0L, true, 0L)),
+    props = props((0L, true, 0L, -1L, -1L), (4L, true, 1L, -1L, -1L),
+      (8L, true, 2L, -1L, -1L), (40L, true, 10L, -1L, -1L)),
+    blocks = blocks((0L, 0, 0, 1, -1L, 0L), (4L, 0, 0, 3, -1L, 4L),
+      (4L, 1, 0, 5, 200L, 24L), (8L, 0, 0, 4, 100L, 20L),
+      (40L, 0, 0, 1, -1L, 0L)),
     dyns = dyns((100L, true, 16L, 101L), (101L, true, 4L, -1L)),
+    arrays = dyns((200L, true, 16L, 201L), (201L, true, 8L, -1L)),
     relTypes = dims((0L, true, 0L)),
     propKeys = dims((0L, true, 0L)),
     typeNames = dyns((0L, true, 9L, -1L)),
@@ -119,5 +130,47 @@ class FullCheckSpec extends SparkTestBase {
     val v = viols(s)
     assert(v.contains(("label", "empty_name", 0L)))
     assert(v.contains(("label_name", "invalid_length", 0L)))
+  }
+
+  test("J5-rel: dangling relationship property head -> property_not_in_use") {
+    val s = fixture.copy(rels = rels((10L, true, 0, 1L, 2L, -1L, -1L, -1L, -1L, 99L)))
+    val v = viols(s)
+    assert(v.contains(("relationship", "property_not_in_use", 10L)))
+    // the rel's real chain head is now unclaimed
+    assert(v.contains(("property", "orphan_chain", 40L)))
+  }
+
+  test("J5-neostore: dangling graph property head -> property_not_in_use") {
+    val s = fixture.copy(neo = neo((0L, true, 99L)))
+    val v = viols(s)
+    assert(v.contains(("neostore", "property_not_in_use", 0L)))
+    assert(v.contains(("property", "orphan_chain", 0L)))
+  }
+
+  test("J13 across owner kinds: rel claiming a node's chain head") {
+    val s = fixture.copy(rels = rels((10L, true, 0, 1L, 2L, -1L, -1L, -1L, -1L, 4L)))
+    val v = viols(s)
+    assert(v.contains(("property", "multiple_owners", 4L)))
+    assert(v.contains(("property", "orphan_chain", 40L)))
+  }
+
+  test("J8-array: dangling array value_ref -> array_not_in_use") {
+    val s = fixture.copy(arrays = dyns((201L, true, 8L, -1L)))
+    val v = viols(s)
+    assert(v.contains(("property", "array_not_in_use", 4L)))
+    // head 200 gone; 201 is mid-chain (not id%8==0) so no array orphan
+    assert(!v.contains(("array", "orphan_chain", 201L)))
+  }
+
+  test("J9/J14/J15-array: self reference, duplicate owners, orphan chain") {
+    val s = fixture.copy(
+      blocks = blocks((0L, 0, 0, 1, -1L, 0L), (4L, 0, 0, 3, -1L, 4L),
+        (4L, 1, 0, 5, 208L, 24L), (8L, 0, 0, 4, 100L, 20L),
+        (8L, 1, 0, 5, 208L, 8L), (40L, 0, 0, 1, -1L, 0L)),
+      arrays = dyns((200L, true, 16L, 200L), (208L, true, 8L, -1L)))
+    val v = viols(s)
+    assert(v.contains(("array", "self_reference", 200L)))
+    assert(v.contains(("array", "multiple_owners", 208L)))
+    assert(v.contains(("array", "orphan_chain", 200L)))
   }
 }

@@ -141,6 +141,25 @@ class EventStreamsSpec extends SparkTestBase {
       asRows(EventStreams.userState(ev)))
   }
 
+  test("verify-after-restore passes on a faithful backup and catches a tampered one") {
+    val backupDir = Files.createTempDirectory("graft-backup-verify").toString
+    val ev = EventStreams.events(spark, dir)
+    val w = ev.agg(max("event_id")).head().getLong(0) / 2
+    Backup.full(spark, ev.filter(col("event_id") <= w), backupDir)
+    Backup.incremental(spark, ev, backupDir)
+    // faithful backup: symmetric difference is empty
+    assert(Backup.verifyRestore(spark, backupDir, ev).count() === 0L)
+    // tamper: rewrite the backup with one event dropped — the verify
+    // must flag both sides' diverging user rows
+    val tampered = spark.read.parquet(s"$backupDir/events")
+      .orderBy(col("event_id")).limit(1).collect()(0).getAs[Long]("event_id")
+    val kept = spark.read.parquet(s"$backupDir/events")
+      .filter(col("event_id") =!= tampered).localCheckpoint(true)
+    kept.write.mode("overwrite").parquet(s"$backupDir/events")
+    val diff = Backup.verifyRestore(spark, backupDir, ev)
+    assert(diff.filter(col("side") === "live_only").count() > 0)
+  }
+
   private implicit class ListOps[A](l: List[A]) {
     def asJava: java.util.List[A] = {
       val jl = new java.util.ArrayList[A](l.size)
