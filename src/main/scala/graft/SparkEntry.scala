@@ -38,6 +38,7 @@ object SparkEntry {
     quiet(RecordStores.deriveCached(s, dir))
     quiet(cachedViolations(s, dir).count())
     quiet(Dedup.ngramJaccard(s, dir).count())
+    quiet(Similarity.warm(s, dir))
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -174,11 +175,13 @@ object SparkEntry {
       cachedViolations(s, dir).groupBy("record_type", "violation")
         .agg(count(lit(1)).as("n"))),
     // J12 incremental diff check: the corruption as one transaction's
-    // DiffStore, checkChange "...NotUpdated" predicates
-    "cc_diff_check" -> ((s, dir) => {
-      val old = RecordStores.deriveCached(s, dir)
-      graft.checker.DiffCheck.violations(old, Corruption(old))
-    }),
+    // DiffStore, checkChange "...NotUpdated" predicates. The DiffStore
+    // is CONSTRUCTED as a change stream (one filtered scan per store,
+    // Corruption.txDiffs) — the shape a CDC source delivers at scale —
+    // not by joining two full store snapshots.
+    "cc_diff_check" -> ((s, dir) =>
+      graft.checker.DiffCheck.violationsFromDiffs(
+        Corruption.txDiffs(RecordStores.deriveCached(s, dir)))),
     // D1-D3 seeded generators (oracle regenerates from range())
     "gen_summary" -> ((s, _) => graft.operators.DataGen.summary(s, 10000L)),
     // iterative analytics: bounded min-propagation (traversal surface)

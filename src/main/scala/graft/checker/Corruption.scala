@@ -1,5 +1,6 @@
 package graft.checker
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.model.Stores
@@ -28,67 +29,107 @@ import graft.model.Stores
   *  - typeNames: one zero-length name block (J10)
   *
   * Moduli are primes so rules overlap rarely but deterministically.
+  *
+  * Rules are DATA (condition + replacement per column), consumed two
+  * ways: [[apply]] rewrites whole stores (the corrupted world the full
+  * check scans), and [[txDiffs]] emits the same corruption as a
+  * CHANGE STREAM — (old, new) pairs of exactly the touched records, in
+  * one filtered scan per store. The incremental checker consumes the
+  * latter: at 100 TB a tx diff arrives from the log/CDC source as a
+  * small changed-row set, and joining two full store snapshots just to
+  * rediscover it (the r2 shape) is the anti-pattern.
   */
 object Corruption {
+  private final case class Rule(column: String, cond: Column, value: Column)
+
+  private def nodeRules = Seq(
+    Rule("next_rel", col("id") % 101 === 3 && col("next_rel") =!= -1,
+      col("next_rel") + 1000000),
+    Rule("in_use", col("id") % 107 === 9, lit(false)),
+    Rule("next_prop", col("id") % 113 === 11, (col("id") + 1) * 4))
+
+  private def relRules = Seq(
+    Rule("type_id", col("id") % 103 === 5, lit(77)),
+    Rule("first_next", col("id") % 109 === 7 && col("first_next") =!= -1,
+      col("first_next") + 1000000),
+    Rule("first_prev", col("id") % 181 === 37 && col("first_prev") =!= -1,
+      col("first_prev") + 1000000),
+    Rule("second_prev", col("id") % 191 === 43 && col("second_prev") =!= -1,
+      col("second_prev") + 1000000),
+    Rule("second_next", col("id") % 139 === 23 && col("second_next") =!= -1,
+      col("second_next") + 1000000),
+    Rule("next_prop", col("id") % 151 === 29, (col("id") + 1) * 4))
+
+  private def neoRules = Seq(
+    Rule("next_prop", lit(true), lit(4L)))
+
+  private def propRules = Seq(
+    Rule("prev_prop", col("id") % 131 === 17 && col("prev_prop") =!= -1,
+      col("prev_prop") + 5000000),
+    Rule("next_prop", col("id") % 157 === 31 && col("next_prop") =!= -1,
+      col("next_prop") + 5000000))
+
+  private def blockRules = Seq(
+    Rule("value_ref", expr("(prop_id div 4) % 149") === 31
+      && col("ptype") === 4 && col("key_id") === 0, col("value_ref") + 128),
+    Rule("value_ref", expr("(prop_id div 4) % 163") === 41
+      && col("ptype") === 5, col("value_ref") + 128))
+
+  private def dynRules = Seq(
+    Rule("next_block", col("id") % 127 === 13 && col("next_block") =!= -1,
+      col("id")),
+    Rule("length", col("id") % 137 === 19, lit(0L)))
+
+  private def arrayRules = Seq(
+    Rule("next_block", col("id") % 167 === 13 && col("next_block") =!= -1,
+      col("id")),
+    Rule("length", col("id") % 173 === 19, lit(0L)))
+
+  private def typeNameRules = Seq(
+    Rule("length", col("id") === 16, lit(0L)))
+
+  /** The new value of one column under the store's rules (conditions
+    * are mutually exclusive per column by the prime moduli, so the
+    * CASE fold equals sequential withColumn application). */
+  private def newValue(c: String, rules: Seq[Rule]): Column =
+    rules.filter(_.column == c)
+      .foldLeft(col(c))((acc, r) => when(r.cond, r.value).otherwise(acc))
+
+  private def rewrite(df: DataFrame, rules: Seq[Rule]): DataFrame =
+    rules.map(_.column).distinct
+      .foldLeft(df)((d, c) => d.withColumn(c, newValue(c, rules)))
+
   def apply(s: Stores): Stores = s.copy(
-    nodes = s.nodes
-      .withColumn("next_rel",
-        when(col("id") % 101 === 3 && col("next_rel") =!= -1,
-          col("next_rel") + 1000000).otherwise(col("next_rel")))
-      .withColumn("in_use",
-        when(col("id") % 107 === 9, lit(false)).otherwise(col("in_use")))
-      .withColumn("next_prop",
-        when(col("id") % 113 === 11, (col("id") + 1) * 4)
-          .otherwise(col("next_prop"))),
-    rels = s.rels
-      .withColumn("type_id",
-        when(col("id") % 103 === 5, lit(77)).otherwise(col("type_id")))
-      .withColumn("first_next",
-        when(col("id") % 109 === 7 && col("first_next") =!= -1,
-          col("first_next") + 1000000).otherwise(col("first_next")))
-      .withColumn("first_prev",
-        when(col("id") % 181 === 37 && col("first_prev") =!= -1,
-          col("first_prev") + 1000000).otherwise(col("first_prev")))
-      .withColumn("second_prev",
-        when(col("id") % 191 === 43 && col("second_prev") =!= -1,
-          col("second_prev") + 1000000).otherwise(col("second_prev")))
-      .withColumn("second_next",
-        when(col("id") % 139 === 23 && col("second_next") =!= -1,
-          col("second_next") + 1000000).otherwise(col("second_next")))
-      .withColumn("next_prop",
-        when(col("id") % 151 === 29, (col("id") + 1) * 4)
-          .otherwise(col("next_prop"))),
-    neo = s.neo
-      .withColumn("next_prop", lit(4L)),
-    props = s.props
-      .withColumn("prev_prop",
-        when(col("id") % 131 === 17 && col("prev_prop") =!= -1,
-          col("prev_prop") + 5000000).otherwise(col("prev_prop")))
-      .withColumn("next_prop",
-        when(col("id") % 157 === 31 && col("next_prop") =!= -1,
-          col("next_prop") + 5000000).otherwise(col("next_prop"))),
-    blocks = s.blocks
-      .withColumn("value_ref",
-        when(expr("(prop_id div 4) % 149") === 31 && col("ptype") === 4
-             && col("key_id") === 0,
-          col("value_ref") + 128)
-        .when(expr("(prop_id div 4) % 163") === 41 && col("ptype") === 5,
-          col("value_ref") + 128)
-        .otherwise(col("value_ref"))),
-    dyns = s.dyns
-      .withColumn("next_block",
-        when(col("id") % 127 === 13 && col("next_block") =!= -1,
-          col("id")).otherwise(col("next_block")))
-      .withColumn("length",
-        when(col("id") % 137 === 19, lit(0L)).otherwise(col("length"))),
-    arrays = s.arrays
-      .withColumn("next_block",
-        when(col("id") % 167 === 13 && col("next_block") =!= -1,
-          col("id")).otherwise(col("next_block")))
-      .withColumn("length",
-        when(col("id") % 173 === 19, lit(0L)).otherwise(col("length"))),
-    typeNames = s.typeNames
-      .withColumn("length",
-        when(col("id") === 16, lit(0L)).otherwise(col("length")))
-  )
+    nodes = rewrite(s.nodes, nodeRules),
+    rels = rewrite(s.rels, relRules),
+    neo = rewrite(s.neo, neoRules),
+    props = rewrite(s.props, propRules),
+    blocks = rewrite(s.blocks, blockRules),
+    dyns = rewrite(s.dyns, dynRules),
+    arrays = rewrite(s.arrays, arrayRules),
+    typeNames = rewrite(s.typeNames, typeNameRules))
+
+  /** One store's slice of the corruption transaction as a change
+    * stream: (id, o_c, n_c per watched column) for exactly the touched
+    * rows — a single filtered scan, no old⋈new join. */
+  private def scanDiff(df: DataFrame, rules: Seq[Rule],
+      watched: Seq[String]): DataFrame =
+    df.filter(rules.map(_.cond).reduce(_ || _))
+      .select(col("id") +:
+        (watched.map(c => col(c).as(s"o_$c")) ++
+          watched.map(c => newValue(c, rules).as(s"n_$c"))): _*)
+      .filter(watched.map(c => col(s"o_$c") =!= col(s"n_$c")).reduce(_ || _))
+
+  /** The corruption tx's DiffStore — same schema the generic
+    * [[DiffCheck.diff]] produces, derived without joining snapshots.
+    * Only the four property-owning / pointer-carrying stores
+    * participate in checkChange predicates. */
+  def txDiffs(s: Stores): DiffCheck.TxDiffs = DiffCheck.TxDiffs(
+    nodes = scanDiff(s.nodes, nodeRules,
+      Seq("in_use", "next_rel", "next_prop")),
+    rels = scanDiff(s.rels, relRules,
+      Seq("type_id", "first_prev", "first_next",
+        "second_prev", "second_next", "next_prop")),
+    props = scanDiff(s.props, propRules, Seq("prev_prop", "next_prop")),
+    neo = scanDiff(s.neo, neoRules, Seq("next_prop")))
 }

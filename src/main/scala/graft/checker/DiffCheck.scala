@@ -37,7 +37,16 @@ import graft.model.Stores
 object DiffCheck {
   private val NIL = -1L
 
-  /** (old, new) pairs of one store whose watched columns changed. */
+  /** One transaction's DiffStore: per-store (old, new) pairs of the
+    * changed records, columns id + o_c/n_c per watched column. At
+    * scale this ARRIVES small (from the tx log / CDC source); the
+    * snapshot-join [[diff]] below exists for callers that only hold
+    * two store versions. */
+  final case class TxDiffs(nodes: DataFrame, rels: DataFrame,
+    props: DataFrame, neo: DataFrame)
+
+  /** (old, new) pairs of one store whose watched columns changed —
+    * the snapshot⋈snapshot fallback construction. */
   def diff(old: DataFrame, neu: DataFrame, cols: Seq[String]): DataFrame = {
     val o = old.select(col("id") +: cols.map(c => col(c).as(s"o_$c")): _*)
     val n = neu.select(col("id") +: cols.map(c => col(c).as(s"n_$c")): _*)
@@ -53,15 +62,29 @@ object DiffCheck {
       .select(col("record_type"), col("violation"), col("id").as("record_id"))
 
   /** All checkChange violations of one transaction given the old and
-    * new store bundles. */
-  def violations(oldS: Stores, newS: Stores): DataFrame = {
-    val nodeDiff = diff(oldS.nodes, newS.nodes,
-      Seq("in_use", "next_rel", "next_prop"))
-    val relDiff = diff(oldS.rels, newS.rels,
-      Seq("type_id", "first_prev", "first_next",
-        "second_prev", "second_next", "next_prop"))
-    val propDiff = diff(oldS.props, newS.props, Seq("prev_prop", "next_prop"))
-    val neoDiff = diff(oldS.neo, newS.neo, Seq("next_prop"))
+    * new store bundles (derives the DiffStore by snapshot join). */
+  def violations(oldS: Stores, newS: Stores): DataFrame =
+    violationsFromDiffs(TxDiffs(
+      nodes = diff(oldS.nodes, newS.nodes,
+        Seq("in_use", "next_rel", "next_prop")),
+      rels = diff(oldS.rels, newS.rels,
+        Seq("type_id", "first_prev", "first_next",
+          "second_prev", "second_next", "next_prop")),
+      props = diff(oldS.props, newS.props, Seq("prev_prop", "next_prop")),
+      neo = diff(oldS.neo, newS.neo, Seq("next_prop"))))
+
+  /** All checkChange violations of one transaction given its
+    * DiffStore directly — the scale path: the diff is the (small)
+    * input, never a join of two full snapshots. */
+  def violationsFromDiffs(d: TxDiffs): DataFrame = {
+    // each diff table feeds 2-3 consumers (its own pointer predicates +
+    // the anti-join id sets); an eager localCheckpoint materializes the
+    // small changed-record set once instead of re-running its
+    // derivation per consumer
+    val nodeDiff = d.nodes.localCheckpoint(true)
+    val relDiff = d.rels.localCheckpoint(true)
+    val propDiff = d.props.localCheckpoint(true)
+    val neoDiff = d.neo
     val relDiffIds = relDiff.select(col("id").as("did"))
     val propDiffIds = propDiff.select(col("id").as("did"))
 

@@ -38,6 +38,26 @@ class DiffCheckSpec extends SparkTestBase {
     assert(DiffCheck.violations(old, old).count() === 0L)
   }
 
+  test("scan-built change stream equals the snapshot-join diff (metamorphic)") {
+    val old = RecordStores.derive(spark, dir)
+    val corrupted = Corruption(old)
+    val scan = Corruption.txDiffs(old)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(scan.nodes) === rows(DiffCheck.diff(old.nodes, corrupted.nodes,
+      Seq("in_use", "next_rel", "next_prop"))))
+    assert(rows(scan.rels) === rows(DiffCheck.diff(old.rels, corrupted.rels,
+      Seq("type_id", "first_prev", "first_next",
+        "second_prev", "second_next", "next_prop"))))
+    assert(rows(scan.props) === rows(DiffCheck.diff(old.props, corrupted.props,
+      Seq("prev_prop", "next_prop"))))
+    assert(rows(scan.neo) === rows(DiffCheck.diff(old.neo, corrupted.neo,
+      Seq("next_prop"))))
+    // and the violations computed from the stream equal the join form
+    assert(rows(DiffCheck.violationsFromDiffs(scan)) ===
+      rows(DiffCheck.violations(old, corrupted)))
+  }
+
   test("a tx that updates both sides of a pointer change is clean") {
     // change node 1's next_rel from 10 to 11 AND include both rels in
     // the tx (their chain pointers changed too) -> no violation
