@@ -103,6 +103,10 @@ object SparkEntry {
         .withColumn("cents", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
       graft.operators.Salt.saltedSum(li, "l_returnflag", "cents")
     }),
+    // bucketing surface: lineitem⋈orders over pre-bucketed twins —
+    // the join itself is exchange-free (bucket-local merge)
+    "q07_bucketed_join" -> ((s, dir) =>
+      graft.operators.Bucketing.revenueByPriority(s, dir)),
     // window-function surface: top-2 orders per customer
     "q04_window_rank" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -282,6 +286,13 @@ object SparkEntry {
       """SELECT l_returnflag,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q07_bucketed_join" ->
+      """SELECT o_orderpriority AS priority,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q04_window_rank" ->
       """WITH p AS (SELECT o_custkey, o_orderkey,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM orders),
