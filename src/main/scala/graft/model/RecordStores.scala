@@ -223,31 +223,48 @@ object RecordStores {
     * checker walks (PrimitiveRecordCheck.java:34): nodes, relationships
     * (weight on every rel, an overflowing note on a deterministic
     * subset) and the NeoStore record (graph properties). */
+  /** max property seq per owner, known STATICALLY per owner kind (the
+    * property sets are spec data, and seqs are dense 0..max): lets the
+    * record chunking below run shuffle-free — no distinct, no window. */
+  private val maxSeqByTable: Map[String, Int] =
+    extraProps.map(kp => kp.table -> kp.extras.map(_.seq).max).toMap
+  private val kindNameToTable = Map(
+    "customer" -> "customer", "supplier" -> "supplier",
+    "part" -> "part", "order" -> "orders")
+
   def propRows(spark: SparkSession, dir: String, rels: DataFrame): DataFrame = {
+    // name branch: owner's max seq depends on its kind (0 for kinds
+    // with no extras)
+    val nameMaxSeq = kindNameToTable.foldLeft(lit(0)) { case (acc, (kind, t)) =>
+      when(col("kind") === kind, lit(maxSeqByTable(t))).otherwise(acc)
+    }
     val name = TpchGraph.nodes(spark, dir).select(
       col("id").as("owner"), lit(0).as("key_id"), lit(0).as("seq"),
-      lit(TShortString).as("ptype0"), length(col("name")).cast("long").as("vlen"))
+      lit(TShortString).as("ptype0"), length(col("name")).cast("long").as("vlen"),
+      nameMaxSeq.as("max_seq"))
     val extras = extraProps.flatMap { kp =>
       val t = Tpch.table(spark, dir, kp.table)
       kp.extras.map { e =>
         t.select(
           (lit(kp.kindCode * TpchGraph.Base) + col(kp.keyCol)).as("owner"),
           lit(e.keyId).as("key_id"), lit(e.seq).as("seq"),
-          lit(e.ptype0).as("ptype0"), expr(e.vlenExpr).cast("long").as("vlen"))
+          lit(e.ptype0).as("ptype0"), expr(e.vlenExpr).cast("long").as("vlen"),
+          lit(maxSeqByTable(kp.table)).as("max_seq"))
       }
     }
+    val relMaxSeq = when(col("id") % RelNoteMod === 1, lit(1)).otherwise(lit(0))
     val relWeight = rels.select(col("id").as("owner"),
       lit(RelWeightKey).as("key_id"), lit(0).as("seq"),
-      lit(TLong).as("ptype0"), lit(0L).as("vlen"))
+      lit(TLong).as("ptype0"), lit(0L).as("vlen"), relMaxSeq.as("max_seq"))
     val relNote = rels.filter(col("id") % RelNoteMod === 1)
       .select(col("id").as("owner"), lit(RelNoteKey).as("key_id"),
         lit(1).as("seq"), lit(TShortString).as("ptype0"),
-        (lit(5L) + col("id") % 29).as("vlen"))
+        (lit(5L) + col("id") % 29).as("vlen"), lit(1).as("max_seq"))
     import spark.implicits._
     val neoRows = Seq(
-      (NeoStoreId, NeoNameKey, 0, TShortString, NeoNameLen),
-      (NeoStoreId, NeoTxKey, 1, TLong, 0L))
-      .toDF("owner", "key_id", "seq", "ptype0", "vlen")
+      (NeoStoreId, NeoNameKey, 0, TShortString, NeoNameLen, 1),
+      (NeoStoreId, NeoTxKey, 1, TLong, 0L, 1))
+      .toDF("owner", "key_id", "seq", "ptype0", "vlen", "max_seq")
     (name +: extras :+ relWeight :+ relNote :+ neoRows).reduce(_ unionAll _)
       .withColumn("ptype",
         when(col("ptype0") === TShortString && col("vlen") > BlockSize,
@@ -307,15 +324,19 @@ object RecordStores {
 
     val rows = tap(propRows(spark, dir, g.rels))
 
-    // property records: chunk into records of ≤4 blocks, doubly linked
-    val pr1 = rows.select(col("owner"), expr("seq div 4").as("ri")).distinct()
-    val wOwner = Window.partitionBy("owner")
-    val propRecs = pr1
-      .withColumn("mri", max("ri").over(wOwner))
-      .select((col("owner") * 4 + col("ri")).as("id"), lit(true).as("in_use"),
-        col("owner"),
-        when(col("ri") === 0, lit(-1L)).otherwise(col("owner") * 4 + col("ri") - 1).as("prev_prop"),
-        when(col("ri") === col("mri"), lit(-1L)).otherwise(col("owner") * 4 + col("ri") + 1).as("next_prop"))
+    // property records: chunk into records of ≤4 blocks, doubly linked.
+    // One record per 4 dense seqs — the rows with seq % 4 == 0 ARE the
+    // record set (seqs are dense per owner by construction), and the
+    // chain end comes from the statically-known max_seq: zero shuffles,
+    // where a distinct + max-window would shuffle the full prop rows
+    // twice (the oracle keeps the window form; values are identical)
+    val propRecs = rows.filter(col("seq") % 4 === 0)
+      .select((col("owner") * 4 + expr("seq div 4")).as("id"),
+        lit(true).as("in_use"), col("owner"),
+        when(expr("seq div 4") === 0, lit(-1L))
+          .otherwise(col("owner") * 4 + expr("seq div 4") - 1).as("prev_prop"),
+        when(expr("seq div 4") === expr("max_seq div 4"), lit(-1L))
+          .otherwise(col("owner") * 4 + expr("seq div 4") + 1).as("next_prop"))
 
     val blocks = rows.select(
       (col("owner") * 4 + expr("seq div 4")).as("prop_id"),
