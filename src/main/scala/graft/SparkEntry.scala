@@ -250,6 +250,7 @@ object SparkEntry {
     "dd_embedding" -> ((s, dir) => Similarity.embeddingDup(s, dir)),
     "mm_media_features" -> ((s, dir) => Media.mediaFeatures(s, dir)),
     "mm_frame_sample" -> ((s, dir) => Media.frameSample(s, dir)),
+    "mm_resize" -> ((s, dir) => Media.resizeThumbs(s, dir)),
     // end-to-end curation: quality ∧ language ∧ not-near-dup, per-lang
     "pipe_curation" -> ((s, dir) => graft.operators.Pipeline.curate(s, dir)),
   )
@@ -413,6 +414,7 @@ object SparkEntry {
     "dd_embedding" -> TextCtes.embeddingDup,
     "mm_media_features" -> TextCtes.mediaFeatures,
     "mm_frame_sample" -> TextCtes.frameSample,
+    "mm_resize" -> TextCtes.resizeThumbs,
     "pipe_curation" -> TextCtes.curation,
   )
 }

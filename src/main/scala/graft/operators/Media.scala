@@ -74,6 +74,38 @@ object Media {
       .toDF("doc_id", "frame_idx", "first_byte")
   }
 
+  /** Resize — the third multimodal pass every image/video pipeline
+    * needs (decode → resize → re-encode). The stub "resize" is a
+    * deterministic byte-domain downsample: stride-sample the blob to a
+    * fixed [[ThumbWidth]]-byte thumbnail (index i reads byte
+    * ⌊i·n/w⌋ — nearest-neighbor downscaling in one dimension). The
+    * REAL part is the shape: per-row binary → fixed-size binary inside
+    * mapPartitions, exactly where a codec's scale call sits; the
+    * output row carries scalar stats (length + position-weighted
+    * checksum mod 997) so the oracle pins the thumbnail bytes. */
+  val ThumbWidth = 64
+  def resizeThumbs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val n = bytes.length
+          val w = math.min(ThumbWidth, n)
+          val thumb = Array.tabulate(w)(i => bytes((i.toLong * n / w).toInt))
+          var acc = 0L
+          var i = 0
+          while (i < thumb.length) {
+            acc = (acc + (thumb(i) & 0xff).toLong * (i + 1)) % ChecksumMod
+            i += 1
+          }
+          (id, thumb.length.toLong, acc)
+        }
+      }
+      .toDF("doc_id", "thumb_len", "thumb_checksum")
+  }
+
   /** Feature extraction over the binary column via typed mapPartitions
     * — the distributed decode pass. */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {

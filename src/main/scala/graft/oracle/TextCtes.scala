@@ -387,4 +387,18 @@ object TextCtes {
        |  CAST(length(text) // 256 + 1 AS BIGINT) AS n_frames,
        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), (a, x) -> (a + x) % 997) AS checksum
        |FROM documents""".stripMargin
+
+  /** twin of Media.resizeThumbs: stride-sampled thumbnail over the
+    * ASCII corpus — byte i of the thumb is char ⌊i·n/w⌋ of the text;
+    * the position-weighted sum mod 997 pins the byte sequence. */
+  val resizeThumbs: String =
+    s"""SELECT doc_id,
+       |  CAST(least(64, length(text)) AS BIGINT) AS thumb_len,
+       |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(generate_series(0, least(64, length(text)) - 1),
+       |      i -> CAST(ascii(substr(text,
+       |             CAST((i * length(text)) // least(64, length(text)) AS INT) + 1,
+       |             1)) AS BIGINT) * (i + 1))),
+       |    (a, x) -> a + x) % 997 AS BIGINT) AS thumb_checksum
+       |FROM documents""".stripMargin
 }
