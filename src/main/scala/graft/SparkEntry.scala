@@ -174,6 +174,11 @@ object SparkEntry {
     // full consistency check over corruption-injected stores
     // (SURVEY §2.3 J1-J15, §3.1 lifecycle)
     "cc_violations" -> ((s, dir) => cachedViolations(s, dir)),
+    // J16 chain repair: re-derive true chains from the broken store's
+    // surviving endpoints, emit per-pointer repair actions
+    "rec_chain_repair" -> ((s, dir) =>
+      graft.checker.Repair.chainRepairs(
+        Corruption(RecordStores.deriveCached(s, dir)))),
     // A1 summary (ConsistencySummaryStatistics)
     "cc_summary" -> ((s, dir) =>
       cachedViolations(s, dir).groupBy("record_type", "violation")
@@ -378,6 +383,7 @@ object SparkEntry {
          |SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree""".stripMargin,
     "rec_stores_profile" -> RecordCtes.recProfile,
     "rec_prop_stats" -> RecordCtes.recPropStats,
+    "rec_chain_repair" -> RecordCtes.recChainRepair,
     "cc_violations" -> RecordCtes.ccViolations,
     "cc_summary" -> RecordCtes.ccSummary,
     "cc_diff_check" -> RecordCtes.ccDiffCheck,

@@ -473,6 +473,42 @@ object RecordCtes {
        |  CAST(sum(next_block % 1000003) AS BIGINT),
        |  CAST(sum(len) AS BIGINT) FROM arrays0""".stripMargin
 
+  /** J16 chain repair — twin of graft.checker.Repair.chainRepairs:
+    * re-derive the true chains from the corrupted store's own
+    * surviving endpoints, diff against the stored pointers. */
+  val recChainRepair: String = {
+    val relFields = Seq("first_prev", "first_next", "second_prev", "second_next")
+      .map { f =>
+        s"""SELECT 'relationship' AS record_type, r.id AS record_id,
+           |  '$f' AS field, r.$f AS bad_value, c.$f AS good_value
+           |FROM live_rels r JOIN r_chain c ON r.id = c.rel_id
+           |WHERE r.$f <> c.$f""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    s"""$world,
+       |live_rels AS (SELECT * FROM c_rels WHERE in_use),
+       |r_inc AS (
+       |  SELECT first_node AS node, id AS rel_id, 0 AS side FROM live_rels
+       |  UNION ALL SELECT second_node, id, 1 FROM live_rels),
+       |r_inc_pn AS (
+       |  SELECT node, rel_id, side,
+       |    lag(rel_id, 1, -1) OVER w AS prev,
+       |    lead(rel_id, 1, -1) OVER w AS next
+       |  FROM r_inc WINDOW w AS (PARTITION BY node ORDER BY rel_id)),
+       |r_chain AS (
+       |  SELECT rel_id,
+       |    max(CASE WHEN side = 0 THEN prev END) AS first_prev,
+       |    max(CASE WHEN side = 0 THEN next END) AS first_next,
+       |    max(CASE WHEN side = 1 THEN prev END) AS second_prev,
+       |    max(CASE WHEN side = 1 THEN next END) AS second_next
+       |  FROM r_inc_pn GROUP BY rel_id),
+       |r_min AS (SELECT node, min(rel_id) AS min_rel FROM r_inc GROUP BY node)
+       |$relFields
+       |UNION ALL
+       |SELECT 'node', n.id, 'next_rel', n.next_rel, coalesce(m.min_rel, -1)
+       |FROM c_nodes n LEFT JOIN r_min m ON n.id = m.node
+       |WHERE n.in_use AND n.next_rel <> coalesce(m.min_rel, -1)""".stripMargin
+  }
+
   /** A2 property-store histograms — twin of the `rec_prop_stats` query
     * (reference PropertyStats.java:32-70). */
   val recPropStats: String =
