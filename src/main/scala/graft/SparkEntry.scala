@@ -39,6 +39,7 @@ object SparkEntry {
     quiet(cachedViolations(s, dir).count())
     quiet(Dedup.ngramJaccard(s, dir).count())
     quiet(Similarity.warm(s, dir))
+    quiet(graft.operators.Bucketing.warm(s, dir))
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -175,6 +175,64 @@ object EventStreams {
       }
   }
 
+  final case class SessEv(user_id: Long, ts: java.sql.Timestamp, cents: Long)
+  final case class SessRunning(startMs: Long, lastMs: Long, n: Long,
+    total: Long, idx: Long)
+  final case class SessOut(user_id: Long, session_idx: Long,
+    session_start: java.sql.Timestamp, n_events: Long, total_cents: Long)
+
+  /** Streaming sessionization — the custom-state form of [[sessionize]]
+    * via flatMapGroupsWithState + EventTimeTimeout: per-user open
+    * sessions live in keyed state, extend on in-gap events, close
+    * (emit) on a >30-min gap within a batch or when the watermark
+    * passes last_event + gap (the timeout path). State per key is one
+    * running session — bounded regardless of stream length; emitted
+    * rows match the batch twin's (session_idx, start, n, total). */
+  def sessionizeStream(src: DataFrame): Dataset[SessOut] = {
+    val ss = src.sparkSession
+    import ss.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    val gapMs = SessionGapMicros / 1000L
+    src.select(col("user_id"), col("ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withWatermark("ts", "2 hours")
+      .as[SessEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, evs: Iterator[SessEv], state: GroupState[SessRunning]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessOut(uid, s.idx,
+              new java.sql.Timestamp(s.startMs), s.n, s.total))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.cents))
+            var cur = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer[SessOut]()
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs > gapMs =>
+                  out += SessOut(uid, s.idx,
+                    new java.sql.Timestamp(s.startMs), s.n, s.total)
+                  cur = Some(SessRunning(t, t, 1L, e.cents, s.idx + 1))
+                case Some(s) =>
+                  cur = Some(s.copy(lastMs = math.max(s.lastMs, t),
+                    n = s.n + 1, total = s.total + e.cents))
+                case None =>
+                  cur = Some(SessRunning(t, t, 1L, e.cents, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Session windows: a new session starts after a >30-min gap; output
     * one row per (user, session). */
   def sessionize(ev: DataFrame): DataFrame = {

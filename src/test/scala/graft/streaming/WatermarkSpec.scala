@@ -47,4 +47,53 @@ class WatermarkSpec extends SparkTestBase {
       assert(!rows.contains("2024-01-01 09:00:00.0"))
     } finally q.stop()
   }
+
+  test("streaming sessionization (flatMapGroupsWithState) equals the batch twin") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Double)]
+    val src = stream.toDF().toDF("user_id", "ts", "value")
+    val q = EventStreams.sessionizeStream(src)
+      .writeStream.format("memory").queryName("wm_sess")
+      .outputMode("append")
+      .start()
+    try {
+      // user 1: two sessions (10:00-10:10, then 12:00 after a 110-min
+      // gap); user 2: one session. The sentinel user 99 only advances
+      // the watermark so every real session times out and emits.
+      stream.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1.0),
+        (1L, ts("2024-01-01 10:10:00"), 2.0),
+        (2L, ts("2024-01-01 10:05:00"), 5.0))
+      q.processAllAvailable()
+      stream.addData((1L, ts("2024-01-01 12:00:00"), 3.0))
+      q.processAllAvailable()
+      stream.addData((99L, ts("2024-01-02 23:00:00"), 0.0))
+      q.processAllAvailable()
+      stream.addData((99L, ts("2024-01-03 23:00:00"), 0.0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("wm_sess")
+        .filter("user_id < 99")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).toString,
+          r.getLong(3), r.getLong(4))).toSet
+
+      import spark.implicits._
+      val batchRows = Seq(
+        (1L, ts("2024-01-01 10:00:00"), 1.0),
+        (1L, ts("2024-01-01 10:10:00"), 2.0),
+        (2L, ts("2024-01-01 10:05:00"), 5.0),
+        (1L, ts("2024-01-01 12:00:00"), 3.0))
+        .toDF("user_id", "ts", "value")
+        .withColumn("event_id", org.apache.spark.sql.functions.expr("CAST(0 AS BIGINT)"))
+        .withColumn("cents", org.apache.spark.sql.functions.expr(
+          "CAST(round(value * 100) AS BIGINT)"))
+      val batch = EventStreams.sessionize(batchRows)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).toString,
+          r.getLong(3), r.getLong(4))).toSet
+      assert(streamed === batch)
+      assert(streamed.size === 3)
+    } finally q.stop()
+  }
 }
