@@ -1,0 +1,49 @@
+package graft
+
+/** Plan-shape regression guards for the fixes that perf depends on —
+  * the numbers in BENCH only hold while these shapes hold, so they are
+  * pinned as asserts, not just printed by PlanAudit:
+  *
+  *  - dd_minhash_lsh must score CANDIDATES (joins keyed by doc id or
+  *    (doc, sfp)) — an sfp-only join is the full inverted-index pair
+  *    expansion that defeated the LSH in r2;
+  *  - rec_chain_reconstruction must stay a partial-agg plan — no
+  *    per-node array materialization;
+  *  - q03_topk must compile to TakeOrderedAndProject (per-partition
+  *    top-k), never a global sort.
+  */
+class PlanInvariantsSpec extends SparkTestBase {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("dd_minhash_lsh verify path has no pair-expansion join (candidate-scored)") {
+    val p = plan("dd_minhash_lsh")
+    // the r2 anti-shape: sh(a) ⋈ sh(b) keyed ONLY by the shingle
+    // fingerprint with the pair condition (a < b) pushed into the join
+    // — the full inverted-index pair expansion. The df-cap semi-join
+    // also keys on sfp but carries no pair condition; candidate
+    // scoring joins on doc id or (doc id, sfp).
+    val pairExpansion =
+      raw"Join \[sfp#\d+L\], \[sfp#\d+L\], Inner, \w+, \(\w#\d+L < \w#\d+L\)".r
+    assert(pairExpansion.findFirstIn(p).isEmpty, p)
+    // and the ngram path (which legitimately expands pairs) proves the
+    // regex matches the anti-shape
+    val ngram = plan("dd_ngram_jaccard")
+    assert(pairExpansion.findFirstIn(ngram).isDefined, ngram)
+  }
+
+  test("rec_chain_reconstruction has no array materialization") {
+    val p = plan("rec_chain_reconstruction")
+    assert(!p.contains("collect_list"), p)
+    assert(!p.contains("sort_array"), p)
+    assert(p.contains("partial"), p) // map-side partial aggregation
+  }
+
+  test("q03_topk is per-partition top-k, not a global sort") {
+    val p = plan("q03_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
