@@ -253,6 +253,7 @@ object SparkEntry {
     "ann_topk" -> ((s, dir) => Similarity.annBruteForce(s, dir)),
     "ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
     "ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
+    "ann_ivf_kmeans" -> ((s, dir) => Similarity.annIvfTrained(s, dir)),
     "dd_embedding" -> ((s, dir) => Similarity.embeddingDup(s, dir)),
     "mm_media_features" -> ((s, dir) => Media.mediaFeatures(s, dir)),
     "mm_frame_sample" -> ((s, dir) => Media.frameSample(s, dir)),
@@ -418,6 +419,7 @@ object SparkEntry {
     "ann_topk" -> TextCtes.annBruteForce,
     "ann_lsh" -> TextCtes.annLsh,
     "ann_ivf" -> TextCtes.annIvf,
+    "ann_ivf_kmeans" -> TextCtes.annIvfTrained,
     "dd_embedding" -> TextCtes.embeddingDup,
     "mm_media_features" -> TextCtes.mediaFeatures,
     "mm_frame_sample" -> TextCtes.frameSample,

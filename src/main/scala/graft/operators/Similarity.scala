@@ -163,6 +163,71 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
   }
 
+  val TrainIters = 2
+
+  /** IVF with TRAINED centroids — [[annIvf]]'s deterministic seed
+    * subset, refined by [[TrainIters]] Lloyd iterations. The k-means
+    * trick that keeps it engine-exact: centroids are stored as the
+    * elementwise SUM of their members, never the mean — cosine is
+    * scale-invariant, so cos(q, sum) == cos(q, mean) and every number
+    * in training stays an exact BIGINT (a mean would need division,
+    * whose floor/truncate semantics differ across engines). Clusters
+    * that lose all members (or zero out) drop deterministically.
+    *
+    * Scale shape per iteration: one broadcast of the centroid set
+    * against the corpus (N×k codegen dots — the standard assignment
+    * kernel) + one partial-agg shuffle for the sums; the corpus is
+    * never re-shuffled. */
+  def annIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantizedCached(spark, dir)
+    def assignTo(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
+      e.crossJoin(broadcast(cents))
+        .withColumn("dot", dot("q", "cq"))
+        .withColumn("cos", col("dot") / (sqrt(col("nrm")) * sqrt(col("cn"))))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") === 1)
+        .select(col("vec_id"), col("cid"))
+    }
+    var cents = e.filter(col("vec_id") % CentroidMod === 0)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn"))
+    for (_ <- 1 to TrainIters) {
+      cents = assignTo(cents)
+        .join(e, "vec_id")
+        .select(col("cid"), posexplode(col("q")).as(Seq("i", "x")))
+        .groupBy("cid", "i").agg(sum("x").as("s"))
+        .groupBy("cid")
+        .agg(expr("transform(sort_array(collect_list(struct(i, s))), p -> p.s)")
+          .as("cq"))
+        .withColumn("cn", expr("graft_dot(cq, cq)"))
+        .filter(col("cn") > 0)
+    }
+
+    val assign = assignTo(cents)
+    val queries = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qv"), col("nrm").as("qn"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    val probes = broadcast(queries).crossJoin(broadcast(cents))
+      .withColumn("dot", dot("qv", "cq"))
+      .withColumn("cos", col("dot") / (sqrt(col("qn")) * sqrt(col("cn"))))
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= NProbe)
+      .select(col("qid"), col("cid"))
+    val cands = probes
+      .join(assign, "cid")
+      .select(col("qid"), col("vec_id").as("nid"))
+      .join(e.select(col("vec_id").as("nid"), col("q").as("cv"), col("nrm").as("cn2")), "nid")
+    val scored = cands
+      .join(broadcast(queries), "qid")
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("dot", dot("qv", "cv"))
+      .withColumn("cos", col("dot") / (sqrt(col("qn")) * sqrt(col("cn2"))))
+    val wRank = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+  }
+
   /** Embedding-cosine near-dup over embeddings ∪ perturbed copy
     * (each quantized component +1, ids offset): pairs in the same LSH
     * bucket with cos ≥ τ. Bucket-blocked join = linear-scale near-dup. */

@@ -347,6 +347,79 @@ object TextCtes {
        |  FROM scored)
        |SELECT qid, rnk AS rank, nid, cos FROM ranked WHERE rnk <= 5""".stripMargin
 
+  /** twin of Similarity.annIvfTrained: k-means-refined IVF with
+    * centroids kept as exact SUM vectors (cosine is scale-invariant,
+    * so no division ever happens and every training number is an
+    * exact BIGINT in both engines). Iterations unrolled; zero-norm /
+    * emptied clusters drop via the HAVING guard, mirroring the Spark
+    * side's cn > 0 filter. */
+  val annIvfTrained: String = {
+    val T = graft.operators.Similarity.TrainIters
+    def iter(t: Int): String =
+      s"""cn${t - 1} AS (
+         |  SELECT cid, CAST(sum(s*s) AS BIGINT) AS cn
+         |  FROM c${t - 1} GROUP BY cid HAVING sum(s*s) > 0),
+         |d$t AS (
+         |  SELECT a.vec_id, c.cid, CAST(sum(a.x * c.s) AS BIGINT) AS dot
+         |  FROM el a JOIN c${t - 1} c ON a.i = c.i GROUP BY 1, 2),
+         |a$t AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT d.vec_id, d.cid,
+         |      row_number() OVER (PARTITION BY d.vec_id
+         |        ORDER BY d.dot / (sqrt(v.nrm) * sqrt(cn.cn)) DESC, d.cid) AS r
+         |    FROM d$t d JOIN valid v ON d.vec_id = v.vec_id
+         |    JOIN cn${t - 1} cn ON d.cid = cn.cid) WHERE r = 1),
+         |c$t AS (
+         |  SELECT a.cid, e2.i, CAST(sum(e2.x) AS BIGINT) AS s
+         |  FROM a$t a JOIN el e2 ON e2.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
+    val iters = (1 to T).map(iter).mkString(",\n")
+    s"""WITH $embBase,
+       |c0 AS (
+       |  SELECT e0.vec_id AS cid, e0.i, CAST(e0.x AS BIGINT) AS s
+       |  FROM el e0 JOIN valid v ON e0.vec_id = v.vec_id
+       |  WHERE e0.vec_id % 25 = 0),
+       |$iters,
+       |cn$T AS (
+       |  SELECT cid, CAST(sum(s*s) AS BIGINT) AS cn
+       |  FROM c$T GROUP BY cid HAVING sum(s*s) > 0),
+       |dfin AS (
+       |  SELECT a.vec_id, c.cid, CAST(sum(a.x * c.s) AS BIGINT) AS dot
+       |  FROM el a JOIN c$T c ON a.i = c.i GROUP BY 1, 2),
+       |afin AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT d.vec_id, d.cid,
+       |      row_number() OVER (PARTITION BY d.vec_id
+       |        ORDER BY d.dot / (sqrt(v.nrm) * sqrt(cn.cn)) DESC, d.cid) AS r
+       |    FROM dfin d JOIN valid v ON d.vec_id = v.vec_id
+       |    JOIN cn$T cn ON d.cid = cn.cid) WHERE r = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, cid FROM (
+       |    SELECT d.vec_id, d.cid,
+       |      row_number() OVER (PARTITION BY d.vec_id
+       |        ORDER BY d.dot / (sqrt(v.nrm) * sqrt(cn.cn)) DESC, d.cid) AS r
+       |    FROM dfin d JOIN valid v ON d.vec_id = v.vec_id
+       |    JOIN cn$T cn ON d.cid = cn.cid
+       |    WHERE d.vec_id % 50 = 0) WHERE r <= 2),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id AS nid FROM probes p JOIN afin a ON p.cid = a.cid),
+       |dots AS (
+       |  SELECT c.qid, c.nid, CAST(sum(a.x * b.x) AS BIGINT) AS dot
+       |  FROM cand c
+       |  JOIN el a ON a.vec_id = c.qid
+       |  JOIN el b ON b.vec_id = c.nid AND b.i = a.i
+       |  WHERE c.qid <> c.nid
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.qid, d.nid, d.dot / (sqrt(qa.nrm) * sqrt(qb.nrm)) AS cos
+       |  FROM dots d JOIN valid qa ON d.qid = qa.vec_id
+       |  JOIN valid qb ON d.nid = qb.vec_id),
+       |ranked AS (
+       |  SELECT qid, nid, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+       |  FROM scored)
+       |SELECT qid, rnk AS rank, nid, cos FROM ranked WHERE rnk <= 5""".stripMargin
+  }
+
   val embeddingDup: String =
     s"""WITH $embBase,
        |corp AS (

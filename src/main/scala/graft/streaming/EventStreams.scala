@@ -175,6 +175,17 @@ object EventStreams {
       }
   }
 
+  /** Streaming exactly-once dedup: drop re-delivered events by
+    * event_id inside the watermark horizon — the at-least-once →
+    * exactly-once repair every CDC/log consumer runs first. State is
+    * bounded by the watermark (an id older than the horizon cannot be
+    * re-delivered by a source replaying from the last committed
+    * offset), which is what makes this shape safe at any stream
+    * length — a plain dropDuplicates would accumulate ids forever. */
+  def dedupStream(src: DataFrame): DataFrame =
+    src.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class SessEv(user_id: Long, ts: java.sql.Timestamp, cents: Long)
   final case class SessRunning(startMs: Long, lastMs: Long, n: Long,
     total: Long, idx: Long)

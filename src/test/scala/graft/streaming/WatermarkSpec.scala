@@ -48,6 +48,29 @@ class WatermarkSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup emits re-delivered events exactly once") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val src = stream.toDF().toDF("event_id", "ts", "event_type")
+    val q = EventStreams.dedupStream(src)
+      .writeStream.format("memory").queryName("wm_dedup")
+      .outputMode("append")
+      .start()
+    try {
+      stream.addData(
+        (1L, ts("2024-01-01 10:00:00"), "click"),
+        (2L, ts("2024-01-01 10:01:00"), "click"))
+      q.processAllAvailable()
+      // re-delivery of id 1 (same payload, later batch) + a new event
+      stream.addData(
+        (1L, ts("2024-01-01 10:00:00"), "click"),
+        (3L, ts("2024-01-01 10:02:00"), "purchase"))
+      q.processAllAvailable()
+      val ids = spark.table("wm_dedup").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming sessionization (flatMapGroupsWithState) equals the batch twin") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, Double)]
