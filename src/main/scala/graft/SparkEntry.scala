@@ -243,6 +243,7 @@ object SparkEntry {
     "t_quality" -> ((s, dir) => TextOps.quality(s, dir)),
     "t_lang_id" -> ((s, dir) => TextOps.langId(s, dir)),
     "t_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir)),
+    "t_intra_dedup" -> ((s, dir) => TextOps.intraDedup(s, dir)),
     "t_simhash" -> ((s, dir) => TextOps.simhash(s, dir)),
     "dd_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "dd_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
@@ -409,6 +410,7 @@ object SparkEntry {
     "t_quality" -> TextCtes.quality,
     "t_lang_id" -> TextCtes.langId,
     "t_fingerprint" -> TextCtes.fingerprint,
+    "t_intra_dedup" -> TextCtes.intraDedup,
     "t_simhash" -> TextCtes.simhash,
     "dd_exact" -> TextCtes.dedupExact,
     "dd_ngram_jaccard" -> TextCtes.ngramJaccard,

@@ -104,6 +104,30 @@ object TextOps {
     docs(spark, dir).select(col("doc_id"), expr(fpSql("text")).as("fp"))
   }
 
+  /** Intra-document dedup (the C4-style repeated-span removal every
+    * cleaning pipeline runs BEFORE corpus-level dedup): each document
+    * chunks into consecutive [[ChunkTokens]]-token units, units are
+    * fingerprinted, and repeats within the same document are dropped.
+    * Emitted as per-doc housekeeping stats (kept/dropped counts) —
+    * the operator is one explode + partial-agg groupBy, linear in
+    * corpus size with no cross-document shuffle at all (the groupBy
+    * key is the doc). */
+  val ChunkTokens = 5
+  def intraDedup(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    val k = ChunkTokens
+    docs(spark, dir)
+      .withColumn("t", toks(col("text")))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, (size(t) - 1) div $k), j -> array_join(slice(t, j * $k + 1, $k), ' '))"))
+        .as("chunk"))
+      .select(col("doc_id"), expr(fpSql("chunk")).as("cfp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct("cfp").as("n_kept"))
+      .withColumn("n_dropped", col("n_chunks") - col("n_kept"))
+  }
+
   /** 30-bit SimHash over the distinct-token fingerprint set: bit j is
     * the sign of Σ_tokens (±1 by token-hash bit j). Computed in long
     * format (doc × bit) so the plan is two partial-aggregable groupBys. */

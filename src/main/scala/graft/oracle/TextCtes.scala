@@ -163,6 +163,22 @@ object TextCtes {
        |  GROUP BY 1, 2)
        |$jaccSelect""".stripMargin
 
+  /** twin of TextOps.intraDedup: consecutive 5-token chunks per doc,
+    * repeats within the doc counted as dropped */
+  val intraDedup: String = {
+    val ct = graft.operators.TextOps.ChunkTokens
+    s"""WITH c AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    generate_series(0, (len(t) - 1) // $ct),
+       |    j -> array_to_string(list_slice(t, j * $ct + 1, j * $ct + $ct), ' '))) AS chunk
+       |  FROM (SELECT doc_id, ${toks("text")} AS t FROM documents)),
+       |f AS (SELECT doc_id, ${fp("chunk")} AS cfp FROM c)
+       |SELECT doc_id, count(*) AS n_chunks,
+       |  CAST(count(DISTINCT cfp) AS BIGINT) AS n_kept,
+       |  CAST(count(*) - count(DISTINCT cfp) AS BIGINT) AS n_dropped
+       |FROM f GROUP BY doc_id""".stripMargin
+  }
+
   /** twin of TextOps.vocabTopK */
   val vocabTopK: String =
     s"""SELECT tok, count(*) AS n
