@@ -22,15 +22,36 @@ object Iterative {
   val BfsIters = 6
   val Unreachable = 999999L
 
+  /** Frontier/message rows above which the per-round broadcast hint is
+    * dropped and the round joins co-partitioned instead. Round 0 of
+    * connected components has the ENTIRE vertex set as its frontier, so
+    * an unconditional hint is a guaranteed driver/executor OOM at 100×
+    * scale; below the cap (~64 MB of (node,label) pairs) the broadcast
+    * is the same map-side join AQE would pick. Overridable per session
+    * for tests and for clusters with more driver headroom. */
+  val BroadcastMaxRowsKey = "graft.iterative.broadcastMaxRows"
+  val BroadcastMaxRowsDefault = 2000000L
+
+  private[graft] def broadcastMaxRows(spark: SparkSession): Long =
+    spark.conf.getOption(BroadcastMaxRowsKey).map(_.toLong)
+      .getOrElse(BroadcastMaxRowsDefault)
+
+  /** broadcast hint only when the side is provably small (rows counted
+    * from the already-materialized checkpoint of the previous round) */
+  private[graft] def hinted(df: DataFrame, rows: Long, maxRows: Long): DataFrame =
+    if (rows <= maxRows) broadcast(df) else df
+
   /** Delta (frontier) iteration: only labels that CHANGED last round
     * propagate. Exact for monotone min-propagation (any round-k
     * improvement arrives via a node improved at round k-1), so each
     * round's labels equal full propagation — the oracle's unrolled
     * full rounds still compare bit-for-bit. The frontier collapses
     * fast (BFS over this corpus: 5 → 25 → 1.6k → 15k → 2k → 0), so
-    * every round is two small broadcasts against the cached edge
-    * table plus one partial-agg shuffle; the full label table is
-    * never re-shuffled. `frontier0` lets BFS seed with just the
+    * once collapsed every round is two small broadcasts against the
+    * cached edge table plus one partial-agg shuffle; rounds whose
+    * frontier exceeds [[BroadcastMaxRowsKey]] (CC round 0 = all
+    * vertices) join co-partitioned instead — the full label table is
+    * never force-broadcast. `frontier0` lets BFS seed with just the
     * sources (sentinel labels can never improve a neighbor).
     *
     * Each round ends in an eager `localCheckpoint`, not persist+count:
@@ -46,25 +67,44 @@ object Iterative {
   private def itLog(msg: => String): Unit =
     if (sys.env.contains("GRAFT_ITER_LOG")) println(s"[iter] $msg")
 
+  /** One min-propagation round, un-checkpointed — factored out so the
+    * plan-shape spec can pin the join strategy directly: small
+    * frontiers broadcast, large frontiers (round 0 of CC is ALL
+    * vertices) must not. The aggregated message table `m` is guarded by
+    * the same frontier count: its row bound is the frontier's
+    * neighbourhood, so when the frontier is large neither side may
+    * broadcast (AQE still map-side-joins a genuinely small `m` at
+    * runtime — dropping the hint only removes the forced plan). */
+  private[graft] def minRound(v: DataFrame, frontier: DataFrame,
+                              edges: DataFrame, delta: Long,
+                              frontierRows: Long, maxRows: Long): DataFrame = {
+    val m = edges
+      .join(hinted(frontier.select(col("node").as("n2"), col("label")),
+        frontierRows, maxRows), col("src") === col("n2"))
+      .groupBy(col("dst").as("node"))
+      .agg(min(col("label") + delta).as("minl"))
+    v.join(hinted(m, frontierRows, maxRows), Seq("node"), "left")
+      .select(col("node"), col("label"),
+        least(col("label"), coalesce(col("minl"), col("label"))).as("newl"))
+  }
+
   def iterateMin(v0: DataFrame, edges0: DataFrame, iters: Int, delta: Long,
                  frontier0: Option[DataFrame] = None): DataFrame = {
+    val maxRows = broadcastMaxRows(v0.sparkSession)
     val edges = edges0.persist()
     var v = v0.localCheckpoint(true)
     var frontier = frontier0.getOrElse(v)
+    // count over checkpointed rows (or the seed filter) — one cheap
+    // scan per round that buys the broadcast-vs-shuffle decision
+    var frontierRows = frontier.count()
     for (round <- 0 until iters) {
       val t0 = System.nanoTime()
-      val m = edges
-        .join(broadcast(frontier.select(col("node").as("n2"), col("label"))),
-          col("src") === col("n2"))
-        .groupBy(col("dst").as("node"))
-        .agg(min(col("label") + delta).as("minl"))
-      val joined = v.join(broadcast(m), Seq("node"), "left")
-        .select(col("node"), col("label"),
-          least(col("label"), coalesce(col("minl"), col("label"))).as("newl"))
+      val joined = minRound(v, frontier, edges, delta, frontierRows, maxRows)
         .localCheckpoint(true)
-      itLog(s"round $round: ${(System.nanoTime() - t0) / 1e9}s")
+      itLog(s"round $round (frontier=$frontierRows): ${(System.nanoTime() - t0) / 1e9}s")
       frontier = joined.filter(col("newl") < col("label"))
         .select(col("node"), col("newl").as("label"))
+      frontierRows = frontier.count()
       v = joined.select(col("node"), col("newl").as("label"))
     }
     edges.unpersist()

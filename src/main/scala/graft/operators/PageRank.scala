@@ -19,9 +19,12 @@ import graft.model.TpchGraph
   * hash-compared). The dangling-mass term is dropped (ranks are
   * relative ordering, not a probability distribution).
   *
-  * Each round is one broadcast-join + partial-agg shuffle like
-  * [[Iterative.iterateMin]]; at node counts beyond broadcast range the
-  * rank table joins co-partitioned instead.
+  * Each round is one rank-join + partial-agg shuffle like
+  * [[Iterative.iterateMin]]: the rank table carries a broadcast hint
+  * only while its row count (materialized once from the checkpointed
+  * base) is under [[Iterative.BroadcastMaxRowsKey]] — beyond broadcast
+  * range it joins the edge table co-partitioned, so the plan survives
+  * node counts that would OOM a forced broadcast.
   */
 object PageRank {
   val Iters = 5
@@ -38,12 +41,16 @@ object PageRank {
     val base = TpchGraph.nodes(spark, dir).select(col("id").as("node"))
       .join(outdeg, Seq("node"), "left")
       .localCheckpoint(true)
+    // rank rows = node count, constant across rounds — decide once
+    val nNodes = base.count()
+    val maxRows = Iterative.broadcastMaxRows(spark)
 
     var pr = base.withColumn("pr", lit(Scale))
     for (_ <- 0 until Iters) {
       val shares = edges
-        .join(broadcast(pr.filter(col("outdeg").isNotNull)
-          .select(col("node").as("u"), expr("pr div outdeg").as("share"))),
+        .join(Iterative.hinted(pr.filter(col("outdeg").isNotNull)
+          .select(col("node").as("u"), expr("pr div outdeg").as("share")),
+          nNodes, maxRows),
           col("src") === col("u"))
         .groupBy(col("dst").as("node"))
         .agg(sum("share").as("inflow"))

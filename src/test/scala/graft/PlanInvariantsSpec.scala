@@ -46,4 +46,26 @@ class PlanInvariantsSpec extends SparkTestBase {
     val p = plan("q03_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("iterate round: small frontier broadcasts, large frontier does not") {
+    import spark.implicits._
+    import graft.operators.Iterative
+    val v = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("node", "label")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    // disable auto-broadcast so the ONLY possible BroadcastExchange is
+    // the explicit hint under test (the fixture is tiny, AQE would
+    // otherwise broadcast it regardless and mask a forced hint)
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val small = Iterative.minRound(v, v, edges, 0L, frontierRows = 3L, maxRows = 100L)
+      assert(small.queryExecution.executedPlan.toString.contains("BroadcastExchange"))
+      // a frontier past the cap (CC round 0 = the whole vertex set at
+      // 100× scale) must never carry a forced broadcast
+      val large = Iterative.minRound(v, v, edges, 0L, frontierRows = 101L, maxRows = 100L)
+      assert(!large.queryExecution.executedPlan.toString.contains("BroadcastExchange"),
+        large.queryExecution.executedPlan.toString)
+    } finally prev.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+  }
 }
