@@ -27,19 +27,29 @@ object Bench {
     SparkEntry.warm(spark, sfDir)
     val warmupSec = (System.nanoTime() - w0) / 1e9
     // noop sink: forces FULL computation of every output row (count()
-    // would let Catalyst prune join trees and fake the numbers)
+    // would let Catalyst prune join trees and fake the numbers).
+    // Each query runs `runs` times and reports the MEDIAN — run-to-run
+    // swing on this shared 32-thread box approaches 2×, larger than
+    // most real regressions, so single samples were not actionable
+    // across rounds; min/max ride along to expose the spread.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ts = (0 until runs).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> ts
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(sel: Seq[Double] => Double) = results
+      .map { case (k, ts) => s"\"" + k + "\":" + sel(ts) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmupSec,"sf":"$sfDir"}""")
+    val med = (ts: Seq[Double]) => ts(ts.size / 2)
+    val total = results.values.map(med).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(med)},"queries_min":${fmt(_.head)},"queries_max":${fmt(_.last)},"runs":$runs,"warmup_sec":$warmupSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

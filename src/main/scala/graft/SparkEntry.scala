@@ -38,6 +38,7 @@ object SparkEntry {
     quiet(RecordStores.deriveCached(s, dir))
     quiet(cachedViolations(s, dir).count())
     quiet(Dedup.ngramJaccard(s, dir).count())
+    quiet(Dedup.dedupClusters(s, dir).count())
     quiet(Similarity.warm(s, dir))
     quiet(graft.operators.Bucketing.warm(s, dir))
   }

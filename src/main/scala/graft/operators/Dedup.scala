@@ -135,30 +135,45 @@ object Dedup {
     * operator ([[Iterative.iterateMin]]) over the verified
     * ngram-Jaccard pairs; output is the drop list (doc → canonical
     * keeper, canonical rows omitted). */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, dir).select(col("a"), col("b"))
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
-    val v = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-    Iterative.iterateMin(v, edges, ClusterIters, 0L)
-      .filter(col("label") < col("node"))
-      .select(col("node").as("doc_id"), col("label").as("canonical"))
-  }
+  /** The drop list is memoized like the pair table: the cluster query
+    * and the curation pipeline consume the identical computation (three
+    * checkpointed min-propagation rounds) in one session — r3 paid for
+    * it twice (pipe_curation 15.4 s, mostly this recompute). */
+  private val clustersMemo = new graft.SessionMemo[DataFrame]
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clustersMemo.getOrElseUpdate(spark, dir) {
+      val pairs = ngramJaccard(spark, dir).select(col("a"), col("b"))
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+      val v = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      Iterative.iterateMin(v, edges, ClusterIters, 0L)
+        .filter(col("label") < col("node"))
+        .select(col("node").as("doc_id"), col("label").as("canonical"))
+        .persist()
+    }
 
-  /** SimHash banding: 30 bits split into 3 bands of 10; pairs sharing
-    * any band bucket are candidates, kept if hamming ≤ MaxHam. */
-  val SimBands = 3
+  /** SimHash banding: a [[SimBits]]-bit signature split into
+    * [[SimBands]] bands of [[SimBandBits]]; pairs sharing any band
+    * bucket are candidates, kept if hamming ≤ MaxHam. The shingle
+    * fingerprint is only ~30 bits (mod 1e9+7), so it is spread over
+    * the full signature width by a multiplicative rehash
+    * ([[SimRehashMul]], Knuth's constant — exact BIGINT arithmetic in
+    * both engines: fp < 2³⁰ × mul < 2³² stays under 2⁶³). */
+  val SimBits = 40
+  val SimBands = 4
   val SimBandBits = 10
-  val MaxHam = 6
+  val SimRehashMul = 2654435761L
+  val MaxHam = 8
   /** drop band buckets holding more than this many docs — the
-    * band-join twin of [[MaxDf]]: a popular 10-bit band value (a
-    * natural cluster of near-identical signatures) otherwise
-    * degenerates to quadratic pairs within its bucket. Near-dups lost
-    * to one capped band still collide in the other bands unless their
-    * whole signature region is hot — the same recall trade the
-    * stop-shingle cap makes, mirrored in the oracle. */
-  val MaxBucket = 100L
+    * band-join twin of [[MaxDf]]: a popular band value (a natural
+    * cluster of near-identical signatures) otherwise degenerates to
+    * quadratic pairs within its bucket. The r3 geometry (3 bands,
+    * cap 100) admitted 3·1024·C(100,2) ≈ 15M candidate pairs; 4 bands
+    * with cap 32 bound the same corpus at 4·1024·C(32,2) ≈ 2M while
+    * the extra band keeps recall (a near-dup lost to one hot band has
+    * three more chances to collide). Mirrored in the oracle. */
+  val MaxBucket = 32L
 
   /** SimHash-banded near-dup: the third dedup family (after shingle
     * Jaccard and MinHash) — a 30-bit signature per document, banded so
@@ -176,13 +191,16 @@ object Dedup {
     * shingles changed) still land within MaxHam bits. */
   def simhashDup(spark: SparkSession, dir: String): DataFrame = {
     TextOps.ensureRegistered(spark)
+    // rehash spreads the ~30-bit fp across all SimBits signature bits
     val sh = nearShingles(spark, dir)
-    // all 30 per-bit sign sums in one aggregation (cf. minhashLsh)
-    val bitCols = (0 until 30).map { j =>
-      sum(when(expr(s"(shiftright(sfp, $j) & 1)") === 1, 1).otherwise(-1))
+      .select(col("doc_id"),
+        expr(s"(sfp * $SimRehashMul) % ${1L << SimBits}").as("rfp"))
+    // all SimBits per-bit sign sums in one aggregation (cf. minhashLsh)
+    val bitCols = (0 until SimBits).map { j =>
+      sum(when(expr(s"(shiftright(rfp, $j) & 1)") === 1, 1).otherwise(-1))
         .as(s"s$j")
     }
-    val simExpr = (0 until 30)
+    val simExpr = (0 until SimBits)
       .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString("CAST(", " + ", " AS BIGINT)")
     val sim = sh.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)

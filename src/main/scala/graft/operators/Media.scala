@@ -56,21 +56,23 @@ object Media {
     * driver involvement, keyed output (doc, frame) ready for a
     * per-frame feature join. */
   val FrameStride = 2
+
+  /** per-blob frame expansion (exposed for the empty-blob spec):
+    * floorDiv gives lastFrame = -1 on an empty blob → no frames
+    * (Scala's truncating / would give 0 and index into bytes(0)) */
+  private[operators] def frameRows(id: Long, bytes: Array[Byte]): Iterator[(Long, Long, Long)] = {
+    val lastFrame = math.floorDiv(bytes.length - 1, FrameBytes)
+    (0 to lastFrame by FrameStride).iterator.map { f =>
+      (id, f.toLong, (bytes(f * FrameBytes) & 0xff).toLong)
+    }
+  }
+
   def frameSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaTable(spark, dir)
       .select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.flatMap { case (id, bytes) =>
-          // floorDiv: an empty blob gives lastFrame = -1 → no frames
-          // (Scala's truncating / would give 0 and index into bytes(0))
-          val lastFrame = math.floorDiv(bytes.length - 1, FrameBytes)
-          (0 to lastFrame by FrameStride).iterator.map { f =>
-            (id, f.toLong, (bytes(f * FrameBytes) & 0xff).toLong)
-          }
-        }
-      }
+      .mapPartitions(_.flatMap { case (id, bytes) => frameRows(id, bytes) })
       .toDF("doc_id", "frame_idx", "first_byte")
   }
 

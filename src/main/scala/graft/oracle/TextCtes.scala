@@ -229,22 +229,25 @@ object TextCtes {
        |  AND q.doc_id NOT IN (SELECT doc_id FROM drops)
        |GROUP BY l.pred""".stripMargin
 
-  /** twin of Dedup.simhashDup: shingle-feature simhash → banded
-    * buckets → candidate pairs → hamming verify */
-  val simhashDup: String =
+  /** twin of Dedup.simhashDup: rehashed shingle-feature simhash →
+    * banded buckets → candidate pairs → hamming verify (geometry
+    * constants shared with the Spark side) */
+  val simhashDup: String = {
+    val D = graft.operators.Dedup
     s"""WITH $shingleCtes,
        |simb AS (SELECT doc_id, j,
-       |  CAST(sum(CASE WHEN ((sfp >> j) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
-       |FROM sh, unnest(generate_series(0, 29)) AS t(j) GROUP BY doc_id, j),
+       |  CAST(sum(CASE WHEN ((((sfp * ${D.SimRehashMul}) % ${1L << D.SimBits}) >> j) & 1) = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
+       |FROM sh, unnest(generate_series(0, ${D.SimBits - 1})) AS t(j) GROUP BY doc_id, j),
        |sim AS (SELECT doc_id,
        |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
        |FROM simb GROUP BY doc_id),
        |sbands AS (
-       |  SELECT doc_id, b AS band, (simhash >> (10 * b)) & 1023 AS bits
-       |  FROM sim, unnest(generate_series(0, 2)) AS t(b)),
+       |  SELECT doc_id, b AS band,
+       |    (simhash >> (${D.SimBandBits} * b)) & ${(1 << D.SimBandBits) - 1} AS bits
+       |  FROM sim, unnest(generate_series(0, ${D.SimBands - 1})) AS t(b)),
        |ok_buckets AS (
        |  SELECT band, bits FROM sbands GROUP BY band, bits
-       |  HAVING count(*) <= ${graft.operators.Dedup.MaxBucket}),
+       |  HAVING count(*) <= ${D.MaxBucket}),
        |capped AS (SELECT s.doc_id, s.band, s.bits
        |  FROM sbands s JOIN ok_buckets USING (band, bits)),
        |cand AS (
@@ -254,7 +257,8 @@ object TextCtes {
        |SELECT c.a, c.b,
        |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
        |FROM cand c JOIN sim sa ON c.a = sa.doc_id JOIN sim sb ON c.b = sb.doc_id
-       |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 6""".stripMargin
+       |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= ${D.MaxHam}""".stripMargin
+  }
 
   // ---- similarity ------------------------------------------------------
 

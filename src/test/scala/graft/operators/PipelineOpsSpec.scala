@@ -109,6 +109,12 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("frame sampling of an empty blob emits no rows (no crash)") {
+    assert(Media.frameRows(7L, Array.empty[Byte]).isEmpty)
+    // one-byte blob: exactly frame 0
+    assert(Media.frameRows(7L, Array[Byte](65)).toList === List((7L, 0L, 65L)))
+  }
+
   test("simhash of identical token sets is identical, fingerprint differs") {
     val sh = TextOps.simhash(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
