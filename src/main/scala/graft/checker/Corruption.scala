@@ -73,7 +73,14 @@ object Corruption {
     Rule("value_ref", expr("(prop_id div 4) % 149") === 31
       && col("ptype") === 4 && col("key_id") === 0, col("value_ref") + 128),
     Rule("value_ref", expr("(prop_id div 4) % 163") === 41
-      && col("ptype") === 5, col("value_ref") + 128))
+      && col("ptype") === 5, col("value_ref") + 128),
+    // junk type code on inlined-long blocks (P3 invalid_property_value;
+    // targets ptype=1 so no string/array-family check changes footing).
+    // Listed AFTER the value_ref rules: rewrite() rewrites columns in
+    // rule order, so value_ref conditions read the ORIGINAL ptype —
+    // same simultaneous-read semantics as the oracle's single SELECT.
+    Rule("ptype", expr("(prop_id div 4) % 179") === 53 && col("ptype") === 1,
+      lit(99)))
 
   private def dynRules = Seq(
     Rule("next_block", col("id") % 127 === 13 && col("next_block") =!= -1,

@@ -228,6 +228,19 @@ object FullCheck {
   def blockArrays(s: Stores): DataFrame =
     blockDynamic(s, 5, s.arrays, "array")
 
+  /** P3 type-validity: every block's ptype must be a known PropertyType
+    * — the reference validates forceGetType() non-null and the inlined
+    * value's type per block (PropertyRecordCheck.java:139-160,
+    * `invalidPropertyValue`); a junk type code means the value is
+    * unreadable. Pure scan predicate, no join. */
+  def blockTypes(s: Stores): DataFrame = {
+    import graft.model.RecordSpec.{TLong, TDouble, TShortString, TLongString, TArray}
+    viol(s.blocks.withColumn("violation",
+      when(!col("ptype").isin(TLong, TDouble, TShortString, TLongString, TArray),
+        "invalid_property_value")),
+      "property", "prop_id")
+  }
+
   /** J9: dynamic record invariants — length range, full-if-chained,
     * self-reference, next in use and non-empty. */
   def dynamics(df: DataFrame, recordType: String, blockSize: Int): DataFrame = {
@@ -326,6 +339,7 @@ object FullCheck {
       .unionAll(blockKeys(s))
       .unionAll(blockStrings(s))
       .unionAll(blockArrays(s))
+      .unionAll(blockTypes(s))
       .unionAll(dynamics(s.dyns, "string", graft.model.RecordSpec.BlockSize))
       .unionAll(dynamics(s.arrays, "array", graft.model.RecordSpec.BlockSize))
       .unionAll(dynamics(s.typeNames, "label_name", graft.model.RecordSpec.BlockSize))

@@ -158,7 +158,9 @@ object RecordCtes {
       |    CASE WHEN id % 157 = 31 AND next_prop <> -1 THEN next_prop + 5000000 ELSE next_prop END AS next_prop
       |  FROM prop_recs0),
       |c_blocks AS (
-      |  SELECT prop_id, idx, key_id, ptype,
+      |  SELECT prop_id, idx, key_id,
+      |    CASE WHEN (prop_id // 4) % 179 = 53 AND ptype = 1 THEN 99
+      |         ELSE ptype END AS ptype,
       |    CASE WHEN (prop_id // 4) % 149 = 31 AND ptype = 4 AND key_id = 0 THEN value_ref + 128
       |         WHEN (prop_id // 4) % 163 = 41 AND ptype = 5 THEN value_ref + 128
       |         ELSE value_ref END AS value_ref,
@@ -299,6 +301,14 @@ object RecordCtes {
         |    END AS violation, b.prop_id AS record_id
         |  FROM c_blocks b LEFT JOIN c_arrays d ON b.value_ref = d.id
         |  WHERE b.ptype = 5""".stripMargin)
+    // P3 type-validity (invalid_property_value) — twin of
+    // FullCheck.blockTypes
+    val jPT = check(
+      s"""  SELECT 'property' AS record_type,
+         |    CASE WHEN ptype NOT IN ($TLong, $TDouble, $TShortString, $TLongString, $TArray)
+         |         THEN 'invalid_property_value' END AS violation,
+         |    prop_id AS record_id
+         |  FROM c_blocks""".stripMargin)
     val j9 = dynChecks("c_dyns", "string") +
       "\nUNION ALL " + dynChecks("c_arrays", "array") +
       "\nUNION ALL " + dynChecks("c_type_names", "label_name") +
@@ -338,7 +348,7 @@ object RecordCtes {
         |FROM c_arrays d
         |WHERE d.in_use AND d.id % 8 = 0
         |  AND NOT EXISTS (SELECT 1 FROM c_blocks b WHERE b.ptype = 5 AND b.value_ref = d.id)""".stripMargin
-    Seq(j1, j2, j3, j4, j5, j6, j7, j8, j9, j10, j13, j14, j15)
+    Seq(j1, j2, j3, j4, j5, j6, j7, j8, jPT, j9, j10, j13, j14, j15)
       .mkString("\nUNION ALL ")
   }
 
