@@ -455,6 +455,15 @@ object RecordCtes {
        |$propPtrPreds""".stripMargin
   }
 
+  /** Twin of the `rec_backup_verify` query: a FAITHFUL restore yields
+    * exactly the live violation multiset (n_mismatch 0), so the oracle
+    * is the live per-type counts — any drift in the snapshot/restore
+    * path shows up as a hash mismatch. */
+  val recBackupVerify: String =
+    s"""$world
+       |SELECT record_type, count(*) AS n, CAST(0 AS BIGINT) AS n_mismatch
+       |FROM violations GROUP BY record_type""".stripMargin
+
   /** Per-store profile of the CONSISTENT derivation — parity probe for
     * the record-twin derivation itself (modulo keeps sums in BIGINT
     * range at any sf). */

@@ -141,6 +141,67 @@ class EventStreamsSpec extends SparkTestBase {
       asRows(EventStreams.userState(ev)))
   }
 
+  test("store id is enforced: wrong-store incremental/rebuild refuse, right store succeeds (TestBackup.makeSureStoreIdIsEnforced)") {
+    val backupDir = Files.createTempDirectory("graft-backup-sid").toString
+    val ev = EventStreams.events(spark, dir)
+    val w = ev.agg(max("event_id")).head().getLong(0) / 2
+    Backup.full(spark, ev.filter(col("event_id") <= w), backupDir, storeId = "store-A")
+    assert(Backup.readStoreId(backupDir) === Some("store-A"))
+    // an incremental from a DIFFERENT store must refuse, leaving the
+    // backup untouched (watermark unchanged)
+    intercept[IllegalStateException] {
+      Backup.incremental(spark, ev, backupDir, storeId = "store-B")
+    }
+    assert(Backup.readWatermark(backupDir) === w)
+    intercept[IllegalStateException] {
+      Backup.rebuildState(spark, backupDir, storeId = "store-B")
+    }
+    // the right store proceeds normally
+    assert(Backup.incremental(spark, ev, backupDir, storeId = "store-A") ===
+      ev.filter(col("event_id") > w).count())
+    assert(asRows(Backup.rebuildState(spark, backupDir, storeId = "store-A")) ===
+      asRows(EventStreams.userState(ev)))
+  }
+
+  test("multiple incrementals advance the watermark each time; rebuild equals direct replay (TestBackup.multipleIncrementals)") {
+    val backupDir = Files.createTempDirectory("graft-backup-multi").toString
+    val ev = EventStreams.events(spark, dir)
+    val maxId = ev.agg(max("event_id")).head().getLong(0)
+    val cuts = Seq(maxId / 4, maxId / 2, 3 * maxId / 4, maxId)
+    Backup.full(spark, ev.filter(col("event_id") <= cuts.head), backupDir)
+    // three increments, each shipping exactly its slice of the log
+    cuts.sliding(2).foreach { case Seq(lo, hi) =>
+      val shipped = Backup.incremental(
+        spark, ev.filter(col("event_id") <= hi), backupDir)
+      assert(shipped ===
+        ev.filter(col("event_id") > lo && col("event_id") <= hi).count())
+      assert(Backup.readWatermark(backupDir) === hi)
+    }
+    assert(asRows(Backup.rebuildState(spark, backupDir)) ===
+      asRows(EventStreams.userState(ev)))
+  }
+
+  test("record-store backup restores every store byte-identically (S5 fullStores)") {
+    import graft.checker.Corruption
+    import graft.model.RecordStores
+    val backupDir = Files.createTempDirectory("graft-backup-stores").toString
+    val live = Corruption(RecordStores.deriveCached(spark, dir))
+    Backup.fullStores(live, backupDir, storeId = "store-A")
+    intercept[IllegalStateException] {
+      Backup.restoreStores(spark, backupDir, storeId = "store-B")
+    }
+    val restored = Backup.restoreStores(spark, backupDir, storeId = "store-A")
+    // multiset equality per store (order-free, like the reference's
+    // whole-graph deep-equality oracle)
+    for ((l, r) <- Seq(live.nodes -> restored.nodes, live.rels -> restored.rels,
+        live.props -> restored.props, live.blocks -> restored.blocks,
+        live.dyns -> restored.dyns, live.arrays -> restored.arrays,
+        live.neo -> restored.neo)) {
+      assert(l.exceptAll(r).count() === 0L)
+      assert(r.exceptAll(l).count() === 0L)
+    }
+  }
+
   test("verify-after-restore passes on a faithful backup and catches a tampered one") {
     val backupDir = Files.createTempDirectory("graft-backup-verify").toString
     val ev = EventStreams.events(spark, dir)
