@@ -47,6 +47,7 @@ object SparkEntry {
     quiet(Dedup.dedupClusters(s, dir).count())
     quiet(Similarity.warm(s, dir))
     quiet(graft.operators.Bucketing.warm(s, dir))
+    quiet(graft.operators.BucketedStores.warm(s, dir))
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -38,4 +38,40 @@ class BucketingSpec extends SparkTestBase {
       assert(exchanges === 1, plan)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("bucketed record stores: props⋈blocks pointer join carries ZERO exchanges") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = BucketedStores.blockAttach(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty, plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bucketed record stores: J6 chain join's store side is bucket-local (one exchange, on the pointer side only)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = BucketedStores.propChainsBucketed(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      // the derived pointer set shuffles to meet the store's bucketing;
+      // the store side itself never re-shuffles (the reference's
+      // MultiPassStore routing, paid once at layout time)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges === 1, plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bucketed J6 yields the exact violation multiset of the in-session path") {
+    import graft.checker.{Corruption, FullCheck}
+    import graft.model.RecordStores
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+    val inSession = FullCheck.propChains(
+      Corruption(RecordStores.deriveCached(spark, dir)))
+    assert(rows(BucketedStores.propChainsBucketed(spark, dir)) === rows(inSession))
+  }
 }
