@@ -283,6 +283,8 @@ object SparkEntry {
     "ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
     "ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
     "ann_ivf_kmeans" -> ((s, dir) => Similarity.annIvfTrained(s, dir)),
+    // recall@K of every approximate ANN variant vs brute-force truth
+    "ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
     "dd_embedding" -> ((s, dir) => Similarity.embeddingDup(s, dir)),
     "mm_media_features" -> ((s, dir) => Media.mediaFeatures(s, dir)),
     "mm_frame_sample" -> ((s, dir) => Media.frameSample(s, dir)),
@@ -451,6 +453,7 @@ object SparkEntry {
     "ann_lsh" -> TextCtes.annLsh,
     "ann_ivf" -> TextCtes.annIvf,
     "ann_ivf_kmeans" -> TextCtes.annIvfTrained,
+    "ann_recall" -> TextCtes.annRecall,
     "dd_embedding" -> TextCtes.embeddingDup,
     "mm_media_features" -> TextCtes.mediaFeatures,
     "mm_frame_sample" -> TextCtes.frameSample,

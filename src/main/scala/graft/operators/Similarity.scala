@@ -228,6 +228,28 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
   }
 
+  /** Recall@K probe: each approximate variant's top-K joined against
+    * the brute-force ground truth — the number both ANN docs only
+    * assert ("recall is partial by construction") made measurable. One
+    * row per variant: hits, truth size, recall. The join is tiny
+    * (queries×K rows per side); the cost is the four underlying
+    * kernels, all over the memoized quantized table. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = annBruteForce(spark, dir).select(col("qid"), col("nid"))
+    val approx =
+      annLsh(spark, dir).select(lit("lsh").as("variant"), col("qid"), col("nid"))
+        .unionAll(annIvf(spark, dir)
+          .select(lit("ivf").as("variant"), col("qid"), col("nid")))
+        .unionAll(annIvfTrained(spark, dir)
+          .select(lit("ivf_kmeans").as("variant"), col("qid"), col("nid")))
+    val t = truth.agg(count(lit(1)).as("n_truth"))
+    approx.join(truth, Seq("qid", "nid"))
+      .groupBy("variant").agg(count(lit(1)).as("n_hits"))
+      .crossJoin(t)
+      .withColumn("recall", col("n_hits") / col("n_truth"))
+      .select(col("variant"), col("n_hits"), col("n_truth"), col("recall"))
+  }
+
   /** Embedding-cosine near-dup over embeddings ∪ perturbed copy
     * (each quantized component +1, ids offset): pairs in the same LSH
     * bucket with cos ≥ τ. Bucket-blocked join = linear-scale near-dup. */

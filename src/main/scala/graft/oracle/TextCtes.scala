@@ -440,6 +440,23 @@ object TextCtes {
        |SELECT qid, rnk AS rank, nid, cos FROM ranked WHERE rnk <= 5""".stripMargin
   }
 
+  /** twin of Similarity.annRecall: recall@K of each approximate
+    * variant vs the brute-force truth (nested-WITH subqueries reuse
+    * the variant SQL verbatim, so the probe can never drift from the
+    * variants it measures). */
+  val annRecall: String =
+    s"""WITH truth AS (SELECT qid, nid FROM ($annBruteForce)),
+       |ap AS (
+       |  SELECT 'lsh' AS variant, qid, nid FROM ($annLsh)
+       |  UNION ALL SELECT 'ivf', qid, nid FROM ($annIvf)
+       |  UNION ALL SELECT 'ivf_kmeans', qid, nid FROM ($annIvfTrained)),
+       |t AS (SELECT count(*) AS n_truth FROM truth)
+       |SELECT ap.variant, count(*) AS n_hits,
+       |  CAST(t.n_truth AS BIGINT) AS n_truth,
+       |  count(*) / CAST(t.n_truth AS DOUBLE) AS recall
+       |FROM ap JOIN truth USING (qid, nid), t
+       |GROUP BY ap.variant, t.n_truth""".stripMargin
+
   val embeddingDup: String =
     s"""WITH $embBase,
        |corp AS (
