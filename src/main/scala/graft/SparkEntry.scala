@@ -226,6 +226,12 @@ object SparkEntry {
     "it_connected_components" -> ((s, dir) =>
       graft.operators.Iterative.connectedComponents(s, dir)),
     "it_bfs_depth" -> ((s, dir) => graft.operators.Iterative.bfsDepth(s, dir)),
+    // weighted SSSP: bounded Bellman-Ford (min-plus) with per-edge
+    // costs — same one-exchange-per-round frontier machinery as BFS
+    "it_sssp" -> ((s, dir) => graft.operators.Iterative.shortestPaths(s, dir)),
+    // triangle count over the lineitem co-occurrence graph,
+    // degree-ordered orientation (bounded wedge fan-out at hot nodes)
+    "it_triangles" -> ((s, dir) => graft.operators.GraphOps.triangleCount(s, dir)),
     // whole-graph analytic: fixed-point PageRank (GraphX surface,
     // DataFrame-first, integer-exact)
     "it_pagerank" -> ((s, dir) => graft.operators.PageRank.topRanks(s, dir)),
@@ -278,6 +284,10 @@ object SparkEntry {
     "dd_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "dd_simhash_band" -> ((s, dir) => Dedup.simhashDup(s, dir)),
     "dd_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
+    // ExactSubstr-style cross-doc duplicated-span coverage
+    "dd_substring" -> ((s, dir) => Dedup.substringDup(s, dir)),
+    // Gopher-style repetition quality gates
+    "t_repetition" -> ((s, dir) => TextOps.repetition(s, dir)),
     "t_vocab_topk" -> ((s, dir) => TextOps.vocabTopK(s, dir)),
     "ann_topk" -> ((s, dir) => Similarity.annBruteForce(s, dir)),
     "ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
@@ -291,6 +301,8 @@ object SparkEntry {
     "mm_resize" -> ((s, dir) => Media.resizeThumbs(s, dir)),
     // end-to-end curation: quality ∧ language ∧ not-near-dup, per-lang
     "pipe_curation" -> ((s, dir) => graft.operators.Pipeline.curate(s, dir)),
+    // deterministic per-source token-budget sampling (training mix)
+    "pipe_sample_budget" -> ((s, dir) => graft.operators.Pipeline.sampleBudget(s, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -424,6 +436,8 @@ object SparkEntry {
     "gen_summary" -> GenCtes.summary,
     "it_connected_components" -> IterCtes.connectedComponents,
     "it_bfs_depth" -> IterCtes.bfsDepth,
+    "it_sssp" -> IterCtes.sssp,
+    "it_triangles" -> IterCtes.triangles,
     "it_pagerank" -> graft.oracle.PageRankCtes.topRanks,
     "s_hourly_agg" -> EventCtes.hourlyAgg,
     "s_user_state" -> EventCtes.userState,
@@ -448,6 +462,8 @@ object SparkEntry {
     "dd_minhash_lsh" -> TextCtes.minhashLsh,
     "dd_simhash_band" -> TextCtes.simhashDup,
     "dd_clusters" -> TextCtes.dedupClusters,
+    "dd_substring" -> TextCtes.substringDup,
+    "t_repetition" -> TextCtes.repetition,
     "t_vocab_topk" -> TextCtes.vocabTopK,
     "ann_topk" -> TextCtes.annBruteForce,
     "ann_lsh" -> TextCtes.annLsh,
@@ -459,5 +475,6 @@ object SparkEntry {
     "mm_frame_sample" -> TextCtes.frameSample,
     "mm_resize" -> TextCtes.resizeThumbs,
     "pipe_curation" -> TextCtes.curation,
+    "pipe_sample_budget" -> TextCtes.sampleBudget,
   )
 }

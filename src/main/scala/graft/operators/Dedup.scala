@@ -263,4 +263,45 @@ object Dedup {
       .select("a", "b").distinct()
     scoreCandidates(sh, cand)
   }
+
+  /** Token window for exact-substring duplication. */
+  val SubstrK = 8
+
+  /** Cross-document exact-substring duplication (the ExactSubstr
+    * pass of "Deduplicating Training Data Makes Language Models
+    * Better", Lee et al. 2021, re-shaped for Spark): every sliding
+    * [[SubstrK]]-token window fingerprints to a long, windows seen in
+    * ≥2 distinct documents are "duplicated substrings", and each doc
+    * reports how much of it is covered by such spans.
+    *
+    * The suffix-array the paper builds is a single-machine structure;
+    * the distributed shape is fingerprint-groupBy: explode windows →
+    * polyhash (longs, not strings, cross the shuffle) → partial-agg
+    * groupBy(gfp, doc) → df-filter — the same inverted-index scaling
+    * story as [[shingles]], linear in corpus size with per-key state
+    * bounded by document count per gram. */
+  def substringDup(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.ensureRegistered(spark)
+    val t = TextOps.docs(spark, dir)
+      .withColumn("t", TextOps.toks(col("text"))).persist()
+    // filter BEFORE sequence(): Spark's sequence(0, n) descends for
+    // n < 0 (it would fabricate windows for short docs)
+    val grams = t.filter(size(col("t")) >= SubstrK)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(t) - $SubstrK), j -> array_join(slice(t, j + 1, $SubstrK), ' '))"))
+        .as("gram"))
+      .select(col("doc_id"), expr(TextOps.fpSql("gram")).as("gfp"))
+    val occ = grams.groupBy("gfp", "doc_id").agg(count(lit(1)).as("n"))
+    val dup = occ.groupBy("gfp").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("gfp")
+    val stats = occ.join(dup, "gfp").groupBy("doc_id")
+      .agg(sum("n").as("dup_occ"), count(lit(1)).as("dup_grams"))
+    val out = t.select(col("doc_id"),
+        greatest(size(col("t")) - (SubstrK - 1), lit(0)).cast("long").as("n_grams"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("dup_occ"), lit(0L)).as("dup_occ"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
+    out
+  }
 }

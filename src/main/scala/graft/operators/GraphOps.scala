@@ -156,4 +156,53 @@ object GraphOps {
     inc.groupBy("node").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
   }
+
+  /** Rank base for triangle orientation: deg·RankBase + id is a total
+    * order by (degree, id). Node ids are < 7·10^12 (kind namespace
+    * 6·Base + key), so 10^13 keeps the two fields disjoint; degrees up
+    * to ~10^5 keep the product well under Long.Max. */
+  val RankBase = 10000000000000L
+
+  /** Triangle count over the lineitem co-occurrence graph (each
+    * lineitem row links order-part, order-supplier, part-supplier —
+    * the part-supplier closing edge is what makes triangles exist in
+    * this otherwise multipartite corpus).
+    *
+    * Degree-ordered orientation (the node-iterator++ trick): each
+    * undirected edge points from its lower-(degree, id) endpoint to the
+    * higher, so every triangle is counted exactly once AND every
+    * node's out-degree is O(√m) — the wedge join's fan-out is bounded
+    * even at hot parts/suppliers, which is what makes the two-join
+    * plan survive 100× (an unoriented wedge join squares the hot
+    * node's degree). Three shuffles total: distinct, degree agg, and
+    * the self-joins share the oriented edge partitioning. */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    import TpchGraph.{Base, Order, Part, Supplier}
+    val li = graft.sources.Tpch.table(spark, dir, "lineitem").select(
+      (lit(Order * Base) + col("l_orderkey")).as("o"),
+      (lit(Part * Base) + col("l_partkey")).as("p"),
+      (lit(Supplier * Base) + col("l_suppkey")).as("s"))
+    val raw = li.select(col("o").as("x"), col("p").as("y"))
+      .unionAll(li.select(col("o").as("x"), col("s").as("y")))
+      .unionAll(li.select(col("p").as("x"), col("s").as("y")))
+    val und = raw.select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct().persist()
+    val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val ranked = und
+      .join(deg.select(col("n").as("a"), (col("deg") * RankBase + col("a")).as("ra")), "a")
+      .join(deg.select(col("n").as("b"), (col("deg") * RankBase + col("b")).as("rb")), "b")
+    val o = ranked.select(
+        when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("u"),
+        when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("v"))
+      .persist()
+    val wedges = o.select(col("u").as("t_a"), col("v").as("t_b"))
+      .join(o.select(col("u").as("t_b"), col("v").as("t_c")), "t_b")
+    val tri = wedges.join(
+      o.select(col("u").as("t_a"), col("v").as("t_c")), Seq("t_a", "t_c"))
+    val out = und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+    out
+  }
 }

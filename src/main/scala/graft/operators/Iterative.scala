@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.TpchGraph
@@ -20,6 +20,8 @@ import graft.model.TpchGraph
 object Iterative {
   val CcIters = 6
   val BfsIters = 6
+  val SsspIters = 8
+  val WeightMod = 7L
   val Unreachable = 999999L
 
   /** Frontier/message rows above which the per-round broadcast hint is
@@ -75,21 +77,32 @@ object Iterative {
     * neighbourhood, so when the frontier is large neither side may
     * broadcast (AQE still map-side-joins a genuinely small `m` at
     * runtime — dropping the hint only removes the forced plan). */
-  private[graft] def minRound(v: DataFrame, frontier: DataFrame,
-                              edges: DataFrame, delta: Long,
-                              frontierRows: Long, maxRows: Long): DataFrame = {
+  private[graft] def costRound(v: DataFrame, frontier: DataFrame,
+                               edges: DataFrame, cost: Column,
+                               frontierRows: Long, maxRows: Long): DataFrame = {
     val m = edges
       .join(hinted(frontier.select(col("node").as("n2"), col("label")),
         frontierRows, maxRows), col("src") === col("n2"))
       .groupBy(col("dst").as("node"))
-      .agg(min(col("label") + delta).as("minl"))
+      .agg(min(cost).as("minl"))
     v.join(hinted(m, frontierRows, maxRows), Seq("node"), "left")
       .select(col("node"), col("label"),
         least(col("label"), coalesce(col("minl"), col("label"))).as("newl"))
   }
 
-  def iterateMin(v0: DataFrame, edges0: DataFrame, iters: Int, delta: Long,
-                 frontier0: Option[DataFrame] = None): DataFrame = {
+  private[graft] def minRound(v: DataFrame, frontier: DataFrame,
+                              edges: DataFrame, delta: Long,
+                              frontierRows: Long, maxRows: Long): DataFrame =
+    costRound(v, frontier, edges, col("label") + delta, frontierRows, maxRows)
+
+  /** Shared driver loop for any monotone min-cost propagation. The
+    * frontier optimization stays exact for any non-negative edge cost:
+    * a round-k improvement at v arrives via a neighbor u whose label
+    * improved at round k-1 (otherwise the same message existed at
+    * k-1 and v would already hold it), so relaxing only frontier-out
+    * edges yields exactly the full round-k Bellman-Ford labels. */
+  private def iterateCost(v0: DataFrame, edges0: DataFrame, iters: Int,
+                          cost: Column, frontier0: Option[DataFrame]): DataFrame = {
     val maxRows = broadcastMaxRows(v0.sparkSession)
     val edges = edges0.persist()
     var v = v0.localCheckpoint(true)
@@ -99,7 +112,7 @@ object Iterative {
     var frontierRows = frontier.count()
     for (round <- 0 until iters) {
       val t0 = System.nanoTime()
-      val joined = minRound(v, frontier, edges, delta, frontierRows, maxRows)
+      val joined = costRound(v, frontier, edges, cost, frontierRows, maxRows)
         .localCheckpoint(true)
       itLog(s"round $round (frontier=$frontierRows): ${(System.nanoTime() - t0) / 1e9}s")
       frontier = joined.filter(col("newl") < col("label"))
@@ -110,6 +123,20 @@ object Iterative {
     edges.unpersist()
     v
   }
+
+  def iterateMin(v0: DataFrame, edges0: DataFrame, iters: Int, delta: Long,
+                 frontier0: Option[DataFrame] = None): DataFrame =
+    iterateCost(v0, edges0, iters, col("label") + delta, frontier0)
+
+  /** Weighted variant: edges carry a per-edge cost column `w` and the
+    * relaxation is min-plus (`label + w`) — bounded-round Bellman-Ford,
+    * i.e. single-source shortest paths by hop-limited distance. Same
+    * one-exchange-per-round shape and broadcast guard as [[iterateMin]];
+    * the DuckDB oracle unrolls the identical rounds so short-of-
+    * convergence results still compare exactly. */
+  def iterateMinPlus(v0: DataFrame, wedges: DataFrame, iters: Int,
+                     frontier0: Option[DataFrame] = None): DataFrame =
+    iterateCost(v0, wedges, iters, col("label") + col("w"), frontier0)
 
   private def symmetrize(e: DataFrame): DataFrame =
     e.select(col("src"), col("dst"))
@@ -135,6 +162,28 @@ object Iterative {
     val seeds = vertices.filter(col("label") === 0L)
     iterateMin(vertices, edges, BfsIters, 1L, frontier0 = Some(seeds))
       .groupBy(col("label").as("depth"))
+      .agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /** Single-source shortest paths from the region nodes over the whole
+    * graph (undirected), edge weights derived deterministically from
+    * the rel id (`id % WeightMod + 1` ∈ [1, WeightMod]) so Spark and
+    * the DuckDB oracle agree by pure arithmetic — the reference's
+    * traversal framework walks one node at a time
+    * (kernel/.../TraversalDescription.java); here every round relaxes
+    * ALL frontier-out edges in one exchange. Output is the distance
+    * histogram (weighted dists are small integers ≤ SsspIters·WeightMod). */
+  def shortestPaths(spark: SparkSession, dir: String): DataFrame = {
+    val g = TpchGraph(spark, dir)
+    val r = TpchGraph.rels(spark, dir)
+    def w = pmod(col("id"), lit(WeightMod)) + lit(1L)
+    val wedges = r.select(col("src"), col("dst"), w.as("w"))
+      .unionAll(r.select(col("dst").as("src"), col("src").as("dst"), w.as("w")))
+    val vertices = g.nodes.select(col("id").as("node"),
+      when(col("kind") === "region", 0L).otherwise(Unreachable).as("label"))
+    val seeds = vertices.filter(col("label") === 0L)
+    iterateMinPlus(vertices, wedges, SsspIters, frontier0 = Some(seeds))
+      .groupBy(col("label").as("dist"))
       .agg(count(lit(1)).as("n_nodes"))
   }
 }

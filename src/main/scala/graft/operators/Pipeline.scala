@@ -33,4 +33,35 @@ object Pipeline {
       .groupBy(col("pred").as("lang"))
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
   }
+
+  /** Deterministic token-budget sampling per source stratum — the
+    * training-mix curation step (sample each domain down to its char
+    * budget, reproducibly, with no RNG): docs order by a Knuth
+    * multiplicative hash of doc_id (injective mod the prime, so the
+    * "random" order is total and seedless-reproducible on any engine),
+    * a per-source running char total marks the budget cut, and the
+    * output reports each stratum's take.
+    *
+    * The window is partitioned by source — at 100 TB each stratum's
+    * cumsum is one partition-local sort, no global ordering anywhere.
+    * A skewed giant stratum can range-partition on (source, h) with
+    * per-range offsets; this corpus doesn't need it. */
+  val SampleMult = 2654435761L
+  val SampleMod = 1000000007L
+  val BudgetChars = 4000L
+
+  def sampleBudget(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("h")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    TextOps.docs(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        pmod(col("doc_id") * SampleMult, lit(SampleMod)).as("h"))
+      .withColumn("cum", sum("n_chars").over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("cum") <= BudgetChars, 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("cum") <= BudgetChars, col("n_chars")).otherwise(0L)).as("chars_sampled"))
+  }
 }

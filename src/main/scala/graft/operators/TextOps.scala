@@ -150,4 +150,39 @@ object TextOps {
       .groupBy("doc_id")
       .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L)).as("simhash"))
   }
+
+  /** Gopher-style repetition gates (Rae et al. 2021 §A1.1, the
+    * "repetitious text" quality rules every corpus filter runs):
+    * fraction of bigram occurrences belonging to the single most
+    * frequent bigram (`top2_frac`), fraction of trigram occurrences
+    * whose trigram repeats within the doc (`dup3_frac`), and the
+    * keep/drop verdict. Two explode → partial-agg groupBy chains
+    * keyed by doc — no cross-document shuffle, linear at any corpus
+    * size. n-grams travel as polyhash longs, never strings. */
+  val RepTop2Tau = 0.18
+  val RepDup3Tau = 0.30
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    val t = docs(spark, dir).withColumn("t", toks(col("text"))).persist()
+    // per-(doc, n-gram) occurrence counts; filter BEFORE sequence()
+    // (it descends for negative spans — short docs would fabricate grams)
+    def counts(n: Int) = t.filter(size(col("t")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(t) - $n), j -> array_join(slice(t, j + 1, $n), ' '))"))
+        .as("gram"))
+      .select(col("doc_id"), expr(fpSql("gram")).as("gfp"))
+      .groupBy("doc_id", "gfp").agg(count(lit(1)).as("n"))
+    val s2 = counts(2).groupBy("doc_id")
+      .agg(sum("n").as("n2"), max("n").as("max2"))
+    val s3 = counts(3).groupBy("doc_id")
+      .agg(sum("n").as("n3"),
+        sum(when(col("n") >= 2, col("n")).otherwise(0L)).as("d3"))
+    s2.join(s3, "doc_id")
+      .select(col("doc_id"),
+        (col("max2") / col("n2")).as("top2_frac"),
+        (col("d3") / col("n3")).as("dup3_frac"))
+      .withColumn("keep",
+        when(col("top2_frac") <= RepTop2Tau && col("dup3_frac") <= RepDup3Tau, 1L)
+          .otherwise(0L))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.oracle
 
-import graft.operators.Iterative.{BfsIters, CcIters, Unreachable}
+import graft.operators.Iterative.{BfsIters, CcIters, SsspIters, Unreachable, WeightMod}
 
 /** DuckDB twins of [[graft.operators.Iterative]] — the same bounded
   * min-propagation with the rounds unrolled as chained CTEs (no
@@ -27,6 +27,60 @@ object IterCtes {
        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
        |${unrolled(CcIters, 0L)}
        |SELECT node, label FROM l$CcIters""".stripMargin
+
+  /** weighted min-plus rounds (bounded Bellman-Ford) over
+    * `wedges(src, dst, w)` — the twin of
+    * [[graft.operators.Iterative.iterateMinPlus]]. */
+  private def unrolledW(iters: Int): String =
+    (0 until iters).map { i =>
+      s"""l${i + 1} AS (
+         |  SELECT v.node, least(v.label, coalesce(m.minl, v.label)) AS label
+         |  FROM l$i v LEFT JOIN (
+         |    SELECT e.dst AS node, min(l.label + e.w) AS minl
+         |    FROM wedges e JOIN l$i l ON e.src = l.node GROUP BY e.dst) m
+         |  ON v.node = m.node)""".stripMargin
+    }.mkString(",\n")
+
+  val sssp: String =
+    s"""${Ctes.graph},
+       |wedges AS (
+       |  SELECT src, dst, id % $WeightMod + 1 AS w FROM rels
+       |  UNION ALL SELECT dst, src, id % $WeightMod + 1 FROM rels),
+       |l0 AS (SELECT id AS node,
+       |  CASE WHEN kind = 'region' THEN 0 ELSE $Unreachable END AS label
+       |FROM nodes),
+       |${unrolledW(SsspIters)}
+       |SELECT label AS dist, count(*) AS n_nodes FROM l$SsspIters GROUP BY label""".stripMargin
+
+  /** twin of [[graft.operators.GraphOps.triangleCount]]: lineitem
+    * co-occurrence edges, degree-ordered orientation, wedge + closing
+    * join. */
+  val triangles: String = {
+    val B = Ctes.B
+    val rank = graft.operators.GraphOps.RankBase
+    s"""WITH li AS (
+       |  SELECT ${6 * B} + l_orderkey AS o, ${5 * B} + l_partkey AS p,
+       |         ${4 * B} + l_suppkey AS s FROM lineitem),
+       |raw AS (
+       |  SELECT o AS x, p AS y FROM li
+       |  UNION ALL SELECT o, s FROM li
+       |  UNION ALL SELECT p, s FROM li),
+       |und AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM raw),
+       |deg AS (SELECT n, count(*) AS deg FROM (
+       |  SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY n),
+       |ranked AS (
+       |  SELECT u.a, u.b, da.deg * $rank + u.a AS ra, db.deg * $rank + u.b AS rb
+       |  FROM und u JOIN deg da ON u.a = da.n JOIN deg db ON u.b = db.n),
+       |o AS (
+       |  SELECT CASE WHEN ra < rb THEN a ELSE b END AS u,
+       |         CASE WHEN ra < rb THEN b ELSE a END AS v FROM ranked),
+       |tri AS (
+       |  SELECT 1 FROM o e1
+       |  JOIN o e2 ON e1.v = e2.u
+       |  JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v)
+       |SELECT (SELECT count(*) FROM und) AS n_edges,
+       |       (SELECT count(*) FROM tri) AS n_triangles""".stripMargin
+  }
 
   val bfsDepth: String =
     s"""${Ctes.graph},

@@ -511,4 +511,66 @@ object TextCtes {
        |             1)) AS BIGINT) * (i + 1))),
        |    (a, x) -> a + x) % 997 AS BIGINT) AS thumb_checksum
        |FROM documents""".stripMargin
+
+  /** twin of Dedup.substringDup: sliding SubstrK-token windows,
+    * fingerprinted, df ≥ 2 across docs = duplicated substring */
+  val substringDup: String = {
+    val k = graft.operators.Dedup.SubstrK
+    s"""WITH t AS (SELECT doc_id, ${toks("text")} AS ts FROM documents),
+       |g AS (SELECT doc_id, unnest(list_transform(
+       |    generate_series(0, len(ts) - $k),
+       |    j -> array_to_string(list_slice(ts, j + 1, j + $k), ' '))) AS gram
+       |  FROM t WHERE len(ts) >= $k),
+       |gf AS (SELECT doc_id, ${fp("gram")} AS gfp FROM g),
+       |o AS (SELECT gfp, doc_id, count(*) AS n FROM gf GROUP BY 1, 2),
+       |d AS (SELECT gfp FROM o GROUP BY gfp HAVING count(*) >= 2),
+       |s AS (SELECT doc_id, sum(n) AS dup_occ, count(*) AS dup_grams
+       |  FROM o JOIN d USING (gfp) GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CAST(greatest(len(ts) - ${k - 1}, 0) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(s.dup_occ, 0) AS BIGINT) AS dup_occ,
+       |  CAST(coalesce(s.dup_grams, 0) AS BIGINT) AS dup_grams
+       |FROM t LEFT JOIN s ON t.doc_id = s.doc_id""".stripMargin
+  }
+
+  /** twin of TextOps.repetition: top-bigram fraction + duplicated
+    * trigram fraction + keep verdict (same division order) */
+  val repetition: String = {
+    def gramCte(n: Int, name: String): String =
+      s"""$name AS (SELECT doc_id, ${fp("gram")} AS gfp FROM (
+         |  SELECT doc_id, unnest(list_transform(
+         |      generate_series(0, len(ts) - $n),
+         |      j -> array_to_string(list_slice(ts, j + 1, j + $n), ' '))) AS gram
+         |  FROM t WHERE len(ts) >= $n))""".stripMargin
+    s"""WITH t AS (SELECT doc_id, ${toks("text")} AS ts FROM documents),
+       |${gramCte(2, "g2")},
+       |c2 AS (SELECT doc_id, gfp, count(*) AS n FROM g2 GROUP BY 1, 2),
+       |s2 AS (SELECT doc_id, sum(n) AS n2, max(n) AS max2 FROM c2 GROUP BY doc_id),
+       |${gramCte(3, "g3")},
+       |c3 AS (SELECT doc_id, gfp, count(*) AS n FROM g3 GROUP BY 1, 2),
+       |s3 AS (SELECT doc_id, sum(n) AS n3,
+       |  sum(CASE WHEN n >= 2 THEN n ELSE 0 END) AS d3 FROM c3 GROUP BY doc_id)
+       |SELECT s2.doc_id,
+       |  max2 / CAST(n2 AS DOUBLE) AS top2_frac,
+       |  d3 / CAST(n3 AS DOUBLE) AS dup3_frac,
+       |  CAST(CASE WHEN max2 / CAST(n2 AS DOUBLE) <= ${graft.operators.TextOps.RepTop2Tau}
+       |        AND d3 / CAST(n3 AS DOUBLE) <= ${graft.operators.TextOps.RepDup3Tau}
+       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id""".stripMargin
+  }
+
+  /** twin of Pipeline.sampleBudget: multiplicative-hash order,
+    * per-source running char total, budget cut */
+  val sampleBudget: String = {
+    import graft.operators.Pipeline.{BudgetChars, SampleMod, SampleMult}
+    s"""WITH d AS (SELECT doc_id, source, n_chars,
+       |    (doc_id * $SampleMult) % $SampleMod AS h FROM documents),
+       |c AS (SELECT source, n_chars, sum(n_chars) OVER (
+       |    PARTITION BY source ORDER BY h
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+       |SELECT source, count(*) AS n_total,
+       |  CAST(sum(CASE WHEN cum <= $BudgetChars THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       |  CAST(sum(CASE WHEN cum <= $BudgetChars THEN n_chars ELSE 0 END) AS BIGINT) AS chars_sampled
+       |FROM c GROUP BY source""".stripMargin
+  }
 }
