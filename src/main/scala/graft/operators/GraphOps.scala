@@ -185,6 +185,13 @@ object GraphOps {
     val raw = li.select(col("o").as("x"), col("p").as("y"))
       .unionAll(li.select(col("o").as("x"), col("s").as("y")))
       .unionAll(li.select(col("p").as("x"), col("s").as("y")))
+    triangleStats(raw)
+  }
+
+  /** (n_edges, n_triangles) of the undirected simple graph induced by
+    * raw (x, y) pairs — factored out so specs can pin known counts on
+    * hand-built graphs. */
+  private[graft] def triangleStats(raw: DataFrame): DataFrame = {
     val und = raw.select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
       .distinct().persist()
