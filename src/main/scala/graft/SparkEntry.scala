@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.checker.{Corruption, FullCheck, StoreProfile}
 import graft.model.RecordStores
 import graft.operators.{Dedup, GraphOps, Media, Similarity, TextOps}
-import graft.oracle.{Ctes, EventCtes, GenCtes, IterCtes, RecordCtes, TextCtes}
+import graft.oracle.{Ctes, EventCtes, GenCtes, IterCtes, RecordCtes, SketchCtes, TextCtes}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -232,6 +232,10 @@ object SparkEntry {
     // triangle count over the lineitem co-occurrence graph,
     // degree-ordered orientation (bounded wedge fan-out at hot nodes)
     "it_triangles" -> ((s, dir) => graft.operators.GraphOps.triangleCount(s, dir)),
+    // bounded k-core peel (degree >= K survivor census per kind)
+    "it_kcore" -> ((s, dir) => graft.operators.Iterative.kcore(s, dir)),
+    // engine-invariant HyperLogLog vs exact distinct (self-quantifying probe)
+    "q08_hll_distinct" -> ((s, dir) => graft.operators.Sketch.hllOrders(s, dir)),
     // whole-graph analytic: fixed-point PageRank (GraphX surface,
     // DataFrame-first, integer-exact)
     "it_pagerank" -> ((s, dir) => graft.operators.PageRank.topRanks(s, dir)),
@@ -242,6 +246,12 @@ object SparkEntry {
       graft.streaming.EventStreams.userState(graft.streaming.EventStreams.events(s, dir))),
     "s_sessionize" -> ((s, dir) =>
       graft.streaming.EventStreams.sessionize(graft.streaming.EventStreams.events(s, dir))),
+    // funnel/markov primitive: consecutive event-type transition counts
+    "s_transitions" -> ((s, dir) =>
+      graft.streaming.EventStreams.transitions(graft.streaming.EventStreams.events(s, dir))),
+    // semi-structured: JSON prop extraction inside codegen, then agg
+    "s_props_json" -> ((s, dir) =>
+      graft.streaming.EventStreams.propStats(graft.streaming.EventStreams.events(s, dir))),
     // as-of join (sorted-union-window composition)
     "s_asof_join" -> ((s, dir) =>
       graft.operators.AsOfJoin.purchaseLastClick(s, dir)),
@@ -438,10 +448,14 @@ object SparkEntry {
     "it_bfs_depth" -> IterCtes.bfsDepth,
     "it_sssp" -> IterCtes.sssp,
     "it_triangles" -> IterCtes.triangles,
+    "it_kcore" -> IterCtes.kcore,
+    "q08_hll_distinct" -> SketchCtes.hllOrders,
     "it_pagerank" -> graft.oracle.PageRankCtes.topRanks,
     "s_hourly_agg" -> EventCtes.hourlyAgg,
     "s_user_state" -> EventCtes.userState,
     "s_sessionize" -> EventCtes.sessionize,
+    "s_transitions" -> EventCtes.transitions,
+    "s_props_json" -> EventCtes.propStats,
     "s_asof_join" -> EventCtes.asofJoin,
     "s_interval_join" -> EventCtes.intervalJoin,
     "cdc_incremental" -> EventCtes.userState,

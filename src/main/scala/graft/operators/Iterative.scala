@@ -22,6 +22,8 @@ object Iterative {
   val BfsIters = 6
   val SsspIters = 8
   val WeightMod = 7L
+  val KcoreK = 3
+  val KcoreIters = 4
   val Unreachable = 999999L
 
   /** Frontier/message rows above which the per-round broadcast hint is
@@ -185,5 +187,40 @@ object Iterative {
     iterateMinPlus(vertices, wedges, SsspIters, frontier0 = Some(seeds))
       .groupBy(col("label").as("dist"))
       .agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /** Bounded k-core peel: [[KcoreIters]] rounds of "drop nodes with
+    * degree < [[KcoreK]], drop their edges, recount" over the whole
+    * (undirected) graph, reported as surviving-node counts per kind.
+    * Every round is one partial-agg degree shuffle plus two
+    * co-keyed semi-joins over the surviving edge set — no frontier
+    * needed because the peel itself shrinks the data each round; the
+    * per-round `localCheckpoint` truncates the logical plan exactly
+    * like the min-propagation loop (SCALE.md "truncate the PLAN"). */
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    val g = TpchGraph(spark, dir)
+    val edges = symmetrize(TpchGraph.relsLite(spark, dir))
+    kcoreSurvivors(edges, KcoreK, KcoreIters)
+      .join(g.nodes, "id")
+      .groupBy("kind").agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /** node ids surviving `iters` peel rounds of the k-core over an
+    * already-symmetrized edge set — factored for hand-graph specs. */
+  private[graft] def kcoreSurvivors(edges0: DataFrame, k: Int,
+                                    iters: Int): DataFrame = {
+    var edges = edges0.localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val keep = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("node")
+      edges = edges
+        .join(keep.select(col("node").as("src")), "src")
+        .join(keep.select(col("node").as("dst")), "dst")
+        .select("src", "dst")
+        .localCheckpoint(true)
+    }
+    edges.select(col("src").as("id")).distinct()
   }
 }

@@ -23,6 +23,29 @@ object EventCtes {
        |  max(CASE WHEN rn = 1 THEN event_id END) AS last_event_id
        |FROM r GROUP BY user_id""".stripMargin
 
+  /** twin of EventStreams.transitions: lag window per user, count
+    * consecutive (prev → curr) event-type steps */
+  val transitions: String =
+    s"""WITH r AS (
+       |  SELECT event_type,
+       |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS prev_type
+       |  FROM events)
+       |SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+       |FROM r WHERE prev_type IS NOT NULL
+       |GROUP BY 1, 2""".stripMargin
+
+  /** twin of EventStreams.propStats: JSON field extraction + per-type
+    * aggregate */
+  val propStats: String =
+    s"""WITH x AS (
+       |  SELECT event_type,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       |  FROM events)
+       |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+       |  min(k) AS min_k, max(k) AS max_k
+       |FROM x GROUP BY event_type""".stripMargin
+
   /** twin of AsOfJoin.purchaseLastClick: same tagged-union-window
     * construction (portable ≤-with-tiebreak semantics, rather than
     * DuckDB's native ASOF JOIN whose tie rules could differ). */

@@ -52,6 +52,27 @@ object IterCtes {
        |${unrolledW(SsspIters)}
        |SELECT label AS dist, count(*) AS n_nodes FROM l$SsspIters GROUP BY label""".stripMargin
 
+  /** twin of [[graft.operators.Iterative.kcore]]: unrolled peel
+    * rounds (degree count → keep ≥ K → filter both endpoints). */
+  val kcore: String = {
+    val k = graft.operators.Iterative.KcoreK
+    val iters = graft.operators.Iterative.KcoreIters
+    val rounds = (1 to iters).map { i =>
+      s"""k$i AS (SELECT src AS node FROM e${i - 1} GROUP BY src
+         |  HAVING count(*) >= $k),
+         |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN k$i a ON e.src = a.node
+         |  JOIN k$i b ON e.dst = b.node)""".stripMargin
+    }.mkString(",\n")
+    s"""${Ctes.graph},
+       |e0 AS (SELECT src, dst FROM rels UNION ALL SELECT dst, src FROM rels),
+       |$rounds
+       |SELECT n.kind, count(*) AS n_nodes
+       |FROM (SELECT DISTINCT src AS id FROM e$iters) s
+       |JOIN nodes n USING (id)
+       |GROUP BY n.kind""".stripMargin
+  }
+
   /** twin of [[graft.operators.GraphOps.triangleCount]]: lineitem
     * co-occurrence edges, degree-ordered orientation, wedge + closing
     * join. */

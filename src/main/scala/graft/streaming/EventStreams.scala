@@ -65,6 +65,33 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_cents"))
 
+  /** Event transition matrix: per user, order by event time and count
+    * each consecutive (prev_type → type) step — the funnel/markov
+    * primitive of product analytics. One window pass partitioned by
+    * user (partition-local sort, no global order) feeding a
+    * partial-aggregable count — two exchanges total at any scale.
+    * Event times are unique per user in this corpus; event_id breaks
+    * any tie deterministically. */
+  def transitions(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Semi-structured projection: parse the JSON `props` payload and
+    * aggregate the extracted field per event type. The JSON path
+    * evaluation (`get_json_object`) runs inside whole-stage codegen —
+    * the scan-adjacent parse every telemetry pipeline does before the
+    * first shuffle, so only (type, k) longs cross the exchange. */
+  def propStats(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+
   /** Replayed per-user state: event counts, cent totals, and the last
     * event by (ts, event_id) — the exactly-once bookmark. */
   def userState(ev: DataFrame): DataFrame = {

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** HLL sketch, k-core peel, event transitions, JSON prop stats. */
+class SketchKcoreSpec extends SparkTestBase {
+  import spark.implicits._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bitLen when-cascade equals java.lang.Long.bitLength over the suffix range") {
+    val probe = Seq(0L, 1L, 2L, 3L, 255L, 256L, 65535L, 65536L,
+      (1L << 23) - 1, 1L << 23, (1L << 24) - 1).toDF("x")
+    val got = probe.select(col("x"), Sketch.bitLen(col("x")).as("bl"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach { case (x, bl) =>
+      assert(bl === (64 - java.lang.Long.numberOfLeadingZeros(x)),
+        s"bitLen($x)")
+    }
+  }
+
+  test("hllDistinct estimate lands within HLL error bounds on the fact table") {
+    val out = Sketch.hllOrders(spark, dir).collect().head
+    val (z, est, exact) = (out.getLong(1), out.getDouble(2), out.getLong(3))
+    // m=256 gives sigma ~6.5%; 4 sigma is a generous deterministic bound
+    assert(math.abs(est / exact - 1.0) < 0.26, s"est=$est exact=$exact")
+    // registers actually filled: Z' far below the all-empty 256*2^25
+    assert(z < (256L << 25) / 4)
+  }
+
+  test("kcoreSurvivors: K4 survives the 3-core, a pendant is peeled") {
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 9L)) // pendant 9 hanging off the clique
+      .toDF("src", "dst")
+    val sym = und.unionAll(und.select(col("dst").as("src"), col("src").as("dst")))
+    val kept = Iterative.kcoreSurvivors(sym, 3, 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 2L, 3L, 4L))
+  }
+
+  test("transitions: hand-ordered user history counts consecutive pairs") {
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:01"), 10L, "view"),
+      (2L, java.sql.Timestamp.valueOf("2026-01-01 00:00:02"), 10L, "click"),
+      (3L, java.sql.Timestamp.valueOf("2026-01-01 00:00:03"), 10L, "view"),
+      (4L, java.sql.Timestamp.valueOf("2026-01-01 00:00:01"), 20L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.streaming.EventStreams.transitions(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("view", "click") -> 1L, ("click", "view") -> 1L))
+    // corpus identity: one transition per event beyond each user's first
+    val events = graft.streaming.EventStreams.events(spark, dir)
+    val total = graft.streaming.EventStreams.transitions(events)
+      .agg(sum("n")).collect().head.getLong(0)
+    val nEvents = events.count()
+    val nUsers = events.select("user_id").distinct().count()
+    assert(total === nEvents - nUsers)
+  }
+
+  test("propStats parses every row's JSON and keeps per-type counts complete") {
+    val events = graft.streaming.EventStreams.events(spark, dir)
+    val out = graft.streaming.EventStreams.propStats(events).persist()
+    assert(out.agg(sum("n")).collect().head.getLong(0) === events.count())
+    // no parse failures: a null k would make sum_k null, min/max null
+    assert(out.filter(col("sum_k").isNull || col("min_k") > col("max_k"))
+      .count() === 0L)
+  }
+}
