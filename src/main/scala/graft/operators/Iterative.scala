@@ -206,21 +206,38 @@ object Iterative {
   }
 
   /** node ids surviving `iters` peel rounds of the k-core over an
-    * already-symmetrized edge set — factored for hand-graph specs. */
+    * already-symmetrized edge set — factored for hand-graph specs.
+    *
+    * Delta form: instead of recounting every degree from a re-filtered
+    * edge table each round (two full edge shuffles × rounds), the edge
+    * table is persisted ONCE and each round only the nodes dropped
+    * THIS round send "minus one" messages to their neighbors —
+    * deg′(v) = deg(v) − |edges v→dropped|, provably identical to the
+    * recount (the DuckDB oracle still unrolls the recount form and the
+    * hashes agree). The dropped set rides the same broadcast guard as
+    * the min-propagation frontier, so a pathological first round
+    * (almost everything below k) degrades to a shuffle join instead of
+    * an OOM. One partial-agg shuffle per round over the dropped
+    * nodes' neighborhoods only — the 100× shape. */
   private[graft] def kcoreSurvivors(edges0: DataFrame, k: Int,
                                     iters: Int): DataFrame = {
-    var edges = edges0.localCheckpoint(true)
+    val maxRows = broadcastMaxRows(edges0.sparkSession)
+    val edges = edges0.persist()
+    var deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint(true)
     for (_ <- 0 until iters) {
-      val keep = edges.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k)
-        .select("node")
-      edges = edges
-        .join(keep.select(col("node").as("src")), "src")
-        .join(keep.select(col("node").as("dst")), "dst")
-        .select("src", "dst")
+      val dropped = deg.filter(col("deg") < k).select("node")
+      val droppedRows = dropped.count()
+      val loss = edges
+        .join(hinted(dropped.select(col("node").as("dst")), droppedRows, maxRows),
+          "dst")
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("loss"))
+      deg = deg.filter(col("deg") >= k)
+        .join(hinted(loss, droppedRows, maxRows), Seq("node"), "left")
+        .select(col("node"), (col("deg") - coalesce(col("loss"), lit(0L))).as("deg"))
         .localCheckpoint(true)
     }
-    edges.select(col("src").as("id")).distinct()
+    edges.unpersist()
+    deg.filter(col("deg") >= 1).select(col("node").as("id"))
   }
 }
