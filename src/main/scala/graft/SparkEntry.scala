@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.checker.{Corruption, FullCheck, StoreProfile}
 import graft.model.RecordStores
 import graft.operators.{Dedup, GraphOps, Media, Similarity, TextOps}
-import graft.oracle.{Ctes, EventCtes, GenCtes, IterCtes, RecordCtes, SketchCtes, TextCtes}
+import graft.oracle.{Ctes, EventCtes, GenCtes, IterCtes, OlapCtes, RecordCtes, SketchCtes, TextCtes}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -236,6 +236,12 @@ object SparkEntry {
     "it_kcore" -> ((s, dir) => graft.operators.Iterative.kcore(s, dir)),
     // engine-invariant HyperLogLog vs exact distinct (self-quantifying probe)
     "q08_hll_distinct" -> ((s, dir) => graft.operators.Sketch.hllOrders(s, dir)),
+    // hierarchical aggregation: one Expand + partial-agg pass
+    "q09_rollup" -> ((s, dir) => graft.operators.Olap.rollupReport(s, dir)),
+    // exact discrete percentiles, integer index arithmetic
+    "q10_percentiles" -> ((s, dir) => graft.operators.Olap.percentiles(s, dir)),
+    // near-dup refinement: edit distance over LSH candidates only
+    "dd_edit_refine" -> ((s, dir) => graft.operators.Olap.editRefine(s, dir)),
     // whole-graph analytic: fixed-point PageRank (GraphX surface,
     // DataFrame-first, integer-exact)
     "it_pagerank" -> ((s, dir) => graft.operators.PageRank.topRanks(s, dir)),
@@ -252,6 +258,12 @@ object SparkEntry {
     // semi-structured: JSON prop extraction inside codegen, then agg
     "s_props_json" -> ((s, dir) =>
       graft.streaming.EventStreams.propStats(graft.streaming.EventStreams.events(s, dir))),
+    // BI pivot: static conditional aggregation over the type domain
+    "s_pivot_types" -> ((s, dir) =>
+      graft.operators.Olap.pivotEvents(graft.streaming.EventStreams.events(s, dir))),
+    // time-series densify: per-type hour spine, zero-filled
+    "s_gap_fill" -> ((s, dir) =>
+      graft.operators.Olap.gapFillHourly(graft.streaming.EventStreams.events(s, dir))),
     // as-of join (sorted-union-window composition)
     "s_asof_join" -> ((s, dir) =>
       graft.operators.AsOfJoin.purchaseLastClick(s, dir)),
@@ -450,6 +462,11 @@ object SparkEntry {
     "it_triangles" -> IterCtes.triangles,
     "it_kcore" -> IterCtes.kcore,
     "q08_hll_distinct" -> SketchCtes.hllOrders,
+    "q09_rollup" -> OlapCtes.rollupReport,
+    "q10_percentiles" -> OlapCtes.percentiles,
+    "dd_edit_refine" -> OlapCtes.editRefine,
+    "s_pivot_types" -> OlapCtes.pivotEvents,
+    "s_gap_fill" -> OlapCtes.gapFillHourly,
     "it_pagerank" -> graft.oracle.PageRankCtes.topRanks,
     "s_hourly_agg" -> EventCtes.hourlyAgg,
     "s_user_state" -> EventCtes.userState,

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tpch
+
+/** OLAP reporting surface: hierarchical aggregation (rollup), exact
+  * distributed percentiles, pivot, and time-series gap fill — the
+  * query shapes a warehouse user expects on top of the operator
+  * families SURVEY §2 covers.
+  *
+  * Everything stays integer-exact (cents, counts, discrete
+  * percentiles) so the DuckDB oracle compares bit-for-bit, and every
+  * plan is partial-aggregable or partition-local — no global sorts,
+  * no driver loops.
+  */
+object Olap {
+
+  /** Hierarchical totals: (flag, status) → per-flag → grand total in
+    * ONE pass. Spark expands rollup to grouping sets executed as a
+    * single Expand + partial-agg aggregate — at 100 TB this beats
+    * three separate scans precisely because the expand multiplies
+    * rows map-side where the combine absorbs them. */
+  def rollupReport(spark: SparkSession, dir: String): DataFrame =
+    Tpch.table(spark, dir, "lineitem")
+      .withColumn("cents", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"),
+        sum("l_quantity").as("total_qty"))
+
+  /** Exact discrete percentiles (p50/p90/p99 of the extended price in
+    * cents) per return flag: one window rank + one conditional
+    * aggregate. The sort is PER GROUP (partition-local after the
+    * hash exchange) — the scalable exact-quantile shape; approximate
+    * sketches only become necessary when a single group outgrows a
+    * partition, and cents stay integers so there is no interpolation
+    * to disagree on. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+    // discrete percentile index in PURE integer arithmetic —
+    // idx = (n-1)·num/den + 1 — so no engine can disagree on a
+    // float-times-count rounding at a group boundary
+    def pick(num: Int, den: Int, name: String) =
+      max(when(col("rn") === expr(s"(cnt - 1) * $num div $den + 1"),
+        col("cents"))).as(name)
+    Tpch.table(spark, dir, "lineitem")
+      .withColumn("cents", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), pick(1, 2, "p50_cents"),
+        pick(9, 10, "p90_cents"), pick(99, 100, "p99_cents"))
+  }
+
+  /** Pivot: per-user event counts spread across one column per event
+    * type (the report shape BI tools emit). Types are the known
+    * domain, so the pivot is a static conditional-aggregation — one
+    * partial-aggregable shuffle, no dynamic-schema pass. */
+  val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  def pivotEvents(ev: DataFrame): DataFrame =
+    ev.groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+
+  /** Time-series gap fill: hourly event counts per type with missing
+    * hours zero-filled between each type's first and last hour — the
+    * resample/densify step every telemetry chart needs. The hour
+    * spine generates from per-type min/max bounds (sequence explode:
+    * rows multiply executor-side, never on the driver) and left-joins
+    * the observed counts. */
+  def gapFillHourly(ev: DataFrame): DataFrame = {
+    val hours = ev.select(col("event_type"),
+      date_trunc("hour", col("ts")).as("hour"))
+    val observed = hours.groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("n"))
+    val spine = hours.groupBy("event_type")
+      .agg(min("hour").as("h0"), max("hour").as("h1"))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    spine.join(observed, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Near-dup refinement: exact edit distance over the LSH candidate
+    * pairs' 64-char prefixes — the "expensive verify only on survivors"
+    * stage (levenshtein is quadratic per pair; running it on the
+    * candidate set instead of all pairs is the entire point of LSH).
+    * Built-in codegen'd levenshtein on both engines. */
+  val EditPrefix = 64
+  val EditMax = 20
+  def editRefine(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = Dedup.nearCorpus(spark, dir)
+      .select(col("doc_id"), substring(col("text"), 1, EditPrefix).as("pfx"))
+    val cand = Dedup.minhashLsh(spark, dir).select("a", "b")
+    cand
+      .join(corpus.select(col("doc_id").as("a"), col("pfx").as("pa")), "a")
+      .join(corpus.select(col("doc_id").as("b"), col("pfx").as("pb")), "b")
+      .select(col("a"), col("b"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
+      .filter(col("dist") <= EditMax)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.oracle
+
+import graft.operators.Olap
+
+/** DuckDB twins of [[graft.operators.Olap]]. */
+object OlapCtes {
+
+  private val cents =
+    "x AS (SELECT *, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem)"
+
+  val rollupReport: String =
+    s"""WITH $cents
+       |SELECT l_returnflag, l_linestatus, count(*) AS n,
+       |  CAST(sum(cents) AS BIGINT) AS total_cents,
+       |  sum(l_quantity) AS total_qty
+       |FROM x GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  /** same pure-integer discrete index: (n−1)·num//den + 1 */
+  val percentiles: String = {
+    def pick(num: Int, den: Int, name: String) =
+      s"max(CASE WHEN rn = (cnt - 1) * $num // $den + 1 THEN cents END) AS $name"
+    s"""WITH $cents,
+       |r AS (SELECT l_returnflag, cents,
+       |  row_number() OVER (PARTITION BY l_returnflag
+       |    ORDER BY cents, l_orderkey, l_linenumber) AS rn,
+       |  count(*) OVER (PARTITION BY l_returnflag) AS cnt FROM x)
+       |SELECT l_returnflag, count(*) AS n,
+       |  ${pick(1, 2, "p50_cents")},
+       |  ${pick(9, 10, "p90_cents")},
+       |  ${pick(99, 100, "p99_cents")}
+       |FROM r GROUP BY l_returnflag""".stripMargin
+  }
+
+  val pivotEvents: String = {
+    val cols = Olap.EventTypes.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+      .mkString(",\n  ")
+    s"""SELECT user_id,
+       |  $cols
+       |FROM events GROUP BY user_id""".stripMargin
+  }
+
+  val gapFillHourly: String =
+    s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour FROM events),
+       |o AS (SELECT event_type, hour, count(*) AS n FROM h GROUP BY 1, 2),
+       |b AS (SELECT event_type, CAST(min(hour) AS TIMESTAMP) AS h0,
+       |  CAST(max(hour) AS TIMESTAMP) AS h1 FROM h GROUP BY 1),
+       |s AS (SELECT event_type,
+       |  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b)
+       |SELECT s.event_type, s.hour, CAST(coalesce(o.n, 0) AS BIGINT) AS n
+       |FROM s LEFT JOIN o ON s.event_type = o.event_type AND s.hour = o.hour""".stripMargin
+
+  val editRefine: String =
+    s"""WITH ${TextCtes.nearCorpus},
+       |pfx AS (SELECT doc_id, substr(text, 1, ${Olap.EditPrefix}) AS p FROM near_corpus),
+       |lsh AS (SELECT a, b FROM (${TextCtes.minhashLsh}))
+       |SELECT l.a, l.b, CAST(levenshtein(pa.p, pb.p) AS BIGINT) AS dist
+       |FROM lsh l
+       |JOIN pfx pa ON l.a = pa.doc_id
+       |JOIN pfx pb ON l.b = pb.doc_id
+       |WHERE levenshtein(pa.p, pb.p) <= ${Olap.EditMax}""".stripMargin
+}

@@ -97,7 +97,7 @@ object TextCtes {
       |  SELECT doc_id, text FROM documents
       |  UNION ALL SELECT doc_id + 100000, text FROM documents)""".stripMargin
 
-  private val nearCorpus =
+  private[oracle] val nearCorpus =
     s"""near_corpus AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
