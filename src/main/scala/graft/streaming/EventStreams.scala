@@ -92,6 +92,46 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
         min("k").as("min_k"), max("k").as("max_k"))
 
+  final case class TransEv(user_id: Long, ts: java.sql.Timestamp,
+    event_id: Long, event_type: String)
+  final case class TransLast(tsMs: Long, id: Long, tpe: String)
+  final case class TransOut(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming form of [[transitions]]: keyed state holds each user's
+    * last event; every arriving batch sorts its in-batch slice by
+    * (ts, event_id), bridges from the remembered last event, and emits
+    * one (from → to) row per consecutive pair. State per key is ONE
+    * event — constant regardless of stream length. Assumes per-user
+    * in-order delivery across batches (the watermark bounds the
+    * disorder a source may replay); the batch twin `transitions` is
+    * the oracle-gated semantics. */
+  def transitionsStream(src: DataFrame): Dataset[TransOut] = {
+    val ss = src.sparkSession
+    import ss.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    src.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withWatermark("ts", "2 hours")
+      .as[TransEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[TransEv], state: GroupState[TransLast]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val out = Seq.newBuilder[TransOut]
+            var last = state.getOption.orNull
+            sorted.foreach { e =>
+              if (last != null)
+                out += TransOut(uid, last.tpe, e.event_type)
+              last = TransLast(e.ts.getTime, e.event_id, e.event_type)
+            }
+            state.update(last)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Replayed per-user state: event counts, cent totals, and the last
     * event by (ts, event_id) — the exactly-once bookmark. */
   def userState(ev: DataFrame): DataFrame = {

@@ -119,4 +119,37 @@ class WatermarkSpec extends SparkTestBase {
       assert(streamed.size === 3)
     } finally q.stop()
   }
+
+  test("streaming transitions equal the batch transition matrix across batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String)]
+    val src = stream.toDF().toDF("user_id", "ts", "event_id", "event_type")
+    val q = EventStreams.transitionsStream(src)
+      .writeStream.format("memory").queryName("wm_trans")
+      .outputMode("append")
+      .start()
+    val rows = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (10L, ts("2024-01-01 10:01:00"), 2L, "click"),
+      (20L, ts("2024-01-01 10:02:00"), 3L, "view"))
+    val rows2 = Seq( // second batch continues both users via state
+      (10L, ts("2024-01-01 10:03:00"), 4L, "purchase"),
+      (20L, ts("2024-01-01 10:04:00"), 5L, "error"))
+    try {
+      stream.addData(rows: _*); q.processAllAvailable()
+      stream.addData(rows2: _*); q.processAllAvailable()
+      val streamed = spark.table("wm_trans")
+        .groupBy("from_type", "to_type")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      import spark.implicits._
+      val batch = EventStreams.transitions(
+        (rows ++ rows2).toDF("user_id", "ts", "event_id", "event_type"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed === batch)
+      assert(streamed(("view", "click")) === 1L)
+      assert(streamed(("click", "purchase")) === 1L) // bridged across batches
+    } finally q.stop()
+  }
 }
