@@ -36,7 +36,12 @@ object PlanAudit {
       // self-join), capped simhash band join, array-store checks,
       // partial-agg chain stats
       "dd_minhash_lsh", "dd_simhash_band", "rec_prop_stats",
-      "rec_chain_reconstruction").foreach(audit)
+      "rec_chain_reconstruction",
+      // r4 additions: oriented wedge join (no cartesian), inverted-
+      // index substring dedup, rollup Expand, percentile windows,
+      // budget-sampling windows, HLL partial-agg registers
+      "it_triangles", "dd_substring", "q09_rollup", "q10_percentiles",
+      "pipe_sample_budget", "q08_hll_distinct").foreach(audit)
     // driver t1 smoke simulation: entry must return rows on sf0.001
     println(s"== entry smoke: ${SparkEntry.entry(spark).count()} rows")
     spark.stop()

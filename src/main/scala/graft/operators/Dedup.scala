@@ -282,8 +282,10 @@ object Dedup {
     * bounded by document count per gram. */
   def substringDup(spark: SparkSession, dir: String): DataFrame = {
     TextOps.ensureRegistered(spark)
-    val t = TextOps.docs(spark, dir)
-      .withColumn("t", TextOps.toks(col("text"))).persist()
+    // prune to (doc_id, tokens) BEFORE the persist: the cached table —
+    // and therefore the scan — must not carry the wide doc columns
+    val t = TextOps.docs(spark, dir).select(col("doc_id"), col("text"))
+      .withColumn("t", TextOps.toks(col("text"))).drop("text").persist()
     // filter BEFORE sequence(): Spark's sequence(0, n) descends for
     // n < 0 (it would fabricate windows for short docs)
     val grams = t.filter(size(col("t")) >= SubstrK)

@@ -163,7 +163,8 @@ object TextOps {
   val RepDup3Tau = 0.30
   def repetition(spark: SparkSession, dir: String): DataFrame = {
     ensureRegistered(spark)
-    val t = docs(spark, dir).withColumn("t", toks(col("text"))).persist()
+    val t = docs(spark, dir).select(col("doc_id"), col("text"))
+      .withColumn("t", toks(col("text"))).drop("text").persist()
     // per-(doc, n-gram) occurrence counts; filter BEFORE sequence()
     // (it descends for negative spans — short docs would fabricate grams)
     def counts(n: Int) = t.filter(size(col("t")) >= n)
