@@ -318,6 +318,10 @@ object SparkEntry {
     // recall@K of every approximate ANN variant vs brute-force truth
     "ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
     "dd_embedding" -> ((s, dir) => Similarity.embeddingDup(s, dir)),
+    // per-dimension embedding stats (drift monitoring)
+    "emb_dim_stats" -> ((s, dir) => Similarity.dimStats(s, dir)),
+    // multimodal demux: magic-byte sniff next to the bytes
+    "mm_modality_route" -> ((s, dir) => Media.modalityRoute(s, dir)),
     "mm_media_features" -> ((s, dir) => Media.mediaFeatures(s, dir)),
     "mm_frame_sample" -> ((s, dir) => Media.frameSample(s, dir)),
     "mm_resize" -> ((s, dir) => Media.resizeThumbs(s, dir)),
@@ -502,6 +506,8 @@ object SparkEntry {
     "ann_ivf_kmeans" -> TextCtes.annIvfTrained,
     "ann_recall" -> TextCtes.annRecall,
     "dd_embedding" -> TextCtes.embeddingDup,
+    "emb_dim_stats" -> TextCtes.dimStats,
+    "mm_modality_route" -> TextCtes.modalityRoute,
     "mm_media_features" -> TextCtes.mediaFeatures,
     "mm_frame_sample" -> TextCtes.frameSample,
     "mm_resize" -> TextCtes.resizeThumbs,

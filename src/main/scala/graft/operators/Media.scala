@@ -123,4 +123,26 @@ object Media {
       }
       .toDF("doc_id", "n_bytes", "n_frames", "checksum")
   }
+
+  /** Modality routing — the demux every mixed-media lake runs first:
+    * sniff each blob's magic byte, tag it with a modality, and land
+    * per-modality partitions. The sniff is the decode-side stub
+    * (first byte mod 4 → modality name); the REAL part is the shape —
+    * classification happens next to the bytes in mapPartitions, and
+    * only (modality, n_bytes) scalars reach the exchange, so routing
+    * a petabyte of mixed blobs shuffles kilobytes. */
+  val Modalities = Vector("text", "image", "audio", "video")
+  def modalityRoute(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (_, bytes) =>
+        val magic = if (bytes.isEmpty) 0 else bytes(0) & 0xff
+        (Modalities(magic % Modalities.length), bytes.length.toLong)
+      })
+      .toDF("modality", "nbytes")
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n_blobs"), sum("nbytes").as("total_bytes"))
+  }
 }

@@ -271,4 +271,19 @@ object Similarity {
       .filter(col("cos") >= DupCosTau)
       .select(col("a"), col("b"), col("cos"))
   }
+
+  /** Per-dimension feature statistics over the quantized embeddings —
+    * the drift-monitoring pass an embedding pipeline schedules next to
+    * ingestion (a shifted dimension mean is the cheapest signal that
+    * an upstream encoder changed). posexplode → one partial-agg
+    * groupBy on the dimension index: 64 output rows at any corpus
+    * size, everything integer-exact. */
+  def dimStats(spark: SparkSession, dir: String): DataFrame =
+    Tpch.table(spark, dir, "embeddings")
+      .select(expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+      .select(posexplode(col("q")).as(Seq("i0", "x")))
+      .select((col("i0") + 1).cast("long").as("dim"), col("x"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("x").as("sum_q"),
+        min("x").as("min_q"), max("x").as("max_q"))
 }

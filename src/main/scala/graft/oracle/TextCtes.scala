@@ -263,7 +263,7 @@ object TextCtes {
   // ---- similarity ------------------------------------------------------
 
   /** quantized embeddings in long format + norms; `valid` = nrm > 0 */
-  private val embBase =
+  private[oracle] val embBase =
     """e AS (SELECT vec_id,
       |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
       |FROM embeddings),
@@ -511,6 +511,28 @@ object TextCtes {
        |             1)) AS BIGINT) * (i + 1))),
        |    (a, x) -> a + x) % 997 AS BIGINT) AS thumb_checksum
        |FROM documents""".stripMargin
+
+  /** twin of Media.modalityRoute: magic byte = first char's code
+    * (media is the UTF-8 encoding of this ASCII corpus) */
+  val modalityRoute: String = {
+    val names = graft.operators.Media.Modalities
+    val cases = names.indices
+      .map(i => s"WHEN m % ${names.length} = $i THEN '${names(i)}'")
+      .mkString(" ")
+    s"""WITH x AS (SELECT
+       |  CASE WHEN length(text) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END AS m,
+       |  CAST(length(text) AS BIGINT) AS nbytes FROM documents)
+       |SELECT CASE $cases END AS modality,
+       |  count(*) AS n_blobs, CAST(sum(nbytes) AS BIGINT) AS total_bytes
+       |FROM x GROUP BY 1""".stripMargin
+  }
+
+  /** twin of Similarity.dimStats */
+  val dimStats: String =
+    s"""WITH $embBase
+       |SELECT CAST(i AS BIGINT) AS dim, count(*) AS n,
+       |  CAST(sum(x) AS BIGINT) AS sum_q, min(x) AS min_q, max(x) AS max_q
+       |FROM el GROUP BY i""".stripMargin
 
   /** twin of Dedup.substringDup: sliding SubstrK-token windows,
     * fingerprinted, df ≥ 2 across docs = duplicated substring */

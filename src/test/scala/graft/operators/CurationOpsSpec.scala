@@ -53,6 +53,22 @@ class CurationOpsSpec extends SparkTestBase {
     assert(out.filter(col("keep") === 1L).count() > 0L)
   }
 
+  test("modalityRoute conserves blobs and bytes across the demux") {
+    val docs = TextOps.docs(spark, dir)
+    val out = Media.modalityRoute(spark, dir).persist()
+    assert(out.agg(sum("n_blobs")).collect().head.getLong(0) === docs.count())
+    assert(out.agg(sum("total_bytes")).collect().head.getLong(0) ===
+      docs.agg(sum(length(col("text")))).collect().head.getLong(0))
+  }
+
+  test("dimStats: one row per dimension, n = corpus size each") {
+    val out = Similarity.dimStats(spark, dir).persist()
+    val nVecs = graft.sources.Tpch.table(spark, dir, "embeddings").count()
+    assert(out.count() === 64L)
+    assert(out.filter(col("n") =!= nVecs).count() === 0L)
+    assert(out.filter(col("min_q") > col("max_q")).count() === 0L)
+  }
+
   test("sampleBudget: every stratum under budget, deterministic across runs") {
     val a = Pipeline.sampleBudget(spark, dir).persist()
     // chars_sampled never exceeds the budget (cut is on running total)
