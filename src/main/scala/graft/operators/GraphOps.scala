@@ -208,8 +208,10 @@ object GraphOps {
       .join(o.select(col("u").as("t_b"), col("v").as("t_c")), "t_b")
     val tri = wedges.join(
       o.select(col("u").as("t_a"), col("v").as("t_c")), Seq("t_a", "t_c"))
-    val out = und.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
-    out
+    // both scalars from ONE tagged-union aggregation — a crossJoin of
+    // two single-row aggs would plan as a nested-loop join
+    und.select(lit(1L).as("e"), lit(0L).as("t"))
+      .unionAll(tri.select(lit(0L).as("e"), lit(1L).as("t")))
+      .agg(sum("e").as("n_edges"), sum("t").as("n_triangles"))
   }
 }

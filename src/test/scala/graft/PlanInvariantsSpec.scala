@@ -68,4 +68,43 @@ class PlanInvariantsSpec extends SparkTestBase {
     } finally prev.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
   }
+
+  test("it_triangles wedge join is equi-keyed — no cartesian anywhere") {
+    val p = plan("it_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q09_rollup is one Expand + one aggregate exchange, not a scan per level") {
+    val p = plan("q09_rollup")
+    assert(p.linesIterator.count(_.contains("Expand")) === 1, p)
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) === 1, p)
+  }
+
+  test("q08_hll_distinct register aggregation is partial (map-side combine)") {
+    val p = plan("q08_hll_distinct")
+    // the max-rho register merge must partial-aggregate before the
+    // exchange — the property that makes the sketch one cheap pass
+    assert(p.contains("partial_max"), p)
+  }
+
+  test("kcore dropped-set guard: large dropped set must not broadcast") {
+    import spark.implicits._
+    import graft.operators.Iterative
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val prev = spark.conf.getOption(Iterative.BroadcastMaxRowsKey)
+    spark.conf.set(Iterative.BroadcastMaxRowsKey, "0") // everything "large"
+    val prevAuto = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val survivors = Iterative.kcoreSurvivors(edges, k = 3, iters = 1)
+      assert(!survivors.queryExecution.executedPlan.toString
+        .contains("BroadcastExchange"))
+    } finally {
+      prev.fold(spark.conf.unset(Iterative.BroadcastMaxRowsKey))(
+        spark.conf.set(Iterative.BroadcastMaxRowsKey, _))
+      prevAuto.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+    }
+  }
 }
