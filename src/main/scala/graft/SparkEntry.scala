@@ -264,6 +264,9 @@ object SparkEntry {
     // time-series densify: per-type hour spine, zero-filled
     "s_gap_fill" -> ((s, dir) =>
       graft.operators.Olap.gapFillHourly(graft.streaming.EventStreams.events(s, dir))),
+    // cohort retention: first-event week × offset × distinct actives
+    "s_retention" -> ((s, dir) =>
+      graft.streaming.EventStreams.retention(graft.streaming.EventStreams.events(s, dir))),
     // as-of join (sorted-union-window composition)
     "s_asof_join" -> ((s, dir) =>
       graft.operators.AsOfJoin.purchaseLastClick(s, dir)),
@@ -471,6 +474,7 @@ object SparkEntry {
     "dd_edit_refine" -> OlapCtes.editRefine,
     "s_pivot_types" -> OlapCtes.pivotEvents,
     "s_gap_fill" -> OlapCtes.gapFillHourly,
+    "s_retention" -> EventCtes.retention,
     "it_pagerank" -> graft.oracle.PageRankCtes.topRanks,
     "s_hourly_agg" -> EventCtes.hourlyAgg,
     "s_user_state" -> EventCtes.userState,

@@ -46,6 +46,21 @@ object EventCtes {
        |  min(k) AS min_k, max(k) AS max_k
        |FROM x GROUP BY event_type""".stripMargin
 
+  /** twin of EventStreams.retention: first-event cohort week × week
+    * offset × distinct active users */
+  val retention: String =
+    s"""WITH fw AS (
+       |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+       |  FROM events GROUP BY user_id),
+       |x AS (
+       |  SELECT e.user_id, fw.cohort_week,
+       |    date_diff('day', fw.cohort_week, date_trunc('week', e.ts)) // 7
+       |      AS week_offset
+       |  FROM events e JOIN fw ON e.user_id = fw.user_id)
+       |SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       |FROM x GROUP BY 1, 2""".stripMargin
+
   /** twin of AsOfJoin.purchaseLastClick: same tagged-union-window
     * construction (portable ≤-with-tiebreak semantics, rather than
     * DuckDB's native ASOF JOIN whose tie rules could differ). */

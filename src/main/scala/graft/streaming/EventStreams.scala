@@ -92,6 +92,23 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
         min("k").as("min_k"), max("k").as("max_k"))
 
+  /** Cohort retention: users grouped by the week of their first event,
+    * then counted as active per (cohort, week offset) — the
+    * product-analytics staple. Two partial-aggregable passes (first
+    * event per user, then distinct users per cell); week arithmetic is
+    * integer day-diffs over Monday-truncated dates, so both engines
+    * agree exactly. */
+  def retention(ev: DataFrame): DataFrame = {
+    val firstWeek = ev.groupBy("user_id")
+      .agg(date_trunc("week", min("ts")).as("cohort_week"))
+    ev.select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .join(firstWeek, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
   final case class TransEv(user_id: Long, ts: java.sql.Timestamp,
     event_id: Long, event_type: String)
   final case class TransLast(tsMs: Long, id: Long, tpe: String)
