@@ -245,6 +245,8 @@ object SparkEntry {
     // whole-graph analytic: fixed-point PageRank (GraphX surface,
     // DataFrame-first, integer-exact)
     "it_pagerank" -> ((s, dir) => graft.operators.PageRank.topRanks(s, dir)),
+    // Cypher-style diamond motif: same-nation customer/supplier orders
+    "g_motif_same_nation" -> ((s, dir) => GraphOps.sameNationTrade(s, dir)),
     // ---- streaming/CDC batch twins (SURVEY §2.5, §3.3) ----
     "s_hourly_agg" -> ((s, dir) =>
       graft.streaming.EventStreams.hourlyAgg(graft.streaming.EventStreams.events(s, dir))),
@@ -455,6 +457,24 @@ object SparkEntry {
          |inc AS (SELECT src AS node FROM rels UNION ALL SELECT dst FROM rels),
          |deg AS (SELECT node, count(*) AS degree FROM inc GROUP BY node)
          |SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree""".stripMargin,
+    "g_motif_same_nation" ->
+      s"""${Ctes.graph},
+         |cn AS (
+         |  SELECT p.src AS order_id, n.dst AS nation_id
+         |  FROM rels p JOIN rels n ON p.dst = n.src
+         |  WHERE p.type = 'PLACED_BY' AND n.type = 'IN_NATION'),
+         |sn AS (
+         |  SELECT p.src AS order_id, n.dst AS nation_id
+         |  FROM rels p JOIN rels n ON p.dst = n.src
+         |  WHERE p.type = 'SUPPLIED_BY' AND n.type = 'IN_NATION'),
+         |m AS (
+         |  SELECT cn.order_id, cn.nation_id
+         |  FROM cn JOIN sn ON cn.order_id = sn.order_id
+         |    AND cn.nation_id = sn.nation_id)
+         |SELECT nd.name AS nation, count(*) AS n_pairs,
+         |  CAST(count(DISTINCT m.order_id) AS BIGINT) AS n_orders
+         |FROM m JOIN nodes nd ON m.nation_id = nd.id
+         |GROUP BY nd.name""".stripMargin,
     "rec_stores_profile" -> RecordCtes.recProfile,
     "rec_backup_verify" -> RecordCtes.recBackupVerify,
     "rec_prop_stats" -> RecordCtes.recPropStats,

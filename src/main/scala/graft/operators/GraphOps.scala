@@ -157,6 +157,35 @@ object GraphOps {
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
   }
 
+  /** Graph pattern (motif) matching — the Cypher diamond
+    * `(o)-[:PLACED_BY]->(c)-[:IN_NATION]->(n)<-[:IN_NATION]-(s)<-[:SUPPLIED_BY]-(o)`:
+    * orders whose customer and supplier sit in the SAME nation (the
+    * TPC-H Q5 join shape expressed over the property graph). Four
+    * edge-table self-joins, all equi-keyed; the two nation legs reduce
+    * to (order, nation) pairs before the final order-keyed join, so
+    * nothing wider than two columns crosses an exchange. */
+  def sameNationTrade(spark: SparkSession, dir: String): DataFrame = {
+    val rels = TpchGraph.relsLite(spark, dir)
+    val nodes = TpchGraph.nodes(spark, dir)
+    def leg(edgeType: String) = rels.filter(col("type") === edgeType)
+    val custNation = leg("PLACED_BY")
+      .select(col("src").as("order_id"), col("dst").as("cust_id"))
+      .join(leg("IN_NATION").select(col("src").as("cust_id"), col("dst").as("nation_id")),
+        "cust_id")
+      .select(col("order_id"), col("nation_id"))
+    val suppNation = leg("SUPPLIED_BY")
+      .select(col("src").as("order_id"), col("dst").as("supp_id"))
+      .join(leg("IN_NATION").select(col("src").as("supp_id"), col("dst").as("nation_id")),
+        "supp_id")
+      .select(col("order_id"), col("nation_id"))
+    custNation.join(suppNation, Seq("order_id", "nation_id"))
+      .join(broadcast(nodes.filter(col("kind") === "nation")
+        .select(col("id").as("nation_id"), col("name").as("nation"))), "nation_id")
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct("order_id").as("n_orders"))
+  }
+
   /** Rank base for triangle orientation: deg·RankBase + id is a total
     * order by (degree, id). Node ids are < 7·10^12 (kind namespace
     * 6·Base + key), so 10^13 keeps the two fields disjoint; degrees up
