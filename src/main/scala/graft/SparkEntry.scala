@@ -127,6 +127,21 @@ object SparkEntry {
         .filter(col("rank") <= 2)
         .select("o_custkey", "o_orderkey", "price_c", "rank")
     }),
+    // sliding-frame window: per-customer running order total and a
+    // trailing 3-order sum, ordered by (date, key) — the moving-
+    // aggregate frame shape q04's rank doesn't cover. Partition-local
+    // sort only; integer cents.
+    "q11_running_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("price_c", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum("price_c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .as("running_c"),
+          sum("price_c").over(w.rowsBetween(-2, 0)).as("trailing3_c"))
+    }),
     // chain reconstruction (§2.9: per-owner chain statistics via
     // grouped aggregation instead of pointer walking). Head/tail/len
     // plus a multiset signature pin the sorted chain as strongly as
@@ -277,6 +292,15 @@ object SparkEntry {
       graft.streaming.EventStreams.purchaseClicks(
         graft.streaming.EventStreams.events(s, dir))),
     // snapshot ⊕ increment ≡ full replay: oracle IS the direct replay
+    // point-in-time restore: replay only events at-or-before the
+    // cutoff — the time-travel form of the S5/S7 backup story (state
+    // as of T, not just latest)
+    "cdc_pitr" -> ((s, dir) => {
+      val ev = graft.streaming.EventStreams.events(s, dir)
+      val cutoff = "2024-01-15 00:00:00" // mid-stream: ~half the log
+      graft.streaming.EventStreams.userState(
+        ev.filter(col("ts") <= lit(cutoff).cast("timestamp")))
+    }),
     "cdc_incremental" -> ((s, dir) =>
       graft.streaming.EventStreams.incrementalEquivalence(s, dir)),
     // backup lifecycle WITH verify-after-restore (BackupService.java:
@@ -495,6 +519,30 @@ object SparkEntry {
     "s_pivot_types" -> OlapCtes.pivotEvents,
     "s_gap_fill" -> OlapCtes.gapFillHourly,
     "s_retention" -> EventCtes.retention,
+    "q11_running_window" ->
+      """WITH x AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  CAST(sum(cents) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS running_c,
+        |  CAST(sum(cents) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS trailing3_c
+        |FROM x""".stripMargin,
+    "cdc_pitr" ->
+      """WITH ev AS (SELECT *, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |  ORDER BY ts DESC, event_id DESC) AS rn FROM ev)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  max(CASE WHEN rn = 1 THEN event_type END) AS last_type,
+        |  max(CASE WHEN rn = 1 THEN ts END) AS last_ts,
+        |  max(CASE WHEN rn = 1 THEN event_id END) AS last_event_id
+        |FROM r GROUP BY user_id""".stripMargin,
     "it_pagerank" -> graft.oracle.PageRankCtes.topRanks,
     "s_hourly_agg" -> EventCtes.hourlyAgg,
     "s_user_state" -> EventCtes.userState,
