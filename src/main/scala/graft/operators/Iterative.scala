@@ -112,7 +112,12 @@ object Iterative {
     // count over checkpointed rows (or the seed filter) — one cheap
     // scan per round that buys the broadcast-vs-shuffle decision
     var frontierRows = frontier.count()
-    for (round <- 0 until iters) {
+    var round = 0
+    // early exit on an empty frontier: with no improved labels there
+    // are no messages, so every remaining round is a no-op — the
+    // result is bit-identical to the oracle's full unroll, and the
+    // converged tail costs zero jobs instead of 2·rounds
+    while (round < iters && frontierRows > 0) {
       val t0 = System.nanoTime()
       val joined = costRound(v, frontier, edges, cost, frontierRows, maxRows)
         .localCheckpoint(true)
@@ -121,6 +126,7 @@ object Iterative {
         .select(col("node"), col("newl").as("label"))
       frontierRows = frontier.count()
       v = joined.select(col("node"), col("newl").as("label"))
+      round += 1
     }
     edges.unpersist()
     v
