@@ -337,6 +337,9 @@ object SparkEntry {
     "dd_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
     // ExactSubstr-style cross-doc duplicated-span coverage
     "dd_substring" -> ((s, dir) => Dedup.substringDup(s, dir)),
+    // incremental dedup: delta postings probe the base index; oracle
+    // is the full recompute (hash equality proves incremental ≡ batch)
+    "dd_incremental" -> ((s, dir) => Dedup.incrementalPairs(s, dir)),
     // Gopher-style repetition quality gates
     "t_repetition" -> ((s, dir) => TextOps.repetition(s, dir)),
     "t_vocab_topk" -> ((s, dir) => TextOps.vocabTopK(s, dir)),
@@ -570,6 +573,7 @@ object SparkEntry {
     "dd_simhash_band" -> TextCtes.simhashDup,
     "dd_clusters" -> TextCtes.dedupClusters,
     "dd_substring" -> TextCtes.substringDup,
+    "dd_incremental" -> TextCtes.incrementalPairs,
     "t_repetition" -> TextCtes.repetition,
     "t_vocab_topk" -> TextCtes.vocabTopK,
     "ann_topk" -> TextCtes.annBruteForce,

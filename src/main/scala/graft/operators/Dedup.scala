@@ -264,6 +264,43 @@ object Dedup {
     scoreCandidates(sh, cand)
   }
 
+  /** Freshly-arrived delta corpus: a second variant of each document
+    * (FIRST two tokens dropped — distinct from [[nearCorpus]]'s
+    * tail-dropped variant), ids offset by 2·[[IdOffset]]. Stands in
+    * for "today's crawl" against the already-indexed base. */
+  def deltaCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextOps.docs(spark, dir).select(col("doc_id"), col("text"))
+    d.select((col("doc_id") + 2 * IdOffset).as("doc_id"),
+      array_join(slice(TextOps.toks(col("text")), lit(3),
+        greatest(size(TextOps.toks(col("text"))) - 2, lit(1))), " ").as("text"))
+  }
+
+  /** Incremental near-dup detection: candidate pairs generate from the
+    * DELTA documents' postings only — the base corpus's inverted index
+    * is probed, never self-joined. This is the shape that makes
+    * continuous dedup practical at 100 TB: daily work is
+    * O(delta postings · df), independent of base self-join cost, while
+    * results are provably the full-recompute pairs restricted to
+    * pairs touching a delta doc (same candidates: any such pair shares
+    * a surviving shingle with the delta side; same df cap: document
+    * frequency is computed over base ∪ delta, exactly as a maintained
+    * index would hold it; same verify). The oracle IS the full
+    * recompute, filtered — the hash equality proves incremental ≡
+    * batch. */
+  def incrementalPairs(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.ensureRegistered(spark)
+    val union = nearCorpus(spark, dir).unionAll(deltaCorpus(spark, dir))
+    val sh = shingles(union)
+    val delta = sh.filter(col("doc_id") >= 2 * IdOffset)
+    val cand = delta.select(col("doc_id").as("x"), col("sfp"))
+      .join(sh.select(col("doc_id").as("y"), col("sfp")), "sfp")
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    scoreCandidates(sh, cand)
+  }
+
   /** Token window for exact-substring duplication. */
   val SubstrK = 8
 

@@ -105,17 +105,21 @@ object TextCtes {
        |    array_to_string(list_slice(t, 1, greatest(len(t) - 3, 1)), ' ')
        |  FROM (SELECT doc_id, ${toks("text")} AS t FROM documents))""".stripMargin
 
-  /** shingle table over the near corpus, df-capped — twin of
+  /** df-capped shingle chain over any (doc_id, text) table — twin of
     * Dedup.shingles */
-  private val shingleCtes =
-    s"""$nearCorpus,
-       |sh0 AS (SELECT doc_id, t FROM (SELECT doc_id, ${toks("text")} AS t FROM near_corpus) WHERE len(t) >= 3),
+  private def shingleChain(table: String): String =
+    s"""sh0 AS (SELECT doc_id, t FROM (SELECT doc_id, ${toks("text")} AS t FROM $table) WHERE len(t) >= 3),
        |sh1 AS (SELECT DISTINCT doc_id, ${fp("sh")} AS sfp FROM (
        |  SELECT doc_id, unnest(list_transform(generate_series(0, len(t) - 3),
        |    k -> t[k+1] || ' ' || t[k+2] || ' ' || t[k+3])) AS sh FROM sh0)),
        |dfq AS (SELECT sfp FROM sh1 GROUP BY sfp HAVING count(*) <= 100),
        |sh AS (SELECT s.doc_id, s.sfp FROM sh1 s JOIN dfq USING (sfp)),
        |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** shingle table over the near corpus — the base-dedup chain */
+  private val shingleCtes =
+    s"""$nearCorpus,
+       |${shingleChain("near_corpus")}""".stripMargin
 
   val dedupExact: String =
     s"""WITH $exactCorpus,
@@ -162,6 +166,26 @@ object TextCtes {
        |  JOIN sh b ON b.doc_id = c.b AND b.sfp = a.sfp
        |  GROUP BY 1, 2)
        |$jaccSelect""".stripMargin
+
+  /** twin of Dedup.incrementalPairs — deliberately the FULL recompute
+    * over base ∪ delta, restricted to pairs touching a delta doc: the
+    * hash equality proves the probe-only incremental path ≡ batch. */
+  val incrementalPairs: String = {
+    val off = 2 * graft.operators.Dedup.IdOffset
+    s"""WITH $nearCorpus,
+       |delta AS (SELECT doc_id + $off AS doc_id,
+       |    array_to_string(list_slice(t, 3, len(t)), ' ') AS text
+       |  FROM (SELECT doc_id, ${toks("text")} AS t FROM documents)),
+       |u AS (SELECT doc_id, text FROM near_corpus
+       |  UNION ALL SELECT doc_id, text FROM delta),
+       |${shingleChain("u")},
+       |pairs AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+       |  FROM sh a JOIN sh b USING (sfp)
+       |  WHERE a.doc_id < b.doc_id AND (a.doc_id >= $off OR b.doc_id >= $off)
+       |  GROUP BY 1, 2)
+       |$jaccSelect""".stripMargin
+  }
 
   /** twin of TextOps.intraDedup: consecutive 5-token chunks per doc,
     * repeats within the doc counted as dropped */

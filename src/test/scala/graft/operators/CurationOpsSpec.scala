@@ -53,6 +53,18 @@ class CurationOpsSpec extends SparkTestBase {
     assert(out.filter(col("keep") === 1L).count() > 0L)
   }
 
+  test("incrementalPairs: every pair touches the delta, twins found") {
+    val out = Dedup.incrementalPairs(spark, dir).persist()
+    val off = 2 * Dedup.IdOffset
+    // the incremental contract: only pairs involving a delta doc
+    assert(out.filter(col("a") < off && col("b") < off).count() === 0L)
+    // a head-trimmed variant keeps most shingles: originals must pair
+    // with their delta twins for a healthy majority of the corpus
+    val twins = out.filter(col("b") === col("a") + off).count()
+    val nDocs = TextOps.docs(spark, dir).count()
+    assert(twins * 2 >= nDocs, s"$twins twins of $nDocs docs")
+  }
+
   test("modalityRoute conserves blobs and bytes across the demux") {
     val docs = TextOps.docs(spark, dir)
     val out = Media.modalityRoute(spark, dir).persist()
