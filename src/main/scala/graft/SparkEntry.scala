@@ -127,6 +127,23 @@ object SparkEntry {
         .filter(col("rank") <= 2)
         .select("o_custkey", "o_orderkey", "price_c", "rank")
     }),
+    // argmin join (TPC-H Q2 shape): cheapest supplier per part brand —
+    // window rank with full tie-break, never min_by (unspecified ties)
+    "q02_argmin" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .withColumn("cents", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .select("l_partkey", "l_suppkey", "cents")
+      val part = s.read.parquet(s"$dir/part.parquet")
+        .select("p_partkey", "p_brand")
+      val w = Window.partitionBy("p_brand")
+        .orderBy(col("cents"), col("l_partkey"), col("l_suppkey"))
+      li.join(part, li("l_partkey") === part("p_partkey"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("p_brand"), col("l_partkey").as("best_partkey"),
+          col("l_suppkey").as("best_suppkey"), col("cents").as("min_cents"))
+    }),
     // sliding-frame window: per-customer running order total and a
     // trailing 3-order sum, ordered by (date, key) — the moving-
     // aggregate frame shape q04's rank doesn't cover. Partition-local
@@ -522,6 +539,16 @@ object SparkEntry {
     "s_pivot_types" -> OlapCtes.pivotEvents,
     "s_gap_fill" -> OlapCtes.gapFillHourly,
     "s_retention" -> EventCtes.retention,
+    "q02_argmin" ->
+      """WITH x AS (
+        |  SELECT p.p_brand, l.l_partkey, l.l_suppkey,
+        |    CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY p_brand
+        |  ORDER BY cents, l_partkey, l_suppkey) AS rn FROM x)
+        |SELECT p_brand, l_partkey AS best_partkey,
+        |  l_suppkey AS best_suppkey, cents AS min_cents
+        |FROM r WHERE rn = 1""".stripMargin,
     "q11_running_window" ->
       """WITH x AS (SELECT o_custkey, o_orderkey, o_orderdate,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)

@@ -106,7 +106,14 @@ object Iterative {
   private def iterateCost(v0: DataFrame, edges0: DataFrame, iters: Int,
                           cost: Column, frontier0: Option[DataFrame]): DataFrame = {
     val maxRows = broadcastMaxRows(v0.sparkSession)
-    val edges = edges0.persist()
+    // hash-partition the edge table by src ONCE before caching: the
+    // cached InMemoryRelation keeps that outputPartitioning, so rounds
+    // whose frontier exceeds the broadcast cap join co-partitioned
+    // WITHOUT re-shuffling the (large) edge side — only the frontier
+    // moves. Broadcast rounds ignore it; one upfront exchange buys
+    // every large round. (Bipartite corpora make large rounds the
+    // common case — see SCALE.md's oscillation caveat.)
+    val edges = edges0.repartition(col("src")).persist()
     var v = v0.localCheckpoint(true)
     var frontier = frontier0.getOrElse(v)
     // count over checkpointed rows (or the seed filter) — one cheap
@@ -228,7 +235,9 @@ object Iterative {
   private[graft] def kcoreSurvivors(edges0: DataFrame, k: Int,
                                     iters: Int): DataFrame = {
     val maxRows = broadcastMaxRows(edges0.sparkSession)
-    val edges = edges0.persist()
+    // partitioned by dst — the per-round loss join keys on dst, and
+    // the degree groupBy's exchange is paid once on smaller deg rows
+    val edges = edges0.repartition(col("dst")).persist()
     var deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg")).localCheckpoint(true)
     for (_ <- 0 until iters) {
