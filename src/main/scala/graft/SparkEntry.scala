@@ -144,6 +144,22 @@ object SparkEntry {
         .select(col("p_brand"), col("l_partkey").as("best_partkey"),
           col("l_suppkey").as("best_suppkey"), col("cents").as("min_cents"))
     }),
+    // set operators over derived key sets: suppliers active in BOTH
+    // halves of the order history vs. only the first (INTERSECT /
+    // EXCEPT compile to co-partitioned distinct joins)
+    "q12_set_ops" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet").select("l_orderkey", "l_suppkey")
+      val ord = s.read.parquet(s"$dir/orders.parquet").select("o_orderkey", "o_orderdate")
+      val dated = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val mid = "1998-01-01 00:00:00" // orders span 1995-2001
+      def supps(cond: org.apache.spark.sql.Column) =
+        dated.filter(cond).select(col("l_suppkey")).distinct()
+      val early = supps(col("o_orderdate") < lit(mid).cast("timestamp"))
+      val late = supps(col("o_orderdate") >= lit(mid).cast("timestamp"))
+      early.intersect(late).select(lit("both").as("cohort"), col("l_suppkey"))
+        .unionAll(early.except(late).select(lit("early_only").as("cohort"), col("l_suppkey")))
+        .groupBy("cohort").agg(count(lit(1)).as("n_suppliers"))
+    }),
     // sliding-frame window: per-customer running order total and a
     // trailing 3-order sum, ordered by (date, key) — the moving-
     // aggregate frame shape q04's rank doesn't cover. Partition-local
@@ -539,6 +555,21 @@ object SparkEntry {
     "s_pivot_types" -> OlapCtes.pivotEvents,
     "s_gap_fill" -> OlapCtes.gapFillHourly,
     "s_retention" -> EventCtes.retention,
+    "q12_set_ops" ->
+      """WITH d AS (
+        |  SELECT l.l_suppkey, o.o_orderdate
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |early AS (SELECT DISTINCT l_suppkey FROM d
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+        |late AS (SELECT DISTINCT l_suppkey FROM d
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'),
+        |tagged AS (
+        |  SELECT 'both' AS cohort, l_suppkey
+        |  FROM (SELECT l_suppkey FROM early INTERSECT SELECT l_suppkey FROM late)
+        |  UNION ALL
+        |  SELECT 'early_only', l_suppkey
+        |  FROM (SELECT l_suppkey FROM early EXCEPT SELECT l_suppkey FROM late))
+        |SELECT cohort, count(*) AS n_suppliers FROM tagged GROUP BY cohort""".stripMargin,
     "q02_argmin" ->
       """WITH x AS (
         |  SELECT p.p_brand, l.l_partkey, l.l_suppkey,
