@@ -287,10 +287,11 @@ object Dedup {
     * index would hold it; same verify). The oracle IS the full
     * recompute, filtered — the hash equality proves incremental ≡
     * batch. */
+  private val unionShMemo = new graft.SessionMemo[DataFrame]
   def incrementalPairs(spark: SparkSession, dir: String): DataFrame = {
     TextOps.ensureRegistered(spark)
-    val union = nearCorpus(spark, dir).unionAll(deltaCorpus(spark, dir))
-    val sh = shingles(union)
+    val sh = unionShMemo.getOrElseUpdate(spark, dir)(
+      shingles(nearCorpus(spark, dir).unionAll(deltaCorpus(spark, dir))))
     val delta = sh.filter(col("doc_id") >= 2 * IdOffset)
     val cand = delta.select(col("doc_id").as("x"), col("sfp"))
       .join(sh.select(col("doc_id").as("y"), col("sfp")), "sfp")
