@@ -264,12 +264,16 @@ object Dedup {
     scoreCandidates(sh, cand)
   }
 
-  /** Freshly-arrived delta corpus: a second variant of each document
-    * (FIRST two tokens dropped — distinct from [[nearCorpus]]'s
-    * tail-dropped variant), ids offset by 2·[[IdOffset]]. Stands in
-    * for "today's crawl" against the already-indexed base. */
+  /** Freshly-arrived delta corpus: head-trimmed variants (FIRST two
+    * tokens dropped — distinct from [[nearCorpus]]'s tail-dropped
+    * variant) of every tenth document, ids offset by 2·[[IdOffset]].
+    * Stands in for "today's crawl": a delta much smaller than the
+    * indexed base, which is the regime incremental dedup exists for —
+    * probe cost scales with DELTA postings, and a delta the size of
+    * the base is just a batch job. */
   def deltaCorpus(spark: SparkSession, dir: String): DataFrame = {
     val d = TextOps.docs(spark, dir).select(col("doc_id"), col("text"))
+      .filter(pmod(col("doc_id"), lit(10L)) === 0)
     d.select((col("doc_id") + 2 * IdOffset).as("doc_id"),
       array_join(slice(TextOps.toks(col("text")), lit(3),
         greatest(size(TextOps.toks(col("text"))) - 2, lit(1))), " ").as("text"))
@@ -288,18 +292,21 @@ object Dedup {
     * recompute, filtered — the hash equality proves incremental ≡
     * batch. */
   private val unionShMemo = new graft.SessionMemo[DataFrame]
+  private val incPairsMemo = new graft.SessionMemo[DataFrame]
   def incrementalPairs(spark: SparkSession, dir: String): DataFrame = {
     TextOps.ensureRegistered(spark)
-    val sh = unionShMemo.getOrElseUpdate(spark, dir)(
-      shingles(nearCorpus(spark, dir).unionAll(deltaCorpus(spark, dir))))
-    val delta = sh.filter(col("doc_id") >= 2 * IdOffset)
-    val cand = delta.select(col("doc_id").as("x"), col("sfp"))
-      .join(sh.select(col("doc_id").as("y"), col("sfp")), "sfp")
-      .filter(col("x") =!= col("y"))
-      .select(least(col("x"), col("y")).as("a"),
-        greatest(col("x"), col("y")).as("b"))
-      .distinct()
-    scoreCandidates(sh, cand)
+    incPairsMemo.getOrElseUpdate(spark, dir) {
+      val sh = unionShMemo.getOrElseUpdate(spark, dir)(
+        shingles(nearCorpus(spark, dir).unionAll(deltaCorpus(spark, dir))))
+      val delta = sh.filter(col("doc_id") >= 2 * IdOffset)
+      val cand = delta.select(col("doc_id").as("x"), col("sfp"))
+        .join(sh.select(col("doc_id").as("y"), col("sfp")), "sfp")
+        .filter(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"))
+        .distinct()
+      scoreCandidates(sh, cand).persist()
+    }
   }
 
   /** Token window for exact-substring duplication. */

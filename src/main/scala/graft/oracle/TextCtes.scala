@@ -175,7 +175,8 @@ object TextCtes {
     s"""WITH $nearCorpus,
        |delta AS (SELECT doc_id + $off AS doc_id,
        |    array_to_string(list_slice(t, 3, len(t)), ' ') AS text
-       |  FROM (SELECT doc_id, ${toks("text")} AS t FROM documents)),
+       |  FROM (SELECT doc_id, ${toks("text")} AS t FROM documents
+       |        WHERE doc_id % 10 = 0)),
        |u AS (SELECT doc_id, text FROM near_corpus
        |  UNION ALL SELECT doc_id, text FROM delta),
        |${shingleChain("u")},

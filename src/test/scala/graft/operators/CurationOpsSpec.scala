@@ -59,10 +59,10 @@ class CurationOpsSpec extends SparkTestBase {
     // the incremental contract: only pairs involving a delta doc
     assert(out.filter(col("a") < off && col("b") < off).count() === 0L)
     // a head-trimmed variant keeps most shingles: originals must pair
-    // with their delta twins for a healthy majority of the corpus
+    // with their delta twins for a healthy majority of the delta slice
     val twins = out.filter(col("b") === col("a") + off).count()
-    val nDocs = TextOps.docs(spark, dir).count()
-    assert(twins * 2 >= nDocs, s"$twins twins of $nDocs docs")
+    val nDelta = Dedup.deltaCorpus(spark, dir).count()
+    assert(twins * 2 >= nDelta, s"$twins twins of $nDelta delta docs")
   }
 
   test("modalityRoute conserves blobs and bytes across the demux") {
