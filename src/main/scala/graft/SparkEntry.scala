@@ -373,6 +373,14 @@ object SparkEntry {
     // incremental dedup: delta postings probe the base index; oracle
     // is the full recompute (hash equality proves incremental ≡ batch)
     "dd_incremental" -> ((s, dir) => Dedup.incrementalPairs(s, dir)),
+    // canonicalization-aware exact dedup (case/whitespace variants)
+    "dd_exact_norm" -> ((s, dir) => Dedup.exactNormalized(s, dir)),
+    // hierarchical totals over BOTH dimensions' lattice (CUBE)
+    "q13_cube" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .withColumn("cents", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))),
     // Gopher-style repetition quality gates
     "t_repetition" -> ((s, dir) => TextOps.repetition(s, dir)),
     "t_vocab_topk" -> ((s, dir) => TextOps.vocabTopK(s, dir)),
@@ -632,6 +640,12 @@ object SparkEntry {
     "dd_clusters" -> TextCtes.dedupClusters,
     "dd_substring" -> TextCtes.substringDup,
     "dd_incremental" -> TextCtes.incrementalPairs,
+    "dd_exact_norm" -> TextCtes.exactNormalized,
+    "q13_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "t_repetition" -> TextCtes.repetition,
     "t_vocab_topk" -> TextCtes.vocabTopK,
     "ann_topk" -> TextCtes.annBruteForce,

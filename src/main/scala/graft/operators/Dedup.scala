@@ -309,6 +309,31 @@ object Dedup {
     }
   }
 
+  /** Normalization-aware exact dedup: canonicalize text (lowercase,
+    * collapse whitespace runs) BEFORE fingerprinting, and report the
+    * duplicate groups that ONLY normalization finds (raw fingerprints
+    * all distinct inside the group). This is the cheap canonical-form
+    * pass every exact-dedup pipeline runs first — same single
+    * partial-agg groupBy shape as [[exact]], one extra codegen'd
+    * string pass, no new shuffle. The probe corpus doubles each doc
+    * with an UPPERCASED, whitespace-padded variant (ids +IdOffset) so
+    * the operator has real work to find. */
+  def exactNormalized(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.ensureRegistered(spark)
+    val d = TextOps.docs(spark, dir).select(col("doc_id"), col("text"))
+    val variant = d.select((col("doc_id") + IdOffset).as("doc_id"),
+      concat(lit("  "), upper(col("text")), lit(" ")).as("text"))
+    val corpus = d.unionAll(variant)
+      .withColumn("norm",
+        array_join(TextOps.toks(lower(col("text"))), " "))
+      .select(col("doc_id"), expr(TextOps.fpSql("text")).as("raw_fp"),
+        expr(TextOps.fpSql("norm")).as("norm_fp"))
+    corpus.groupBy("norm_fp")
+      .agg(count(lit(1)).as("n"), countDistinct("raw_fp").as("n_raw"),
+        min("doc_id").as("keeper"))
+      .filter(col("n") > 1 && col("n_raw") === col("n")) // normalization-only groups
+  }
+
   /** Token window for exact-substring duplication. */
   val SubstrK = 8
 

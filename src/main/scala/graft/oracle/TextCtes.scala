@@ -167,6 +167,21 @@ object TextCtes {
        |  GROUP BY 1, 2)
        |$jaccSelect""".stripMargin
 
+  /** twin of Dedup.exactNormalized */
+  val exactNormalized: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, '  ' || upper(text) || ' ' FROM documents),
+       |f AS (SELECT doc_id, ${fp("text")} AS raw_fp,
+       |  ${fp(s"array_to_string(${toks("lower(text)")}, ' ')")} AS norm_fp
+       |FROM c)
+       |SELECT norm_fp, count(*) AS n,
+       |  CAST(count(DISTINCT raw_fp) AS BIGINT) AS n_raw,
+       |  min(doc_id) AS keeper
+       |FROM f GROUP BY norm_fp
+       |HAVING count(*) > 1 AND count(DISTINCT raw_fp) = count(*)""".stripMargin
+
   /** twin of Dedup.incrementalPairs — deliberately the FULL recompute
     * over base ∪ delta, restricted to pairs touching a delta doc: the
     * hash equality proves the probe-only incremental path ≡ batch. */
