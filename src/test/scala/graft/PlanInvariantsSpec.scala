@@ -69,6 +69,33 @@ class PlanInvariantsSpec extends SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
   }
 
+  test("cached pre-partitioned edges are not re-shuffled by co-partitioned rounds") {
+    import spark.implicits._
+    import graft.operators.Iterative
+    val v = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("node", "label")
+    val raw = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val cached = raw.repartition(org.apache.spark.sql.functions.col("src")).persist()
+    cached.count() // materialize so InMemoryTableScan reports partitioning
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def plan(edges: org.apache.spark.sql.DataFrame) =
+        Iterative.minRound(v, v, edges, 0L, frontierRows = 101L, maxRows = 100L)
+          .queryExecution.executedPlan.toString
+      // an ENSURE_REQUIREMENTS exchange keyed on src = the planner
+      // re-shuffling the edge side for the join (the cache's own
+      // REPARTITION_BY_COL exchange prints inside InMemoryRelation and
+      // is the one-time cost, not a per-round one)
+      val reshuffle = raw"Exchange hashpartitioning\(src#\d+L, \d+\), ENSURE_REQUIREMENTS".r
+      assert(reshuffle.findFirstIn(plan(cached)).isEmpty, plan(cached))
+      assert(reshuffle.findFirstIn(plan(raw)).isDefined, plan(raw))
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      cached.unpersist()
+    }
+  }
+
   test("it_triangles wedge join is equi-keyed — no cartesian anywhere") {
     val p = plan("it_triangles")
     assert(!p.contains("CartesianProduct"), p)
