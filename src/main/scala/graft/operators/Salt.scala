@@ -34,10 +34,13 @@ object Salt {
       .agg(sum(col("_partial")).as(s"sum_$valueCol"))
 
   /** generic form: partial and final expressions supplied by the
-    * caller, e.g. partial = count, final = sum of partials. */
-  def salted(df: DataFrame, keyCol: String, saltSource: Column, buckets: Int)(
+    * caller, e.g. partial = count, final = sum of partials. Uses the
+    * same row-local salt as [[saltedSum]] — a content-derived salt
+    * degenerates to one bucket exactly on the constant-value hot key
+    * it exists to spread. */
+  def salted(df: DataFrame, keyCol: String, buckets: Int)(
       partial: Seq[Column], combine: Seq[Column]): DataFrame =
-    df.withColumn("_salt", pmod(hash(saltSource), lit(buckets)))
+    df.withColumn("_salt", pmod(monotonically_increasing_id(), lit(buckets)))
       .groupBy(col(keyCol), col("_salt"))
       .agg(partial.head, partial.tail: _*)
       .groupBy(col(keyCol))
