@@ -274,6 +274,10 @@ object SparkEntry {
     "it_connected_components" -> ((s, dir) =>
       graft.operators.Iterative.connectedComponents(s, dir)),
     "it_bfs_depth" -> ((s, dir) => graft.operators.Iterative.bfsDepth(s, dir)),
+    // CONVERGED components (fixpoint via early exit; spec proves no
+    // crossing edges) — component-size histogram
+    "it_cc_converged" -> ((s, dir) =>
+      graft.operators.Iterative.connectedComponentsConverged(s, dir)),
     // weighted SSSP: bounded Bellman-Ford (min-plus) with per-edge
     // costs — same one-exchange-per-round frontier machinery as BFS
     "it_sssp" -> ((s, dir) => graft.operators.Iterative.shortestPaths(s, dir)),
@@ -553,6 +557,7 @@ object SparkEntry {
     "gen_summary" -> GenCtes.summary,
     "it_connected_components" -> IterCtes.connectedComponents,
     "it_bfs_depth" -> IterCtes.bfsDepth,
+    "it_cc_converged" -> IterCtes.connectedComponentsConverged,
     "it_sssp" -> IterCtes.sssp,
     "it_triangles" -> IterCtes.triangles,
     "it_kcore" -> IterCtes.kcore,

@@ -167,6 +167,35 @@ object Iterative {
     iterateMin(vertices, edges, CcIters, 0L)
   }
 
+  /** Bound for the CONVERGED component run: generous margin over the
+    * measured convergence (~12 rounds at sf0.1); the early-exit stops
+    * at the true fixpoint, and the oracle's extra unrolled rounds are
+    * no-ops, so the bound only caps a pathological chain graph. */
+  val CcConvergeIters = 24
+
+  /** Converged connected components of the order↔part subgraph: unlike
+    * [[connectedComponents]] (bounded hops — the reference-faithful
+    * incremental form), this runs min-propagation to the FIXPOINT
+    * (frontier empty), so `label` IS the component id. The spec proves
+    * it: zero label-crossing edges. Cost is rounds ≈ eccentricity of
+    * each component's min node — on a bipartite corpus the frontier
+    * oscillates rather than shrinking monotonically (SCALE.md), which
+    * is exactly why the early-exit, not a fixed count, must decide. */
+  private[graft] def ccLabelsConverged(spark: SparkSession, dir: String): DataFrame = {
+    val rels = TpchGraph.relsLite(spark, dir).filter(col("type") === "HAS_PART")
+    val edges = symmetrize(rels)
+    val vertices = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    iterateMin(vertices, edges, CcConvergeIters, 0L)
+  }
+
+  def connectedComponentsConverged(spark: SparkSession, dir: String): DataFrame =
+    ccLabelsConverged(spark, dir)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .groupBy(col("n_nodes").as("component_size"))
+      .agg(count(lit(1)).as("n_components"))
+
   /** BFS depth from the region nodes over the whole graph (undirected),
     * as a depth histogram; Unreachable marks nodes beyond BfsIters. */
   def bfsDepth(spark: SparkSession, dir: String): DataFrame = {

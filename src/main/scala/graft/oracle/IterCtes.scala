@@ -12,13 +12,28 @@ object IterCtes {
     * oracle ([[graft.oracle.TextCtes.dedupClusters]]). */
   private[oracle] def unrolled(iters: Int, delta: Long): String =
     (0 until iters).map { i =>
-      s"""l${i + 1} AS (
+      s"""l${i + 1} AS MATERIALIZED (
          |  SELECT v.node, least(v.label, coalesce(m.minl, v.label)) AS label
          |  FROM l$i v LEFT JOIN (
          |    SELECT e.dst AS node, min(l.label + $delta) AS minl
          |    FROM edges e JOIN l$i l ON e.src = l.node GROUP BY e.dst) m
          |  ON v.node = m.node)""".stripMargin
     }.mkString(",\n")
+
+  /** twin of Iterative.connectedComponentsConverged: the same rounds
+    * unrolled to the generous bound — extra rounds past the fixpoint
+    * are no-ops on both engines, so early exit ≡ full unroll. */
+  val connectedComponentsConverged: String = {
+    val iters = graft.operators.Iterative.CcConvergeIters
+    s"""${Ctes.graph},
+       |hp AS (SELECT src, dst FROM rels WHERE type = 'HAS_PART'),
+       |edges AS MATERIALIZED (SELECT src, dst FROM hp UNION ALL SELECT dst, src FROM hp),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM edges),
+       |${unrolled(iters, 0L)},
+       |comp AS (SELECT label, count(*) AS n_nodes FROM l$iters GROUP BY label)
+       |SELECT n_nodes AS component_size, count(*) AS n_components
+       |FROM comp GROUP BY n_nodes""".stripMargin
+  }
 
   val connectedComponents: String =
     s"""${Ctes.graph},
@@ -33,7 +48,7 @@ object IterCtes {
     * [[graft.operators.Iterative.iterateMinPlus]]. */
   private def unrolledW(iters: Int): String =
     (0 until iters).map { i =>
-      s"""l${i + 1} AS (
+      s"""l${i + 1} AS MATERIALIZED (
          |  SELECT v.node, least(v.label, coalesce(m.minl, v.label)) AS label
          |  FROM l$i v LEFT JOIN (
          |    SELECT e.dst AS node, min(l.label + e.w) AS minl
