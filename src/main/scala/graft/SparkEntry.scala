@@ -321,6 +321,9 @@ object SparkEntry {
     // cohort retention: first-event week × offset × distinct actives
     "s_retention" -> ((s, dir) =>
       graft.streaming.EventStreams.retention(graft.streaming.EventStreams.events(s, dir))),
+    // robust outlier gate: integer median/MAD per type (no FP z-score)
+    "s_anomaly" -> ((s, dir) =>
+      graft.operators.Olap.anomalies(graft.streaming.EventStreams.events(s, dir))),
     // as-of join (sorted-union-window composition)
     "s_asof_join" -> ((s, dir) =>
       graft.operators.AsOfJoin.purchaseLastClick(s, dir)),
@@ -568,6 +571,30 @@ object SparkEntry {
     "s_pivot_types" -> OlapCtes.pivotEvents,
     "s_gap_fill" -> OlapCtes.gapFillHourly,
     "s_retention" -> EventCtes.retention,
+    "s_anomaly" ->
+      """WITH ev AS (SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r1 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY cents, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS cnt FROM ev),
+        |med AS (SELECT event_type,
+        |  max(CASE WHEN rn = (cnt - 1) // 2 + 1 THEN cents END) AS med_cents
+        |  FROM r1 GROUP BY event_type),
+        |dev AS (SELECT e.event_type, e.event_id, e.cents,
+        |  abs(e.cents - m.med_cents) AS dev, m.med_cents
+        |  FROM ev e JOIN med m ON e.event_type = m.event_type),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY dev, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS cnt FROM dev),
+        |mad AS (SELECT event_type,
+        |  max(CASE WHEN rn = (cnt - 1) // 2 + 1 THEN dev END) AS mad_cents
+        |  FROM r2 GROUP BY event_type)
+        |SELECT d.event_type, count(*) AS n,
+        |  max(d.med_cents) AS med_cents, max(a.mad_cents) AS mad_cents,
+        |  CAST(sum(CASE WHEN d.dev > a.mad_cents * 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev d JOIN mad a ON d.event_type = a.event_type
+        |GROUP BY d.event_type""".stripMargin,
     "q12_set_ops" ->
       """WITH d AS (
         |  SELECT l.l_suppkey, o.o_orderdate

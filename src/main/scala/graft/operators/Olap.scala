@@ -86,6 +86,39 @@ object Olap {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Robust anomaly detection: per event type, the discrete median of
+    * the cent values, the median absolute deviation (MAD), and the
+    * count of events beyond [[AnomalyK]]·MAD — the outlier gate every
+    * telemetry pipeline runs. Everything stays integer (discrete
+    * medians via the same (n−1)·num div den + 1 rank index), so the
+    * cross-engine hashes are exact where a mean/stddev z-score would
+    * drown in FP accumulation order. Two grouped window passes +
+    * one aggregate; all sorts partition-local per type. */
+  val AnomalyK = 3L
+  def anomalies(ev: DataFrame): DataFrame = {
+    def medianOf(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col(valueCol), col("event_id"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(max(when(col("rn") === expr("(cnt - 1) div 2 + 1"), col(valueCol)))
+          .as(out))
+    }
+    val base = ev.select(col("event_type"), col("event_id"), col("cents"))
+    val med = medianOf(base, "cents", "med_cents")
+    val withDev = base.join(med, "event_type")
+      .withColumn("dev", abs(col("cents") - col("med_cents")))
+    val mad = medianOf(withDev, "dev", "mad_cents")
+    withDev.join(mad, "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max("med_cents").as("med_cents"),
+        max("mad_cents").as("mad_cents"),
+        sum(when(col("dev") > col("mad_cents") * AnomalyK, 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   /** Near-dup refinement: exact edit distance over the LSH candidate
     * pairs' 64-char prefixes — the "expensive verify only on survivors"
     * stage (levenshtein is quadratic per pair; running it on the
