@@ -382,6 +382,10 @@ object SparkEntry {
     "dd_incremental" -> ((s, dir) => Dedup.incrementalPairs(s, dir)),
     // canonicalization-aware exact dedup (case/whitespace variants)
     "dd_exact_norm" -> ((s, dir) => Dedup.exactNormalized(s, dir)),
+    // equi-width integer histogram (profile/viz primitive)
+    "q14_histogram" -> ((s, dir) => graft.operators.Olap.histogram(s, dir)),
+    // weighted bipartite projection: strongest co-purchase part pairs
+    "g_copurchase" -> ((s, dir) => GraphOps.copurchaseTop(s, dir)),
     // hierarchical totals over BOTH dimensions' lattice (CUBE)
     "q13_cube" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -673,6 +677,22 @@ object SparkEntry {
     "dd_substring" -> TextCtes.substringDup,
     "dd_incremental" -> TextCtes.incrementalPairs,
     "dd_exact_norm" -> TextCtes.exactNormalized,
+    "q14_histogram" ->
+      s"""WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM o)
+        |SELECT (cents - mn) * ${graft.operators.Olap.HistBuckets} // (mx - mn + 1)
+        |    AS bucket,
+        |  count(*) AS n, min(cents) AS lo_cents, max(cents) AS hi_cents
+        |FROM o, b GROUP BY 1""".stripMargin,
+    "g_copurchase" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pairs AS (
+        |  SELECT a.pk AS a, b.pk AS b, count(*) AS w
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2)
+        |SELECT a, b, w FROM pairs
+        |ORDER BY w DESC, a, b LIMIT ${graft.operators.GraphOps.CopurchaseTopK}""".stripMargin,
     "q13_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)

@@ -186,6 +186,26 @@ object GraphOps {
         countDistinct("order_id").as("n_orders"))
   }
 
+  /** Weighted bipartite projection — the co-purchase graph every
+    * recommender starts from: project order↔part onto parts, edge
+    * weight = number of shared orders, keep the strongest pairs. The
+    * wedge expansion is per-order and an order holds ≤ a few dozen
+    * parts, so the blowup is bounded per key (the same within-group
+    * quadratic bound as the LSH bucket caps); one partial-agg groupBy
+    * absorbs it. Top-k by (weight desc, pair) is TakeOrdered — no
+    * global sort. */
+  val CopurchaseTopK = 50
+  def copurchaseTop(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.sources.Tpch.table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = li.select(col("ok"), col("pk").as("a"))
+      .join(li.select(col("ok"), col("pk").as("b")), "ok")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+    pairs.orderBy(col("w").desc, col("a"), col("b")).limit(CopurchaseTopK)
+  }
+
   /** Rank base for triangle orientation: deg·RankBase + id is a total
     * order by (degree, id). Node ids are < 7·10^12 (kind namespace
     * 6·Base + key), so 10^13 keeps the two fields disjoint; degrees up

@@ -86,6 +86,25 @@ object Olap {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Equi-width histogram of order totals in cents: 20 buckets over
+    * the global [min, max], all-integer bucket arithmetic
+    * (⌊(x−mn)·B/(mx−mn+1)⌋ — the +1 keeps the max in the last
+    * bucket). The two scalar bounds broadcast; binning is then one
+    * partial-agg groupBy — the profile/viz primitive at any scale. */
+  val HistBuckets = 20L
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tpch.table(spark, dir, "orders")
+      .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .select("cents")
+    val bounds = ord.agg(min("cents").as("mn"), max("cents").as("mx"))
+    ord.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        expr(s"(cents - mn) * $HistBuckets div (mx - mn + 1)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("cents").as("lo_cents"),
+        max("cents").as("hi_cents"))
+  }
+
   /** Robust anomaly detection: per event type, the discrete median of
     * the cent values, the median absolute deviation (MAD), and the
     * count of events beyond [[AnomalyK]]·MAD — the outlier gate every
