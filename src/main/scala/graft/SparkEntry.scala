@@ -324,6 +324,9 @@ object SparkEntry {
     // robust outlier gate: integer median/MAD per type (no FP z-score)
     "s_anomaly" -> ((s, dir) =>
       graft.operators.Olap.anomalies(graft.streaming.EventStreams.events(s, dir))),
+    // three-stage funnel with strict event-time ordering
+    "s_funnel" -> ((s, dir) =>
+      graft.streaming.EventStreams.funnel(graft.streaming.EventStreams.events(s, dir))),
     // as-of join (sorted-union-window composition)
     "s_asof_join" -> ((s, dir) =>
       graft.operators.AsOfJoin.purchaseLastClick(s, dir)),
@@ -575,6 +578,23 @@ object SparkEntry {
     "s_pivot_types" -> OlapCtes.pivotEvents,
     "s_gap_fill" -> OlapCtes.gapFillHourly,
     "s_retention" -> EventCtes.retention,
+    "s_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM events)
+        |SELECT count(*) AS n_users,
+        |  CAST(count(t1.t1) AS BIGINT) AS n_viewed,
+        |  CAST(count(t2.t2) AS BIGINT) AS n_clicked_after,
+        |  CAST(count(t3.t3) AS BIGINT) AS n_purchased_after
+        |FROM u LEFT JOIN t1 ON u.user_id = t1.user_id
+        |LEFT JOIN t2 ON u.user_id = t2.user_id
+        |LEFT JOIN t3 ON u.user_id = t3.user_id""".stripMargin,
     "s_anomaly" ->
       """WITH ev AS (SELECT event_type, event_id,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),

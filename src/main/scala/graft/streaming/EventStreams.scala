@@ -109,6 +109,32 @@ object EventStreams {
       .agg(countDistinct("user_id").as("n_users"))
   }
 
+  /** Three-stage funnel: per user, the earliest view, the earliest
+    * click strictly after it, the earliest purchase strictly after
+    * that — reported as per-stage completion counts. Three conditional
+    * min-aggregations all keyed on user_id (co-partitioned, the
+    * exchanges collapse to one), strict event-time ordering so a
+    * click before any view does not count. */
+  def funnel(ev: DataFrame): DataFrame = {
+    val e = ev.select(col("user_id"), col("ts"), col("event_type"))
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    val users = e.select("user_id").distinct()
+    users.join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n_users"),
+        count(col("t1")).as("n_viewed"),
+        count(col("t2")).as("n_clicked_after"),
+        count(col("t3")).as("n_purchased_after"))
+  }
+
   final case class TransEv(user_id: Long, ts: java.sql.Timestamp,
     event_id: Long, event_type: String)
   final case class TransLast(tsMs: Long, id: Long, tpe: String)
