@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Interchange formats beyond the native parquet: CSV and JSON-lines
+  * read/write with schema round-trip fidelity.
+  *
+  * Parquet is the engine's storage format (typed, columnar, splittable,
+  * stats for pushdown); CSV/JSON are the ingest/egress edges every
+  * deployment has. Both are line-splittable so a 100 TB ingest
+  * parallelizes per-file/per-split exactly like the parquet path — the
+  * cost difference is parsing (no column pruning, no stats), which is
+  * why [[landToParquet]] exists: read the interchange format ONCE,
+  * land it as parquet, and run every downstream query against the
+  * landed copy.
+  *
+  * Timestamps survive the round-trip at micros precision via an
+  * explicit ISO format with offset; the reader takes the WRITER's
+  * schema (schema-on-write), never inference, so types are stable
+  * across engines and file shuffles do not re-order columns.
+  */
+object Interchange {
+  private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("timestampFormat", TsFmt)
+      .csv(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("timestampFormat", TsFmt)
+      .schema(schema)
+      .csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("timestampFormat", TsFmt)
+      .json(path)
+
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("timestampFormat", TsFmt)
+      .schema(schema)
+      .json(path)
+
+  /** Ingest pattern: interchange file → typed parquet landing table.
+    * Returns the landed DataFrame (reading the parquet copy). */
+  def landToParquet(spark: SparkSession, src: DataFrame, dest: String): DataFrame = {
+    src.write.mode("overwrite").parquet(dest)
+    spark.read.parquet(dest)
+  }
+}
