@@ -416,6 +416,8 @@ object SparkEntry {
     "pipe_curation" -> ((s, dir) => graft.operators.Pipeline.curate(s, dir)),
     // deterministic per-source token-budget sampling (training mix)
     "pipe_sample_budget" -> ((s, dir) => graft.operators.Pipeline.sampleBudget(s, dir)),
+    // curation v2: repetition ∧ substring-dup ∧ budget, one plan
+    "pipe_curation2" -> ((s, dir) => graft.operators.Pipeline.curateV2(s, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -733,5 +735,6 @@ object SparkEntry {
     "mm_resize" -> TextCtes.resizeThumbs,
     "pipe_curation" -> TextCtes.curation,
     "pipe_sample_budget" -> TextCtes.sampleBudget,
+    "pipe_curation2" -> TextCtes.curationV2,
   )
 }

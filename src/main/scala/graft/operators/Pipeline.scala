@@ -50,6 +50,34 @@ object Pipeline {
   val SampleMod = 1000000007L
   val BudgetChars = 4000L
 
+  /** Curation v2 — this round's gates composed into one declarative
+    * plan: repetition keep ∧ not majority-duplicated (cross-doc
+    * substring coverage < half) ∧ per-source char budget over the
+    * SURVIVORS. Each stage is an oracle-gated operator; the value is
+    * the composition — every join keys on doc_id, the budget window
+    * stays partition-local per source, and Catalyst pushes the cheap
+    * gates below the joins. */
+  def curateV2(spark: SparkSession, dir: String): DataFrame = {
+    val rep = TextOps.repetition(spark, dir).select(col("doc_id"), col("keep"))
+    val sub = Dedup.substringDup(spark, dir)
+      .select(col("doc_id"), col("n_grams"), col("dup_occ"))
+    val d = TextOps.docs(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        pmod(col("doc_id") * SampleMult, lit(SampleMod)).as("h"))
+    val kept = d.join(rep, "doc_id").join(sub, "doc_id")
+      .filter(col("keep") === 1L && col("dup_occ") * 2 <= col("n_grams"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("h")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    kept.withColumn("cum", sum("n_chars").over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("cum") <= BudgetChars, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("cum") <= BudgetChars, col("n_chars")).otherwise(0L))
+          .as("chars_kept"))
+  }
+
   def sampleBudget(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("h")

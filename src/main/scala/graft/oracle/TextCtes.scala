@@ -182,6 +182,32 @@ object TextCtes {
        |FROM f GROUP BY norm_fp
        |HAVING count(*) > 1 AND count(DISTINCT raw_fp) = count(*)""".stripMargin
 
+  /** twin of Pipeline.curateV2: the repetition and substring chains
+    * nested as derived tables, the budget window over survivors */
+  // lazy: references the repetition/substring vals declared later in
+  // this object (Scala vals initialize in declaration order)
+  lazy val curationV2: String = {
+    import graft.operators.Pipeline.{BudgetChars, SampleMod, SampleMult}
+    s"""WITH rep AS (SELECT doc_id, keep FROM ($repetition)),
+       |sub AS (SELECT doc_id, n_grams, dup_occ FROM ($substringDup)),
+       |d AS (SELECT doc_id, source, n_chars,
+       |    (doc_id * $SampleMult) % $SampleMod AS h FROM documents),
+       |kept AS (
+       |  SELECT d.source, d.n_chars, d.h FROM d
+       |  JOIN rep ON d.doc_id = rep.doc_id
+       |  JOIN sub ON d.doc_id = sub.doc_id
+       |  WHERE rep.keep = 1 AND sub.dup_occ * 2 <= sub.n_grams),
+       |c AS (SELECT source, n_chars, sum(n_chars) OVER (
+       |    PARTITION BY source ORDER BY h
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM kept)
+       |SELECT source, count(*) AS n_candidates,
+       |  CAST(sum(CASE WHEN cum <= $BudgetChars THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(sum(CASE WHEN cum <= $BudgetChars THEN n_chars ELSE 0 END) AS BIGINT)
+       |    AS chars_kept
+       |FROM c GROUP BY source""".stripMargin
+  }
+
   /** twin of Dedup.incrementalPairs — deliberately the FULL recompute
     * over base ∪ delta, restricted to pairs touching a delta doc: the
     * hash equality proves the probe-only incremental path ≡ batch. */
