@@ -73,9 +73,9 @@ object IterCtes {
     val k = graft.operators.Iterative.KcoreK
     val iters = graft.operators.Iterative.KcoreIters
     val rounds = (1 to iters).map { i =>
-      s"""k$i AS (SELECT src AS node FROM e${i - 1} GROUP BY src
+      s"""k$i AS MATERIALIZED (SELECT src AS node FROM e${i - 1} GROUP BY src
          |  HAVING count(*) >= $k),
-         |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+         |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
          |  JOIN k$i a ON e.src = a.node
          |  JOIN k$i b ON e.dst = b.node)""".stripMargin
     }.mkString(",\n")
