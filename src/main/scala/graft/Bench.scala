@@ -1,5 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE compact JSON line on stdout — the driver's
+  * tail capture is bounded, so the parse-critical payload (total,
+  * per-query medians at 3 decimals, records/s) must stay short; r4's
+  * three full-precision maps on one line exceeded it and the round's perf
+  * gate went ungraded. Min/max spread and full precision move to
+  * `target/bench_detail.json`.
+  *
+  * `records_per_s` mirrors the reference perf harness's phased
+  * records-per-second report
+  * (enterprise-performance-tests/.../JsonReportWriter.java:115-124):
+  * total input rows scanned across the benchmarked tables divided by the
+  * suite's median wall time.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,10 +29,10 @@ object Bench {
     // init, planner/codegen JIT) land here, not on whichever query the
     // map happens to order first — per-query numbers are steady-state,
     // like the reference perf harness's phased report
-    graft.sources.Tpch.tableNames.foreach { t =>
+    val inputRows = graft.sources.Tpch.tableNames.map { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
-      catch { case _: Throwable => () }
-    }
+      catch { case _: Throwable => 0L }
+    }.sum
     // shared-cache fill (graph memo, record stores, violations, dedup
     // shingles/pairs), timed separately: r2's per-query numbers were
     // incomparable across rounds because the fill landed on whichever
@@ -31,7 +45,7 @@ object Bench {
     // Each query runs `runs` times and reports the MEDIAN — run-to-run
     // swing on this shared 32-thread box approaches 2×, larger than
     // most real regressions, so single samples were not actionable
-    // across rounds; min/max ride along to expose the spread.
+    // across rounds; min/max live in the detail file to expose spread.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
       val ts = (0 until runs).map { _ =>
@@ -44,12 +58,22 @@ object Bench {
       }.sorted
       name -> ts
     }
+    def r3(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def fmt(sel: Seq[Double] => Double) = results
-      .map { case (k, ts) => s"\"" + k + "\":" + sel(ts) }
+      .map { case (k, ts) => "\"" + k + "\":" + r3(sel(ts)) }
       .mkString("{", ",", "}")
     val med = (ts: Seq[Double]) => ts(ts.size / 2)
     val total = results.values.map(med).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(med)},"queries_min":${fmt(_.head)},"queries_max":${fmt(_.last)},"runs":$runs,"warmup_sec":$warmupSec,"sf":"$sfDir"}""")
+    val recsPerSec = if (total > 0) inputRows / total else 0.0
+    val detail =
+      s"""{"queries_min":${fmt(_.head)},"queries_max":${fmt(_.last)},""" +
+      s""""input_rows":$inputRows,"runs":$runs,"warmup_sec":${r3(warmupSec)},"sf":"$sfDir"}"""
+    try {
+      val p = java.nio.file.Paths.get("target", "bench_detail.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${fmt(med)},"records_per_s":${r3(recsPerSec)},"runs":$runs,"warmup_sec":${r3(warmupSec)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -61,9 +61,22 @@ object Similarity {
 
   private def cos: Column = col("dot") / (sqrt(col("qn")) * sqrt(col("cn")))
 
+  /** Every ANN variant's output is queries×K rows — tiny — and each is
+    * consumed twice per session (its own query + [[annRecall]]).
+    * Memoizing the outputs means the recall probe reads four cached
+    * top-K tables instead of re-executing four kernels (r4 ran the
+    * whole ANN family twice). */
+  private val bruteMemo = new graft.SessionMemo[DataFrame]
+  private val lshMemo = new graft.SessionMemo[DataFrame]
+  private val ivfMemo = new graft.SessionMemo[DataFrame]
+  private val ivfTrainedMemo = new graft.SessionMemo[DataFrame]
+
   /** Brute-force cosine top-k: tiny query set broadcast against all
     * candidates; exact baseline for the ANN surface. */
-  def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame =
+    bruteMemo.getOrElseUpdate(spark, dir)(annBruteForceCompute(spark, dir).persist())
+
+  private def annBruteForceCompute(spark: SparkSession, dir: String): DataFrame = {
     val e = quantizedCached(spark, dir)
     val queries = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("qid"), col("q").as("qv"), col("nrm").as("qn"))
@@ -95,7 +108,10 @@ object Similarity {
     * the cross product becomes an equi-join on bucket. Recall is partial
     * by construction (single probe) — the deterministic trade the scale
     * path makes. */
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    lshMemo.getOrElseUpdate(spark, dir)(annLshCompute(spark, dir).persist())
+
+  private def annLshCompute(spark: SparkSession, dir: String): DataFrame = {
     val e = bucketedCached(spark, dir)
     val queries = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("qid"), col("q").as("qv"), col("nrm").as("qn"), col("bucket"))
@@ -120,7 +136,10 @@ object Similarity {
     * where hyperplane buckets are data-independent. All arithmetic is
     * the same exact-integer cosine, so assignment and ranking are
     * engine-invariant. */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    ivfMemo.getOrElseUpdate(spark, dir)(annIvfCompute(spark, dir).persist())
+
+  private def annIvfCompute(spark: SparkSession, dir: String): DataFrame = {
     val e = quantizedCached(spark, dir)
     val cents = e.filter(col("vec_id") % CentroidMod === 0)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn"))
@@ -178,7 +197,11 @@ object Similarity {
     * against the corpus (N×k codegen dots — the standard assignment
     * kernel) + one partial-agg shuffle for the sums; the corpus is
     * never re-shuffled. */
-  def annIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+  def annIvfTrained(spark: SparkSession, dir: String): DataFrame =
+    ivfTrainedMemo.getOrElseUpdate(spark, dir)(
+      annIvfTrainedCompute(spark, dir).persist())
+
+  private def annIvfTrainedCompute(spark: SparkSession, dir: String): DataFrame = {
     val e = quantizedCached(spark, dir)
     def assignTo(cents: DataFrame): DataFrame = {
       val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
@@ -202,6 +225,11 @@ object Similarity {
         .withColumn("cn", expr("graft_dot(cq, cq)"))
         .filter(col("cn") > 0)
     }
+    // the trained centroids (tiny table) feed the final assignment AND
+    // the probe computation — localCheckpoint materializes the Lloyd
+    // loop once and truncates its lineage, instead of re-executing the
+    // posexplode/groupBy training subtree per downstream reference
+    cents = cents.localCheckpoint()
 
     val assign = assignTo(cents)
     val queries = e.filter(col("vec_id") % QueryMod === 0)
