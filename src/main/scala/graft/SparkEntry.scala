@@ -380,6 +380,9 @@ object SparkEntry {
     "dd_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
     // ExactSubstr-style cross-doc duplicated-span coverage
     "dd_substring" -> ((s, dir) => Dedup.substringDup(s, dir)),
+    // eval-set decontamination: corpus docs sharing a K-token window
+    // with the held-out benchmark set (benchmark side broadcast)
+    "dd_decontaminate" -> ((s, dir) => Dedup.decontaminate(s, dir)),
     // incremental dedup: delta postings probe the base index; oracle
     // is the full recompute (hash equality proves incremental ≡ batch)
     "dd_incremental" -> ((s, dir) => Dedup.incrementalPairs(s, dir)),
@@ -697,6 +700,7 @@ object SparkEntry {
     "dd_simhash_band" -> TextCtes.simhashDup,
     "dd_clusters" -> TextCtes.dedupClusters,
     "dd_substring" -> TextCtes.substringDup,
+    "dd_decontaminate" -> TextCtes.decontaminate,
     "dd_incremental" -> TextCtes.incrementalPairs,
     "dd_exact_norm" -> TextCtes.exactNormalized,
     "q14_histogram" ->

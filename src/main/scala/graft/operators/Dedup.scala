@@ -393,10 +393,9 @@ object Dedup {
     * bounded by document count per gram. */
   def substringDup(spark: SparkSession, dir: String): DataFrame = {
     TextOps.ensureRegistered(spark)
-    // prune to (doc_id, tokens) BEFORE the persist: the cached table —
-    // and therefore the scan — must not carry the wide doc columns
-    val t = TextOps.docs(spark, dir).select(col("doc_id"), col("text"))
-      .withColumn("t", TextOps.toks(col("text"))).drop("text").persist()
+    // the narrow (doc_id, tokens) table is the shared session-memoized
+    // copy — the cached scan carries no wide doc columns
+    val t = TextOps.tokenTable(spark, dir)
     // filter BEFORE sequence(): Spark's sequence(0, n) descends for
     // n < 0 (it would fabricate windows for short docs)
     val grams = t.filter(size(col("t")) >= SubstrK)
@@ -416,5 +415,47 @@ object Dedup {
         coalesce(col("dup_occ"), lit(0L)).as("dup_occ"),
         coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
     out
+  }
+
+  /** Held-out benchmark construction for decontamination: every
+    * [[BenchMod]]-th document contributes one benchmark item — a
+    * [[BenchLen]]-token excerpt starting after [[BenchSkip]] tokens
+    * (deterministic, so the DuckDB oracle rebuilds the identical set). */
+  val BenchMod = 50L
+  val BenchSkip = 2
+  val BenchLen = 12
+
+  /** Eval-set decontamination: flag corpus documents sharing any
+    * [[SubstrK]]-token window with a held-out benchmark set — the
+    * pass every LLM data pipeline must run before training so test
+    * items don't leak into the training corpus (the contamination
+    * n-gram check of GPT-3 appendix C / PaLM §7, shaped like
+    * [[substringDup]]'s gram index).
+    *
+    * Scale shape: the corpus side is the linear sliding-window
+    * fingerprint scan; the benchmark side is tiny by construction
+    * (eval sets are thousands of items, not billions) and BROADCAST,
+    * so flagging is a map-side semi-join — no shuffle of the corpus
+    * beyond the per-doc aggregation. Output: one row per contaminated
+    * document with how many distinct windows and benchmark items it
+    * hits. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.ensureRegistered(spark)
+    val t = TextOps.tokenTable(spark, dir)
+    def windows(in: DataFrame, idCol: String, arrCol: String): DataFrame =
+      in.filter(size(col(arrCol)) >= SubstrK)
+        .select(col(idCol), explode(expr(
+          s"transform(sequence(0, size($arrCol) - $SubstrK), j -> array_join(slice($arrCol, j + 1, $SubstrK), ' '))"))
+          .as("gram"))
+        .select(col(idCol), expr(TextOps.fpSql("gram")).as("gfp"))
+    val grams = windows(t, "doc_id", "t")
+    val bench = t.filter(pmod(col("doc_id"), lit(BenchMod)) === 0)
+      .select(col("doc_id").as("bench_id"),
+        slice(col("t"), BenchSkip + 1, BenchLen).as("bt"))
+    val benchGrams = windows(bench, "bench_id", "bt").distinct()
+    grams.join(broadcast(benchGrams), "gfp")
+      .groupBy("doc_id")
+      .agg(countDistinct("gfp").as("hit_grams"),
+        countDistinct("bench_id").as("n_bench"))
   }
 }

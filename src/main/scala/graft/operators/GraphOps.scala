@@ -206,10 +206,12 @@ object GraphOps {
     pairs.orderBy(col("w").desc, col("a"), col("b")).limit(CopurchaseTopK)
   }
 
-  /** Rank base for triangle orientation: deg·RankBase + id is a total
-    * order by (degree, id). Node ids are < 7·10^12 (kind namespace
-    * 6·Base + key), so 10^13 keeps the two fields disjoint; degrees up
-    * to ~10^5 keep the product well under Long.Max. */
+  /** Rank base the ORACLE twin packs (deg, id) into one BIGINT with:
+    * deg·RankBase + id. Sound at oracle scales (ids < 7·10^12, degrees
+    * ≪ 10^5 at sf ≤ 0.1); the Spark side orients by a (deg, id) struct
+    * comparison instead, which cannot overflow at any degree — at
+    * 100 TB a hot node's degree can exceed the ~9·10^5 where the
+    * packed form would wrap Long silently. */
   val RankBase = 10000000000000L
 
   /** Triangle count over the lineitem co-occurrence graph (each
@@ -225,30 +227,46 @@ object GraphOps {
     * plan survive 100× (an unoriented wedge join squares the hot
     * node's degree). Three shuffles total: distinct, degree agg, and
     * the self-joins share the oriented edge partitioning. */
-  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+  def triangleCount(spark: SparkSession, dir: String): DataFrame =
+    triangleStats(triangleRawEdges(spark, dir))
+
+  /** lineitem co-occurrence edge list, exposed for plan assertions */
+  private[graft] def triangleRawEdges(spark: SparkSession, dir: String): DataFrame = {
     import TpchGraph.{Base, Order, Part, Supplier}
     val li = graft.sources.Tpch.table(spark, dir, "lineitem").select(
       (lit(Order * Base) + col("l_orderkey")).as("o"),
       (lit(Part * Base) + col("l_partkey")).as("p"),
       (lit(Supplier * Base) + col("l_suppkey")).as("s"))
-    val raw = li.select(col("o").as("x"), col("p").as("y"))
+    li.select(col("o").as("x"), col("p").as("y"))
       .unionAll(li.select(col("o").as("x"), col("s").as("y")))
       .unionAll(li.select(col("p").as("x"), col("s").as("y")))
-    triangleStats(raw)
   }
 
   /** (n_edges, n_triangles) of the undirected simple graph induced by
     * raw (x, y) pairs — factored out so specs can pin known counts on
-    * hand-built graphs. */
+    * hand-built graphs. The one-row result is materialized eagerly so
+    * the two working caches release instead of leaking a pair per
+    * invocation; [[triangleStatsLazy]] exposes the un-checkpointed
+    * lineage for plan-shape assertions. */
   private[graft] def triangleStats(raw: DataFrame): DataFrame = {
+    val (res, caches) = triangleStatsLazy(raw)
+    val out = res.localCheckpoint()
+    caches.foreach(_.unpersist())
+    out
+  }
+
+  private[graft] def triangleStatsLazy(raw: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val und = raw.select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
       .distinct().persist()
     val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
+    // orient by lexicographic (deg, id) — overflow-free at any degree,
+    // and the identical total order the oracle's packed-BIGINT form
+    // yields where that form is sound (see [[RankBase]])
     val ranked = und
-      .join(deg.select(col("n").as("a"), (col("deg") * RankBase + col("a")).as("ra")), "a")
-      .join(deg.select(col("n").as("b"), (col("deg") * RankBase + col("b")).as("rb")), "b")
+      .join(deg.select(col("n").as("a"), struct(col("deg"), col("n")).as("ra")), "a")
+      .join(deg.select(col("n").as("b"), struct(col("deg"), col("n")).as("rb")), "b")
     val o = ranked.select(
         when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("u"),
         when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("v"))
@@ -259,8 +277,9 @@ object GraphOps {
       o.select(col("u").as("t_a"), col("v").as("t_c")), Seq("t_a", "t_c"))
     // both scalars from ONE tagged-union aggregation — a crossJoin of
     // two single-row aggs would plan as a nested-loop join
-    und.select(lit(1L).as("e"), lit(0L).as("t"))
+    val res = und.select(lit(1L).as("e"), lit(0L).as("t"))
       .unionAll(tri.select(lit(0L).as("e"), lit(1L).as("t")))
       .agg(sum("e").as("n_edges"), sum("t").as("n_triangles"))
+    (res, Seq(und, o))
   }
 }

@@ -64,8 +64,10 @@ object Sketch {
       .join(regs, Seq("bucket"), "left")
       .select(coalesce(col("m_j"), lit(0)).as("m_j"))
     // Z' = Σ 2^(Scale - M_j) — exact integer, order-insensitive
+    // z appears once in the final plan — no persist needed (an earlier
+    // persist here leaked one orphaned cache entry per invocation)
     val z = full.agg(
-      sum(expr(s"shiftleft(CAST(1 AS BIGINT), $Scale - m_j)")).as("z")).persist()
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), $Scale - m_j)")).as("z"))
     val exact = df.agg(countDistinct(col(keyCol)).as("exact"))
     z.select(lit(Buckets.toLong).as("m"), col("z"),
         (lit(EstNumerator) / col("z")).as("est"))

@@ -37,6 +37,17 @@ object TextOps {
   def docs(spark: SparkSession, dir: String): DataFrame =
     Tpch.table(spark, dir, "documents")
 
+  /** (doc_id, t: tokens) — the narrow token table several window/gram
+    * operators ([[repetition]], [[graft.operators.Dedup.substringDup]],
+    * [[graft.operators.Dedup.decontaminate]]) each start from. One
+    * persisted copy per (session, dir), evicted on session end,
+    * instead of a fresh orphaned persist per call. */
+  private val tokMemo = new graft.SessionMemo[DataFrame]
+  def tokenTable(spark: SparkSession, dir: String): DataFrame =
+    tokMemo.getOrElseUpdate(spark, dir)(
+      docs(spark, dir).select(col("doc_id"), toks(col("text")).as("t"))
+        .persist())
+
   /** Token counting: whitespace tokens + BPE-ish regex tokens. */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
@@ -163,8 +174,7 @@ object TextOps {
   val RepDup3Tau = 0.30
   def repetition(spark: SparkSession, dir: String): DataFrame = {
     ensureRegistered(spark)
-    val t = docs(spark, dir).select(col("doc_id"), col("text"))
-      .withColumn("t", toks(col("text"))).drop("text").persist()
+    val t = tokenTable(spark, dir)
     // per-(doc, n-gram) occurrence counts; filter BEFORE sequence()
     // (it descends for negative spans — short docs would fabricate grams)
     def counts(n: Int) = t.filter(size(col("t")) >= n)

@@ -621,6 +621,31 @@ object TextCtes {
        |FROM t LEFT JOIN s ON t.doc_id = s.doc_id""".stripMargin
   }
 
+  /** twin of Dedup.decontaminate: benchmark items are BenchLen-token
+    * excerpts of every BenchMod-th doc; corpus docs sharing any
+    * SubstrK-token window with any item are contaminated */
+  val decontaminate: String = {
+    import graft.operators.Dedup.{SubstrK => k, BenchMod, BenchSkip, BenchLen}
+    s"""WITH t AS (SELECT doc_id, ${toks("text")} AS ts FROM documents),
+       |g AS (SELECT doc_id, ${fp("gram")} AS gfp FROM (
+       |  SELECT doc_id, unnest(list_transform(
+       |      generate_series(0, len(ts) - $k),
+       |      j -> array_to_string(list_slice(ts, j + 1, j + $k), ' '))) AS gram
+       |  FROM t WHERE len(ts) >= $k)),
+       |b0 AS (SELECT doc_id AS bench_id,
+       |    list_slice(ts, ${BenchSkip + 1}, ${BenchSkip + BenchLen}) AS bt
+       |  FROM t WHERE doc_id % $BenchMod = 0),
+       |bg AS (SELECT DISTINCT bench_id, ${fp("gram")} AS gfp FROM (
+       |  SELECT bench_id, unnest(list_transform(
+       |      generate_series(0, len(bt) - $k),
+       |      j -> array_to_string(list_slice(bt, j + 1, j + $k), ' '))) AS gram
+       |  FROM b0 WHERE len(bt) >= $k))
+       |SELECT doc_id,
+       |  CAST(count(DISTINCT gfp) AS BIGINT) AS hit_grams,
+       |  CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench
+       |FROM g JOIN bg USING (gfp) GROUP BY doc_id""".stripMargin
+  }
+
   /** twin of TextOps.repetition: top-bigram fraction + duplicated
     * trigram fraction + keep verdict (same division order) */
   val repetition: String = {

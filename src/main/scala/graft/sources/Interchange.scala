@@ -23,15 +23,27 @@ import org.apache.spark.sql.types.StructType
 object Interchange {
   private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
+  /** NULL sentinel distinct from the empty field: with Spark's default
+    * (nullValue = emptyValue = the empty field) a non-null empty
+    * string written by [[writeCsv]] reads back as NULL. Writing NULL
+    * as `\N` (the classic mysqldump/Hive convention) and empty string
+    * as a quoted `""` keeps the two distinguishable in both
+    * directions. */
+  private val NullTok = "\\N"
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite")
       .option("header", "true")
+      .option("nullValue", NullTok)
+      .option("emptyValue", "\"\"")
       .option("timestampFormat", TsFmt)
       .csv(path)
 
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read
       .option("header", "true")
+      .option("nullValue", NullTok)
+      .option("emptyValue", "")
       .option("timestampFormat", TsFmt)
       .schema(schema)
       .csv(path)

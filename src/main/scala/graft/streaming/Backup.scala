@@ -89,12 +89,36 @@ object Backup {
     n
   }
 
+  /** Torn-backup refusal (the ConsistencyCheckTool analog,
+    * ConsistencyCheckTool.java:70-163: a store with unrecovered logs is
+    * refused, never silently checked). A backup is torn when the
+    * watermark stamp and the data files disagree: the data directory is
+    * missing, the watermark file is missing while data exists, or the
+    * watermark claims events the data files don't contain (a copy that
+    * died between data write and stamp, or lost files after). */
+  private def enforceRecovered(spark: SparkSession, dir: String): Unit = {
+    val events = Paths.get(dir, "events")
+    if (!Files.exists(events))
+      throw new IllegalStateException(
+        s"restore refused: no events data at $dir — not a backup, or a copy torn before data landed")
+    if (!Files.exists(watermarkPath(dir)))
+      throw new IllegalStateException(
+        s"restore refused: backup at $dir has data but no watermark stamp — torn copy; re-run a full backup")
+    val w = readWatermark(dir)
+    val maxId = spark.read.parquet(s"$dir/events")
+      .agg(coalesce(max("event_id"), lit(-1L))).head().getLong(0)
+    if (w > maxId)
+      throw new IllegalStateException(
+        s"restore refused: watermark $w is ahead of backed-up data (max event $maxId) at $dir — torn backup; re-run a full backup")
+  }
+
   /** RebuildFromLogs: replay the backed-up log into state
     * (RebuildFromLogs.java:60-150 — replay then verify). Refuses a
-    * backup stamped for a different store. */
+    * backup stamped for a different store, and a torn backup. */
   def rebuildState(spark: SparkSession, dir: String,
                    storeId: String = DefaultStoreId): DataFrame = {
     enforceStoreId(dir, storeId, "rebuildState")
+    enforceRecovered(spark, dir)
     EventStreams.userState(
       spark.read.parquet(s"$dir/events")
         .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)")))
@@ -120,6 +144,33 @@ object Backup {
   private val storeNames = Seq("nodes", "rels", "neo", "props", "blocks",
     "dyns", "arrays", "rel_types", "prop_keys", "type_names", "key_names")
 
+  /** monotone record-id column per store — the per-store watermark key
+    * (blocks have no record id of their own; they are keyed by the
+    * owning property record) */
+  private def storeIdCol(name: String): String =
+    if (name == "blocks") "prop_id" else "id"
+
+  private def storeWatermarksPath(dir: String) =
+    Paths.get(dir, "_store_watermarks")
+
+  /** per-store last-shipped record id — the RequestContext
+    * lastAppliedTransactions analog (RequestContext.java:33-120 tracks
+    * one applied-tx cursor PER datasource; here one record-id cursor
+    * per store). Missing file ⇒ pre-incremental layout (full-only). */
+  def readStoreWatermarks(dir: String): Map[String, Long] = {
+    val p = storeWatermarksPath(dir)
+    if (!Files.exists(p)) Map.empty
+    else Files.readString(p).linesIterator.filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v.trim.toLong }
+      .toMap
+  }
+
+  private def writeStoreWatermarks(dir: String, w: Map[String, Long]): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(storeWatermarksPath(dir),
+      storeNames.flatMap(n => w.get(n).map(v => s"$n=$v")).mkString("\n"))
+  }
+
   /** S5 proper: the reference's full backup streams ALL store files —
     * node, relationship, property, dynamic, dictionary stores — not
     * just the log (ServerUtil.rotateLogsAndStreamStoreFiles,
@@ -127,14 +178,52 @@ object Backup {
     * Snapshot every store of the bundle as parquet, stamped with the
     * store id. Each store writes partition-parallel; nothing funnels
     * through the driver. */
+  private def storeSeq(s: Stores): Seq[(String, DataFrame)] =
+    storeNames.zip(Seq(s.nodes, s.rels, s.neo, s.props, s.blocks, s.dyns,
+      s.arrays, s.relTypes, s.propKeys, s.typeNames, s.keyNames))
+
   def fullStores(s: Stores, dir: String,
                  storeId: String = DefaultStoreId): Unit = {
-    val all = Seq(s.nodes, s.rels, s.neo, s.props, s.blocks, s.dyns,
-      s.arrays, s.relTypes, s.propKeys, s.typeNames, s.keyNames)
-    storeNames.zip(all).foreach { case (n, df) =>
+    val marks = storeSeq(s).map { case (n, df) =>
       df.write.mode("overwrite").parquet(s"$dir/$n")
+      val idc = storeIdCol(n)
+      n -> df.agg(coalesce(max(col(idc)), lit(-1L))).head().getLong(0)
     }
+    writeStoreWatermarks(dir, marks.toMap)
     writeStoreId(dir, storeId)
+  }
+
+  /** Per-store incremental catch-up: for every store of the bundle,
+    * ship only the records beyond that store's own watermark and
+    * advance it — the full-then-incremental lifecycle the events table
+    * already has, applied to EVERY datasource like the reference's
+    * RequestContext (one lastAppliedTransactions cursor per store;
+    * ServerUtil.java:336-355 ships each datasource's delta). Record
+    * stores here are append-only derivations (ids are collision-free
+    * arithmetic, never reassigned), so record-id order IS application
+    * order — the record-granularity analog of tx-log catch-up.
+    * Returns rows shipped per store; idempotent under re-run (all
+    * zero). Refuses a wrong-store or full-only (no per-store
+    * watermarks) backup. */
+  def incrementalStores(s: Stores, dir: String,
+                        storeId: String = DefaultStoreId): Map[String, Long] = {
+    enforceStoreId(dir, storeId, "incrementalStores")
+    val marks = readStoreWatermarks(dir)
+    if (marks.isEmpty)
+      throw new IllegalStateException(
+        s"incrementalStores refused: backup at $dir has no per-store watermarks — take a full backup first")
+    val shipped = storeSeq(s).map { case (n, df) =>
+      val idc = storeIdCol(n)
+      val last = marks.getOrElse(n, -1L)
+      val inc = df.filter(col(idc) > last)
+      val cnt = inc.count()
+      if (cnt > 0) inc.write.mode("append").parquet(s"$dir/$n")
+      val newMark = math.max(last,
+        df.agg(coalesce(max(col(idc)), lit(-1L))).head().getLong(0))
+      (n, cnt, newMark)
+    }
+    writeStoreWatermarks(dir, shipped.map { case (n, _, m) => n -> m }.toMap)
+    shipped.map { case (n, c, _) => n -> c }.toMap
   }
 
   /** Restore the snapshot into a fresh [[Stores]] bundle — the copy a
@@ -144,6 +233,13 @@ object Backup {
   def restoreStores(spark: SparkSession, dir: String,
                     storeId: String = DefaultStoreId): Stores = {
     enforceStoreId(dir, storeId, "restoreStores")
+    // torn-backup refusal, store-file edition: a bundle missing any
+    // store is a copy that died mid-stream — the reference refuses to
+    // operate on it (ConsistencyCheckTool.java:70-163)
+    val missing = storeNames.filterNot(n => Files.exists(Paths.get(dir, n)))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"restoreStores refused: backup at $dir is missing store file(s) ${missing.mkString(", ")} — torn copy; re-run a full backup")
     def rd(n: String) = spark.read.parquet(s"$dir/$n")
     Stores(rd("nodes"), rd("rels"), rd("neo"), rd("props"), rd("blocks"),
       rd("dyns"), rd("arrays"), rd("rel_types"), rd("prop_keys"),

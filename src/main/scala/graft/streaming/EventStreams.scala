@@ -147,8 +147,18 @@ object EventStreams {
     * event — constant regardless of stream length. Assumes per-user
     * in-order delivery across batches (the watermark bounds the
     * disorder a source may replay); the batch twin `transitions` is
-    * the oracle-gated semantics. */
-  def transitionsStream(src: DataFrame): Dataset[TransOut] = {
+    * the oracle-gated semantics.
+    *
+    * AGGREGATE state is bounded by `idleGapMs`: a user idle (in event
+    * time) longer than the gap has their state expired via
+    * EventTimeTimeout, so total state tracks ACTIVE keys, not all keys
+    * ever seen. The trade is explicit: a user returning after ≥ gap is
+    * treated as fresh — the one transition bridging the gap is not
+    * emitted. The default (`Long.MaxValue`) never expires: exact
+    * semantics, state linear in user cardinality — callers with
+    * unbounded key churn must pass a finite gap. */
+  def transitionsStream(src: DataFrame,
+      idleGapMs: Long = Long.MaxValue): Dataset[TransOut] = {
     val ss = src.sparkSession
     import ss.implicits._
     import org.apache.spark.sql.streaming.OutputMode
@@ -157,20 +167,33 @@ object EventStreams {
       .as[TransEv]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()) {
+        GroupStateTimeout.EventTimeTimeout()) {
         (uid: Long, evs: Iterator[TransEv], state: GroupState[TransLast]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          if (sorted.isEmpty) Iterator.empty
-          else {
-            val out = Seq.newBuilder[TransOut]
-            var last = state.getOption.orNull
-            sorted.foreach { e =>
-              if (last != null)
-                out += TransOut(uid, last.tpe, e.event_type)
-              last = TransLast(e.ts.getTime, e.event_id, e.event_type)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            if (sorted.isEmpty) Iterator.empty
+            else {
+              val out = Seq.newBuilder[TransOut]
+              var last = state.getOption.orNull
+              sorted.foreach { e =>
+                if (last != null)
+                  out += TransOut(uid, last.tpe, e.event_type)
+                last = TransLast(e.ts.getTime, e.event_id, e.event_type)
+              }
+              state.update(last)
+              if (idleGapMs != Long.MaxValue) {
+                // a timeout must sit beyond the current watermark
+                val floor = state.getCurrentWatermarkMs() + 1
+                val expire = last.tsMs + idleGapMs // saturating
+                state.setTimeoutTimestamp(
+                  math.max(if (expire < last.tsMs) Long.MaxValue else expire,
+                    floor))
+              }
+              out.result().iterator
             }
-            state.update(last)
-            out.result().iterator
           }
       }
   }

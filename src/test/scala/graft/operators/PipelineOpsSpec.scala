@@ -11,6 +11,24 @@ import graft.SparkTestBase
 class PipelineOpsSpec extends SparkTestBase {
   private val dir = "/root/testdata/sf0.001"
 
+  test("decontamination flags every benchmark source doc; all flags share real windows") {
+    val out = Dedup.decontaminate(spark, dir).persist()
+    val t = TextOps.docs(spark, dir)
+      .select(col("doc_id"), TextOps.toks(col("text")).as("t"))
+    // every doc the benchmark excerpted from contains its own excerpt,
+    // so it MUST be flagged (the leak the operator exists to catch)
+    val sources = t
+      .filter(pmod(col("doc_id"), lit(Dedup.BenchMod)) === 0)
+      .filter(size(col("t")) >= Dedup.BenchSkip + Dedup.SubstrK)
+      .select("doc_id")
+    assert(sources.exceptAll(out.select("doc_id")).count() === 0L)
+    assert(sources.count() > 0L)
+    // no vacuous flags
+    assert(out.filter(col("hit_grams") < 1 || col("n_bench") < 1).count() === 0L)
+    out.unpersist()
+    ()
+  }
+
   test("exact dedup finds every constructed duplicate with original id as keeper") {
     val d = Dedup.exact(spark, dir).collect()
     assert(d.length === 500)

@@ -22,6 +22,25 @@ class InterchangeSpec extends SparkTestBase {
     assertSame(orders, Interchange.readCsv(spark, path, orders.schema))
   }
 
+  test("CSV round-trip keeps empty string and NULL distinct") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType, nullable = true)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "plain"), Row(2L, ""), Row(3L, null)),
+      schema)
+    val path = java.nio.file.Files.createTempDirectory("graft_csv_ne").toString
+    Interchange.writeCsv(df, path)
+    val back = Interchange.readCsv(spark, path, schema)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back(1L) === "plain")
+    assert(back(2L) === "")       // NOT silently nulled
+    assert(back(3L) === null)     // NOT the literal sentinel
+  }
+
   test("events round-trips through JSON lines bit-exactly") {
     val events = graft.streaming.EventStreams.events(spark, dir)
     val path = java.nio.file.Files.createTempDirectory("graft_json").toString

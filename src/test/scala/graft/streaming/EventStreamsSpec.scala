@@ -221,6 +221,108 @@ class EventStreamsSpec extends SparkTestBase {
     assert(diff.filter(col("side") === "live_only").count() > 0)
   }
 
+  test("backup concurrent with writes: txs landing during the copy are replayed by the next incremental (backup.asciidoc:10-14)") {
+    val backupDir = Files.createTempDirectory("graft-backup-race").toString
+    val liveDir = Files.createTempDirectory("graft-live-race").toString
+    val ev = EventStreams.events(spark, dir)
+    val w = ev.agg(max("event_id")).head().getLong(0) / 2
+    // the store as the copy starts: first half of the log on disk
+    ev.filter(col("event_id") <= w).write.parquet(s"$liveDir/events")
+    Backup.full(spark, spark.read.parquet(s"$liveDir/events"), backupDir)
+    // writes land while/after the copy runs — the snapshot doesn't
+    // hold locks, so the live store moves on (reference: backup
+    // without locks; txs during the copy are replayed after)
+    ev.filter(col("event_id") > w).write.mode("append")
+      .parquet(s"$liveDir/events")
+    val liveNow = spark.read.parquet(s"$liveDir/events")
+    val shipped = Backup.incremental(spark, liveNow, backupDir)
+    assert(shipped === ev.filter(col("event_id") > w).count())
+    // nothing was lost to the race: restored replay == live replay
+    assert(Backup.verifyRestore(spark, backupDir, liveNow).count() === 0L)
+  }
+
+  test("torn backup is refused; an intact one still restores (ConsistencyCheckTool refusal analog)") {
+    val backupDir = Files.createTempDirectory("graft-backup-torn").toString
+    val ev = EventStreams.events(spark, dir)
+    val maxId = ev.agg(max("event_id")).head().getLong(0)
+    Backup.full(spark, ev, backupDir)
+    // intact backup restores fine
+    assert(asRows(Backup.rebuildState(spark, backupDir)) ===
+      asRows(EventStreams.userState(ev)))
+    // (a) watermark ahead of the data files: the copy died after the
+    // stamp, or data files were lost — must refuse, not silently
+    // restore a short log
+    val wmPath = java.nio.file.Paths.get(backupDir, "_watermark")
+    Files.writeString(wmPath, (maxId + 10).toString)
+    intercept[IllegalStateException] { Backup.rebuildState(spark, backupDir) }
+    intercept[IllegalStateException] {
+      Backup.verifyRestore(spark, backupDir, ev)
+    }
+    Files.writeString(wmPath, maxId.toString) // heal → works again
+    assert(Backup.rebuildState(spark, backupDir).count() > 0)
+    // (b) data with no watermark stamp: torn before the stamp landed
+    Files.delete(wmPath)
+    intercept[IllegalStateException] { Backup.rebuildState(spark, backupDir) }
+  }
+
+  test("torn record-store backup (missing store file) is refused") {
+    import graft.checker.Corruption
+    import graft.model.RecordStores
+    val backupDir = Files.createTempDirectory("graft-backup-torn-stores").toString
+    val live = Corruption(RecordStores.deriveCached(spark, dir))
+    Backup.fullStores(live, backupDir, storeId = "store-A")
+    // delete one store directory — a copy that died mid-stream
+    val propsDir = java.nio.file.Paths.get(backupDir, "props")
+    Files.walk(propsDir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.delete(p))
+    val e = intercept[IllegalStateException] {
+      Backup.restoreStores(spark, backupDir, storeId = "store-A")
+    }
+    assert(e.getMessage.contains("props"))
+  }
+
+  test("per-store incremental backup ships each store's delta only; restored check violations unchanged (RequestContext per-datasource cursors)") {
+    import graft.checker.{Corruption, FullCheck}
+    import graft.model.RecordStores
+    val backupDir = Files.createTempDirectory("graft-backup-incstores").toString
+    val live = Corruption(RecordStores.deriveCached(spark, dir))
+    // "earlier" snapshot: every store truncated to the lower half of
+    // its own id space — the state the full backup saw before growth
+    def half(df: DataFrame, idc: String): DataFrame = {
+      val m = df.agg(max(col(idc))).head().getLong(0)
+      df.filter(col(idc) <= m / 2)
+    }
+    val earlier = live.copy(
+      nodes = half(live.nodes, "id"), rels = half(live.rels, "id"),
+      props = half(live.props, "id"), blocks = half(live.blocks, "prop_id"),
+      dyns = half(live.dyns, "id"), arrays = half(live.arrays, "id"))
+    Backup.fullStores(earlier, backupDir)
+    val marks = Backup.readStoreWatermarks(backupDir)
+    assert(marks.keySet.size === 11)
+    // incremental ships exactly the per-store deltas
+    val shipped = Backup.incrementalStores(live, backupDir)
+    assert(shipped("nodes") === live.nodes.count() - earlier.nodes.count())
+    assert(shipped("rels") === live.rels.count() - earlier.rels.count())
+    assert(shipped("props") === live.props.count() - earlier.props.count())
+    assert(shipped("neo") === 0L) // unchanged store ships nothing
+    // idempotent: a re-run ships zero rows everywhere
+    assert(Backup.incrementalStores(live, backupDir).values.sum === 0L)
+    // restored bundle is the live bundle, store by store
+    val restored = Backup.restoreStores(spark, backupDir)
+    for ((l, r) <- Seq(live.nodes -> restored.nodes, live.rels -> restored.rels,
+        live.props -> restored.props, live.blocks -> restored.blocks,
+        live.dyns -> restored.dyns, live.arrays -> restored.arrays)) {
+      assert(l.exceptAll(r).count() === 0L)
+      assert(r.exceptAll(l).count() === 0L)
+    }
+    // and the consistency check finds the SAME violations on the
+    // restored copy — backup/restore neither hides nor invents any
+    val lv = FullCheck.violations(live)
+    val rv = FullCheck.violations(restored)
+    assert(lv.exceptAll(rv).count() === 0L)
+    assert(rv.exceptAll(lv).count() === 0L)
+  }
+
   private implicit class ListOps[A](l: List[A]) {
     def asJava: java.util.List[A] = {
       val jl = new java.util.ArrayList[A](l.size)

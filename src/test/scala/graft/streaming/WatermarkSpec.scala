@@ -153,6 +153,45 @@ class WatermarkSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("transitions state expires for idle users after the event-time gap; active users keep bridging") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, Long, String)]
+    val src = stream.toDF().toDF("user_id", "ts", "event_id", "event_type")
+    val q = EventStreams.transitionsStream(src, idleGapMs = 3600000L) // 1h gap
+      .writeStream.format("memory").queryName("wm_trans_idle")
+      .outputMode("append")
+      .start()
+    try {
+      // b1: both users seen at 10:00; timeouts armed at 11:00
+      stream.addData(
+        (10L, ts("2024-01-01 10:00:00"), 1L, "view"),
+        (20L, ts("2024-01-01 10:00:00"), 2L, "view"))
+      q.processAllAvailable()
+      // b2: only u20 stays active (watermark 08:00 — nobody expires)
+      stream.addData((20L, ts("2024-01-01 20:00:00"), 3L, "click"))
+      q.processAllAvailable()
+      // b3: watermark reaches 18:00 > u10's 11:00 timeout — u10's
+      // state is removed; u20 keeps bridging
+      stream.addData((20L, ts("2024-01-01 23:00:00"), 4L, "purchase"))
+      q.processAllAvailable()
+      // b4: u10 returns after a 13.5h idle gap — treated as FRESH (no
+      // bridge from the 10:00 view); u20 (active) still bridges
+      stream.addData(
+        (10L, ts("2024-01-01 23:30:00"), 5L, "click"),
+        (20L, ts("2024-01-01 23:30:00"), 6L, "error"))
+      q.processAllAvailable()
+      val got = spark.table("wm_trans_idle")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got === Set(
+        (20L, "view", "click"),
+        (20L, "click", "purchase"),
+        (20L, "purchase", "error")))
+      // the batch twin WOULD bridge u10's cross-gap pair — the
+      // documented trade for bounded aggregate state
+      assert(!got.exists(_._1 == 10L))
+    } finally q.stop()
+  }
+
   test("stateful stream recovers keyed state from a checkpoint across restart") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
