@@ -419,6 +419,15 @@ object SparkEntry {
     "pipe_curation" -> ((s, dir) => graft.operators.Pipeline.curate(s, dir)),
     // deterministic per-source token-budget sampling (training mix)
     "pipe_sample_budget" -> ((s, dir) => graft.operators.Pipeline.sampleBudget(s, dir)),
+    // sequence packing: per-source hash-order token cumsum → fixed
+    // token-budget training sequences
+    "pipe_pack" -> ((s, dir) => graft.operators.Pipeline.packSequences(s, dir)),
+    // deterministic 80/10/10 split + balance stats (independent hash)
+    "pipe_split" -> ((s, dir) => graft.operators.Pipeline.splitStats(s, dir)),
+    // per-source mixture resampling to integer target fractions
+    "pipe_mixture" -> ((s, dir) => graft.operators.Pipeline.mixtureSample(s, dir)),
+    // PII triage counts (email/phone/IPv4 shapes) over the probe corpus
+    "t_pii" -> ((s, dir) => TextOps.piiStats(s, dir)),
     // curation v2: repetition ∧ substring-dup ∧ budget, one plan
     "pipe_curation2" -> ((s, dir) => graft.operators.Pipeline.curateV2(s, dir)),
   )
@@ -739,6 +748,10 @@ object SparkEntry {
     "mm_resize" -> TextCtes.resizeThumbs,
     "pipe_curation" -> TextCtes.curation,
     "pipe_sample_budget" -> TextCtes.sampleBudget,
+    "pipe_pack" -> TextCtes.packSequences,
+    "pipe_split" -> TextCtes.splitStats,
+    "pipe_mixture" -> TextCtes.mixtureSample,
+    "t_pii" -> TextCtes.piiStats,
     "pipe_curation2" -> TextCtes.curationV2,
   )
 }

@@ -78,6 +78,95 @@ object Pipeline {
           .as("chars_kept"))
   }
 
+  /** Tokens per packed training sequence (context-window budget). */
+  val SeqTokens = 512L
+  /** Second multiplicative-hash constant (xxhash prime2) — the split
+    * hash must be independent of [[SampleMult]]'s sampling order or
+    * the val/test splits would systematically get the docs the budget
+    * sampler drops. */
+  val SplitMult = 2246822519L
+
+  /** Sequence-packing plan — the step that turns a curated corpus into
+    * fixed-token-budget training sequences: docs order deterministically
+    * by multiplicative hash within their source, a running token total
+    * assigns each doc to the sequence its first token lands in, and the
+    * output reports each sequence's packing (docs, tokens; a doc
+    * straddling a boundary counts toward its starting sequence — the
+    * cross-boundary remainder is the packer's overflow).
+    *
+    * Scale shape: identical to [[sampleBudget]] — one partition-local
+    * cumsum window per source, no global sort, no state. 100 TB of
+    * documents pack with exactly one shuffle (the window's hash
+    * partitioning by source). */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.ensureRegistered(spark)
+    val d = TextOps.docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextOps.toks(col("text"))).cast("long").as("n_tokens"),
+        pmod(col("doc_id") * SampleMult, lit(SampleMod)).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("h")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    d.withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("seq_id", expr(s"(cum - n_tokens) div $SeqTokens"))
+      .groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("seq_tokens"))
+  }
+
+  /** Deterministic train/val/test split + per-split balance stats —
+    * the reproducible-split primitive (hash the id, never RNG, so any
+    * engine or rerun assigns every doc identically) plus the skew
+    * check a pipeline runs right after (token/char totals per split
+    * should track the 80/10/10 design). One projection + one
+    * partial-agg groupBy: linear, three output rows at any scale. */
+  def splitStats(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.ensureRegistered(spark)
+    val bucket = pmod(pmod(col("doc_id") * SplitMult, lit(SampleMod)), lit(100L))
+    TextOps.docs(spark, dir)
+      .select(
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+          .as("split"),
+        size(TextOps.toks(col("text"))).cast("long").as("n_tokens"),
+        col("n_chars"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+        sum("n_chars").as("total_chars"))
+  }
+
+  /** Source-mixture resampling — hit a per-domain target mix without
+    * RNG: each source keeps its first `target` docs in multiplicative-
+    * hash order, where target = n_source · f(source) and the keep
+    * fraction f cycles 20/40/60% by source index (a stand-in for the
+    * mixture weights a data recipe assigns per domain). The keep
+    * decision `rank · 10 ≤ n · frac` is pure integer arithmetic — no
+    * float rounding to disagree on at any engine.
+    *
+    * Scale shape: two window functions over ONE hash-partition by
+    * source (rank + partition count share the shuffle), then a
+    * partial-agg groupBy. */
+  val MixDen = 10L
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.ensureRegistered(spark)
+    val d = TextOps.docs(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        pmod(col("doc_id") * SampleMult, lit(SampleMod)).as("h"),
+        (pmod(expr("CAST(substring(source, 4) AS BIGINT)"), lit(3L)) * 2 + 2)
+          .as("frac_num"))
+    val part = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val w = part.orderBy("h")
+    d.withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("n_total", count(lit(1)).over(part))
+      .withColumn("keep",
+        when(col("rank") * MixDen <= col("n_total") * col("frac_num"), 1L)
+          .otherwise(0L))
+      .groupBy("source")
+      .agg(max("frac_num").as("frac_num"),
+        count(lit(1)).as("n_total"),
+        sum("keep").as("n_kept"),
+        sum(col("keep") * col("n_chars")).as("chars_kept"))
+  }
+
   def sampleBudget(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("h")

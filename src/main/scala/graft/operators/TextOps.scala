@@ -115,6 +115,37 @@ object TextOps {
     docs(spark, dir).select(col("doc_id"), expr(fpSql("text")).as("fp"))
   }
 
+  /** PII-bearing probe suffix appended to every [[PiiMod]]-th doc —
+    * the synthetic corpus has no contact strings, so the detector
+    * needs constructed work to find (same probe-corpus pattern as the
+    * dedup family). Patterns avoid backslash escapes entirely
+    * (`[.]`-style classes) so the identical literal is valid Java
+    * regex AND RE2, and avoid ambiguous overlaps so match COUNTS
+    * agree across engines. */
+  val PiiMod = 10L
+  val PiiSuffix = " contact jane.doe@example.com or 555-123-4567 via 192.168.0.1"
+
+  /** PII scan — the redaction-triage pass a training pipeline runs
+    * before release: per-doc counts of email / phone / IPv4 shapes,
+    * flagged docs only. One codegen'd projection (three
+    * regexp_extract_all) + filter: linear, no shuffle at all. */
+  def piiStats(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    docs(spark, dir)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(PiiMod)) === 0,
+          concat(col("text"), lit(PiiSuffix))).otherwise(col("text"))
+          .as("text"))
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+', 0)"))
+          .cast("long").as("n_email"),
+        size(expr("regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}', 0)"))
+          .cast("long").as("n_phone"),
+        size(expr("regexp_extract_all(text, '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+', 0)"))
+          .cast("long").as("n_ip"))
+      .filter(col("n_email") + col("n_phone") + col("n_ip") > 0)
+  }
+
   /** Intra-document dedup (the C4-style repeated-span removal every
     * cleaning pipeline runs BEFORE corpus-level dedup): each document
     * chunks into consecutive [[ChunkTokens]]-token units, units are

@@ -672,6 +672,73 @@ object TextCtes {
        |FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id""".stripMargin
   }
 
+  /** twin of Pipeline.packSequences: per-source hash-order token
+    * cumsum, sequence id = starting-token bin */
+  val packSequences: String = {
+    import graft.operators.Pipeline.{SampleMult, SampleMod, SeqTokens}
+    s"""WITH t AS (SELECT doc_id, source,
+       |    CAST(len(${toks("text")}) AS BIGINT) AS n_tokens,
+       |    (doc_id * $SampleMult) % $SampleMod AS h FROM documents),
+       |c AS (SELECT source, n_tokens, sum(n_tokens) OVER (
+       |    PARTITION BY source ORDER BY h
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+       |SELECT source, CAST((cum - n_tokens) // $SeqTokens AS BIGINT) AS seq_id,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+       |FROM c GROUP BY 1, 2""".stripMargin
+  }
+
+  /** twin of Pipeline.splitStats: independent multiplicative hash mod
+    * 100 → 80/10/10 split, per-split balance totals */
+  val splitStats: String = {
+    import graft.operators.Pipeline.{SplitMult, SampleMod}
+    s"""WITH d AS (SELECT
+       |    ((doc_id * $SplitMult) % $SampleMod) % 100 AS b,
+       |    CAST(len(${toks("text")}) AS BIGINT) AS n_tokens,
+       |    n_chars FROM documents)
+       |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+       |    ELSE 'test' END AS split,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM d GROUP BY 1""".stripMargin
+  }
+
+  /** twin of Pipeline.mixtureSample: per-source hash-rank keep within
+    * integer target rank·10 ≤ n·frac */
+  val mixtureSample: String = {
+    import graft.operators.Pipeline.{SampleMult, SampleMod, MixDen}
+    s"""WITH d AS (SELECT doc_id, source, n_chars,
+       |    (doc_id * $SampleMult) % $SampleMod AS h,
+       |    (CAST(substr(source, 4) AS BIGINT) % 3) * 2 + 2 AS frac_num
+       |  FROM documents),
+       |r AS (SELECT source, n_chars, frac_num,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY h) AS BIGINT) AS rank,
+       |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_total
+       |  FROM d),
+       |k AS (SELECT source, n_chars, frac_num, n_total,
+       |    CASE WHEN rank * $MixDen <= n_total * frac_num THEN 1 ELSE 0 END AS keep
+       |  FROM r)
+       |SELECT source, CAST(max(frac_num) AS BIGINT) AS frac_num,
+       |  count(*) AS n_total, CAST(sum(keep) AS BIGINT) AS n_kept,
+       |  CAST(sum(keep * n_chars) AS BIGINT) AS chars_kept
+       |FROM k GROUP BY source""".stripMargin
+  }
+
+  /** twin of TextOps.piiStats: probe suffix on every PiiMod-th doc,
+    * escaped-backslash-free regex counts */
+  val piiStats: String = {
+    import graft.operators.TextOps.{PiiMod, PiiSuffix}
+    s"""WITH c AS (SELECT doc_id,
+       |    CASE WHEN doc_id % $PiiMod = 0 THEN text || '$PiiSuffix'
+       |         ELSE text END AS text FROM documents),
+       |s AS (SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+       |  CAST(len(regexp_extract_all(text, '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+')) AS BIGINT) AS n_ip
+       |FROM c)
+       |SELECT doc_id, n_email, n_phone, n_ip FROM s
+       |WHERE n_email + n_phone + n_ip > 0""".stripMargin
+  }
+
   /** twin of Pipeline.sampleBudget: multiplicative-hash order,
     * per-source running char total, budget cut */
   val sampleBudget: String = {

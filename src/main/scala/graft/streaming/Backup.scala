@@ -61,23 +61,78 @@ object Backup {
           s"$op refused: backup at $dir belongs to store '$stamped', not '$storeId'")
     }
 
+  // ---- branch detection (BranchedDataException analog) -----------------
+
+  private def fingerprintPath(dir: String) = Paths.get(dir, "_fingerprint")
+
+  def readFingerprint(dir: String): Option[Long] = {
+    val p = fingerprintPath(dir)
+    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
+  }
+
+  private def writeFingerprint(dir: String, fp: Long): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(fingerprintPath(dir), fp.toString)
+  }
+
+  private val FpMod = 1000000007L
+
+  /** Order-insensitive checksum of the event-log prefix ≤ `wm` — the
+    * analog of the reference's per-tx checksum that branch detection
+    * compares (BranchDetectingTxVerifier.assertMatch:45-58 verifies
+    * the LAST COMMON transaction's checksum between slave and master
+    * before applying a pull; mismatch ⇒ BranchedDataException, remedy
+    * = full store copy). A sum of per-row hashes commutes, so the
+    * checksum is partition-order-free and maintainable incrementally
+    * (prefix fp + delta fp). Per-row terms are reduced below 2³⁰ and
+    * summed in DECIMAL(38,0), so the aggregation cannot overflow at
+    * any row count (ANSI mode would reject a wrapping BIGINT sum). */
+  private def prefixFingerprint(ev: DataFrame, wm: Long): Long = {
+    val term = pmod(xxhash64(ev.columns.map(col): _*), lit(FpMod))
+      .cast("decimal(38,0)")
+    val s = ev.filter(col("event_id") <= wm)
+      .agg(coalesce(sum(term), lit(0).cast("decimal(38,0)")))
+      .head().getDecimal(0)
+    s.remainder(java.math.BigDecimal.valueOf(FpMod)).longValueExact()
+  }
+
+  /** throws unless the live store's history at the backup's watermark
+    * is the history the backup was taken from — an id-range that
+    * matches but content that doesn't means the source BRANCHED
+    * (rewrote history), and shipping its delta would silently corrupt
+    * the backup. A backup with no fingerprint (pre-branch-guard
+    * layout) is accepted. */
+  private def enforceUnbranched(ev: DataFrame, dir: String): Unit =
+    readFingerprint(dir).foreach { stamped =>
+      val live = prefixFingerprint(ev, readWatermark(dir))
+      if (live != stamped)
+        throw new IllegalStateException(
+          s"incremental refused: source store branched from backup at $dir " +
+            s"(prefix checksum $live != stamped $stamped at watermark " +
+            s"${readWatermark(dir)}) — take a full backup")
+    }
+
   /** S5: full snapshot of the event log up to its current max id,
-    * stamped with the source store's id. */
+    * stamped with the source store's id and the prefix checksum
+    * branch detection verifies on every later incremental. */
   def full(spark: SparkSession, ev: DataFrame, dir: String,
            storeId: String = DefaultStoreId): Long = {
     val w = ev.agg(coalesce(max("event_id"), lit(-1L))).head().getLong(0)
     ev.write.mode("overwrite").parquet(s"$dir/events")
     writeWatermark(dir, w)
     writeStoreId(dir, storeId)
+    writeFingerprint(dir, prefixFingerprint(ev, w))
     w
   }
 
   /** S6/S7: append only the rows beyond the stored watermark, advance
     * it. Returns the number of rows shipped. Refuses a backup stamped
-    * for a different store. */
+    * for a different store, and a source that branched from the
+    * backup's lineage. */
   def incremental(spark: SparkSession, ev: DataFrame, dir: String,
                   storeId: String = DefaultStoreId): Long = {
     enforceStoreId(dir, storeId, "incremental")
+    enforceUnbranched(ev, dir)
     val last = readWatermark(dir)
     val inc = ev.filter(col("event_id") > last)
     val n = inc.count()
@@ -85,6 +140,7 @@ object Backup {
       inc.write.mode("append").parquet(s"$dir/events")
       val w = ev.agg(max("event_id")).head().getLong(0)
       writeWatermark(dir, w)
+      writeFingerprint(dir, prefixFingerprint(ev, w))
     }
     n
   }

@@ -29,6 +29,59 @@ class PipelineOpsSpec extends SparkTestBase {
     ()
   }
 
+  test("sequence packing conserves tokens and respects the start-bin rule") {
+    val packed = Pipeline.packSequences(spark, dir).persist()
+    val d = TextOps.docs(spark, dir)
+      .select(size(TextOps.toks(col("text"))).cast("long").as("n"))
+    // conservation: every token lands in exactly one sequence
+    val total = d.agg(sum("n")).head().getLong(0)
+    assert(packed.agg(sum("seq_tokens")).head().getLong(0) === total)
+    // bins are non-negative and no sequence is empty
+    assert(packed.filter(col("seq_id") < 0 || col("n_docs") < 1).count() === 0L)
+    // a doc's bin is its START offset div budget, and starts are
+    // strictly below the source's token total — so every source's max
+    // bin id is bounded by (total_tokens - 1) div budget
+    val bySource = packed.groupBy("source")
+      .agg(max("seq_id").as("mx"), sum("seq_tokens").as("tot"))
+    assert(bySource.filter(
+      col("mx") > (col("tot") - 1) / Pipeline.SeqTokens).count() === 0L)
+    packed.unpersist()
+    ()
+  }
+
+  test("deterministic split partitions every doc exactly once, ~80/10/10") {
+    val s = Pipeline.splitStats(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = TextOps.docs(spark, dir).count()
+    assert(s.values.sum === total)
+    assert(s.keySet === Set("train", "val", "test"))
+    // hash balance: train within 10 percentage points of design
+    assert(math.abs(s("train").toDouble / total - 0.8) < 0.1)
+  }
+
+  test("mixture sampling keeps exactly the integer target per source") {
+    val m = Pipeline.mixtureSample(spark, dir).collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      val (frac, nTotal, nKept) =
+        (r.getAs[Long]("frac_num"), r.getAs[Long]("n_total"), r.getAs[Long]("n_kept"))
+      // kept count is FLOOR(n_total * frac / 10) — the integer contract
+      assert(nKept === nTotal * frac / Pipeline.MixDen,
+        s"source=${r.getString(0)}")
+    }
+  }
+
+  test("pii scan flags exactly the probe docs with one hit per pattern") {
+    val p = TextOps.piiStats(spark, dir).persist()
+    val probes = TextOps.docs(spark, dir)
+      .filter(pmod(col("doc_id"), lit(TextOps.PiiMod)) === 0).count()
+    assert(p.count() === probes) // natural corpus has no PII
+    assert(p.filter(col("n_email") =!= 1L || col("n_phone") =!= 1L ||
+      col("n_ip") =!= 1L).count() === 0L)
+    p.unpersist()
+    ()
+  }
+
   test("exact dedup finds every constructed duplicate with original id as keeper") {
     val d = Dedup.exact(spark, dir).collect()
     assert(d.length === 500)

@@ -281,6 +281,33 @@ class EventStreamsSpec extends SparkTestBase {
     assert(e.getMessage.contains("props"))
   }
 
+  test("branched source is refused by incremental; faithful append still ships (BranchedDataException analog)") {
+    val backupDir = Files.createTempDirectory("graft-backup-branch").toString
+    val ev = EventStreams.events(spark, dir)
+    val maxId = ev.agg(max("event_id")).head().getLong(0)
+    val w = maxId / 2
+    Backup.full(spark, ev.filter(col("event_id") <= w), backupDir)
+    // branch: the source REWRITES an already-backed-up event (same id
+    // range, different content — BranchDetectingTxVerifier's checksum
+    // mismatch, not mere staleness)
+    val branched = ev.withColumn("event_type",
+      when(col("event_id") === 1L, lit("rewritten-history"))
+        .otherwise(col("event_type")))
+    val e = intercept[IllegalStateException] {
+      Backup.incremental(spark, branched, backupDir)
+    }
+    assert(e.getMessage.contains("branched"))
+    // backup untouched by the refusal
+    assert(Backup.readWatermark(backupDir) === w)
+    // the faithful source proceeds; the advanced fingerprint keeps
+    // verifying on the NEXT incremental too
+    assert(Backup.incremental(spark, ev, backupDir) ===
+      ev.filter(col("event_id") > w).count())
+    assert(Backup.incremental(spark, ev, backupDir) === 0L)
+    assert(asRows(Backup.rebuildState(spark, backupDir)) ===
+      asRows(EventStreams.userState(ev)))
+  }
+
   test("per-store incremental backup ships each store's delta only; restored check violations unchanged (RequestContext per-datasource cursors)") {
     import graft.checker.{Corruption, FullCheck}
     import graft.model.RecordStores
