@@ -428,6 +428,11 @@ object SparkEntry {
     "pipe_mixture" -> ((s, dir) => graft.operators.Pipeline.mixtureSample(s, dir)),
     // PII triage counts (email/phone/IPv4 shapes) over the probe corpus
     "t_pii" -> ((s, dir) => TextOps.piiStats(s, dir)),
+    // tokenizer coverage: per-doc OOV rate vs the broadcast top-K vocab
+    "t_oov" -> ((s, dir) => TextOps.oovRate(s, dir)),
+    // the complete release pipeline: quality ∧ lang ∧ dedup ∧
+    // decontamination → deterministic split → per-(split,lang) totals
+    "pipe_full" -> ((s, dir) => graft.operators.Pipeline.curateFull(s, dir)),
     // curation v2: repetition ∧ substring-dup ∧ budget, one plan
     "pipe_curation2" -> ((s, dir) => graft.operators.Pipeline.curateV2(s, dir)),
   )
@@ -752,6 +757,8 @@ object SparkEntry {
     "pipe_split" -> TextCtes.splitStats,
     "pipe_mixture" -> TextCtes.mixtureSample,
     "t_pii" -> TextCtes.piiStats,
+    "t_oov" -> TextCtes.oovRate,
+    "pipe_full" -> TextCtes.curateFull,
     "pipe_curation2" -> TextCtes.curationV2,
   )
 }

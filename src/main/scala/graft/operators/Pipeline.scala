@@ -78,6 +78,33 @@ object Pipeline {
           .as("chars_kept"))
   }
 
+  /** The complete release pipeline in ONE declarative plan — what a
+    * training-data team actually ships: quality gate ∧ language id ∧
+    * near-dup drop list ∧ eval-set decontamination, then the
+    * deterministic split, reported as per-(split, lang) doc/token
+    * totals. Every stage is an existing oracle-gated operator; the
+    * composition's value is the plan: both drop sides apply as
+    * left-anti joins on doc_id (the decontamination side derives from
+    * a BROADCAST benchmark join), the split adds zero shuffles (pure
+    * projection), and one partial-agg groupBy closes it. */
+  def curateFull(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextOps.quality(spark, dir)
+      .select(col("doc_id"), col("quality"), col("n_tokens"))
+    val lang = TextOps.langId(spark, dir).select(col("doc_id"), col("pred"))
+    val drops = Dedup.dedupClusters(spark, dir)
+      .filter(col("doc_id") < Dedup.IdOffset).select("doc_id")
+    val cont = Dedup.decontaminate(spark, dir).select("doc_id")
+    val bucket = pmod(pmod(col("doc_id") * SplitMult, lit(SampleMod)), lit(100L))
+    q.filter(col("quality") >= QualityTau)
+      .join(lang, "doc_id")
+      .join(drops, Seq("doc_id"), "left_anti")
+      .join(cont, Seq("doc_id"), "left_anti")
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("split"), col("pred").as("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+  }
+
   /** Tokens per packed training sequence (context-window budget). */
   val SeqTokens = 512L
   /** Second multiplicative-hash constant (xxhash prime2) — the split

@@ -109,6 +109,24 @@ object TextOps {
       .orderBy(col("n").desc, col("tok"))
       .limit(VocabK)
 
+  /** Out-of-vocabulary rate per document — the tokenizer-coverage
+    * check run whenever a vocab is (re)built: tokens outside the
+    * corpus top-[[VocabK]] vocabulary, counted per doc. The vocabulary
+    * is tiny by construction and BROADCAST; the scan side is one
+    * explode + per-doc partial agg — the same linear shape as
+    * token counting, no shuffle on the token key. */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = vocabTopK(spark, dir).select(col("tok"))
+      .withColumn("in_v", lit(1L))
+    docs(spark, dir)
+      .select(col("doc_id"), explode(toks(lower(col("text")))).as("tok"))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", col("n_oov") / col("n_tokens"))
+  }
+
   /** Whole-document rolling-hash fingerprint. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     ensureRegistered(spark)

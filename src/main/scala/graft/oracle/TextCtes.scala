@@ -251,6 +251,38 @@ object TextCtes {
        |FROM (SELECT unnest(${toks("lower(text)")}) AS tok FROM documents)
        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin
 
+  /** twin of TextOps.oovRate: top-K vocab as a broadcast-side CTE,
+    * per-doc OOV counts + double rate */
+  val oovRate: String =
+    s"""WITH v AS (SELECT tok, 1 AS in_v FROM ($vocabTopK)),
+       |t AS (SELECT doc_id, unnest(${toks("lower(text)")}) AS tok FROM documents),
+       |s AS (SELECT doc_id, count(*) AS n_tokens,
+       |    CAST(sum(CASE WHEN in_v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+       |  FROM t LEFT JOIN v USING (tok) GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, n_oov,
+       |  n_oov / CAST(n_tokens AS DOUBLE) AS oov_rate FROM s""".stripMargin
+
+  /** twin of Pipeline.curateFull: quality ∧ lang ∧ not-near-dup ∧
+    * not-contaminated → split → per-(split, lang) totals */
+  def curateFull: String = {
+    import graft.operators.Pipeline.{QualityTau, SplitMult, SampleMod}
+    s"""WITH q AS (SELECT doc_id, quality, n_tokens FROM ($quality)),
+       |l AS (SELECT doc_id, pred FROM ($langId)),
+       |drops AS (SELECT doc_id FROM ($dedupClusters) WHERE doc_id < 100000),
+       |cont AS (SELECT doc_id FROM ($decontaminate)),
+       |base AS (SELECT q.doc_id, l.pred, q.n_tokens,
+       |    ((q.doc_id * $SplitMult) % $SampleMod) % 100 AS b
+       |  FROM q JOIN l ON q.doc_id = l.doc_id
+       |  WHERE q.quality >= $QualityTau
+       |    AND q.doc_id NOT IN (SELECT doc_id FROM drops)
+       |    AND q.doc_id NOT IN (SELECT doc_id FROM cont))
+       |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+       |    ELSE 'test' END AS split,
+       |  pred AS lang, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |FROM base GROUP BY 1, 2""".stripMargin
+  }
+
   /** twin of Dedup.dedupClusters: the ngram-Jaccard pairs as an edge
     * list, then IterCtes' unrolled min-propagation + canonicalization */
   val dedupClusters: String =

@@ -47,6 +47,32 @@ class PlanInvariantsSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("t_pii is one shuffle-free projection") {
+    val p = plan("t_pii")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("regexp_extract_all"), p)
+  }
+
+  test("pipe_pack and pipe_mixture window per source, never a single partition") {
+    for (q <- Seq("pipe_pack", "pipe_mixture")) {
+      val p = plan(q)
+      // the cumsum/rank window must be hash-partitioned by source —
+      // a global (SinglePartition) window is the anti-shape that
+      // serializes 100 TB through one task
+      assert(p.contains("hashpartitioning(source"), s"$q:\n$p")
+      assert(!p.contains("SinglePartition"), s"$q:\n$p")
+    }
+  }
+
+  test("dd_decontaminate broadcasts the benchmark side — corpus never shuffles on the gram key") {
+    val p = plan("dd_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the corpus-side join must not sort-merge (that would shuffle
+    // every corpus gram); the only exchanges allowed are the per-doc
+    // aggregation's
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("iterate round: small frontier broadcasts, large frontier does not") {
     import spark.implicits._
     import graft.operators.Iterative

@@ -82,6 +82,38 @@ class PipelineOpsSpec extends SparkTestBase {
     ()
   }
 
+  test("oov rate conserves tokens and bounds the rate") {
+    val o = TextOps.oovRate(spark, dir).persist()
+    val total = TextOps.docs(spark, dir)
+      .select(size(TextOps.toks(lower(col("text")))).cast("long").as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(o.agg(sum("n_tokens")).head().getLong(0) === total)
+    assert(o.filter(col("n_oov") < 0 || col("n_oov") > col("n_tokens")).count() === 0L)
+    // the top-K vocab covers the head of a zipfian corpus: some doc
+    // must contain vocab tokens (non-vacuous join)
+    assert(o.filter(col("n_oov") < col("n_tokens")).count() > 0L)
+    o.unpersist()
+    ()
+  }
+
+  test("full release pipeline equals the same gates composed in a different order") {
+    val full = Pipeline.curateFull(spark, dir)
+    val total = full.agg(sum("n_docs")).head().getLong(0)
+    // recompute survivors with set ops instead of join order: quality
+    // pass, minus dedup drops, minus contaminated
+    val qual = TextOps.quality(spark, dir)
+      .filter(col("quality") >= Pipeline.QualityTau).select("doc_id")
+    val drops = Dedup.dedupClusters(spark, dir)
+      .filter(col("doc_id") < Dedup.IdOffset).select("doc_id")
+    val cont = Dedup.decontaminate(spark, dir).select("doc_id")
+    val expected = qual.exceptAll(drops).exceptAll(cont).count()
+    assert(total === expected)
+    // split/lang domains are closed
+    val rows = full.collect()
+    assert(rows.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+    assert(rows.map(_.getString(1)).toSet.subsetOf(Set("en", "de", "es", "fr", "zh")))
+  }
+
   test("exact dedup finds every constructed duplicate with original id as keeper") {
     val d = Dedup.exact(spark, dir).collect()
     assert(d.length === 500)
