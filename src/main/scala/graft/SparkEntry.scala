@@ -288,6 +288,10 @@ object SparkEntry {
     "it_kcore" -> ((s, dir) => graft.operators.Iterative.kcore(s, dir)),
     // engine-invariant HyperLogLog vs exact distinct (self-quantifying probe)
     "q08_hll_distinct" -> ((s, dir) => graft.operators.Sketch.hllOrders(s, dir)),
+    // count-min sketch registers + top-10 heavy-hitter probe (est >= exact)
+    "q15_cms_heavy" -> ((s, dir) => graft.operators.Sketch.cmsTopParts(s, dir)),
+    // bloom runtime-filter probe: pass/true/false-positive accounting
+    "q16_bloom_filter" -> ((s, dir) => graft.operators.Sketch.bloomProbe(s, dir)),
     // hierarchical aggregation: one Expand + partial-agg pass
     "q09_rollup" -> ((s, dir) => graft.operators.Olap.rollupReport(s, dir)),
     // exact discrete percentiles, integer index arithmetic
@@ -591,6 +595,8 @@ object SparkEntry {
     "it_triangles" -> IterCtes.triangles,
     "it_kcore" -> IterCtes.kcore,
     "q08_hll_distinct" -> SketchCtes.hllOrders,
+    "q15_cms_heavy" -> SketchCtes.cmsTopParts,
+    "q16_bloom_filter" -> SketchCtes.bloomProbe,
     "q09_rollup" -> OlapCtes.rollupReport,
     "q10_percentiles" -> OlapCtes.percentiles,
     "dd_edit_refine" -> OlapCtes.editRefine,

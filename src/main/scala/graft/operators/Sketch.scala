@@ -85,4 +85,95 @@ object Sketch {
   def hllOrders(spark: SparkSession, dir: String): DataFrame =
     hllDistinct(Tpch.table(spark, dir, "lineitem").select(col("l_orderkey")),
       "l_orderkey")
+
+  // ---- count-min sketch -------------------------------------------------
+
+  /** CMS geometry: depth×width integer register matrix. Width 1024 at
+    * depth 4 bounds the additive error at ~2e/1024 of the stream
+    * length with probability 1 − e⁻⁴ — the heavy-hitter regime the
+    * sketch exists for. */
+  val CmsDepth = 4
+  val CmsWidth = 1024L
+  val CmsP = 1000000007L
+
+  private def cmsCell(d: Int, k: Column): Column =
+    pmod(pmod(k * (1 + 6101 * d) + 9973 * d, lit(CmsP)), lit(CmsWidth))
+
+  /** Count-min sketch over lineitem part frequencies, probed at the
+    * top-10 exact heavy hitters — est ≥ exact always (one-sided
+    * error), and the report quantifies the sketch's own overcount
+    * like the HLL/ANN probes do.
+    *
+    * Scale shape: registers are ONE partial-agg groupBy over
+    * (depth, cell) — 4096 output rows at any stream length, mergeable
+    * across partitions/days by addition (the reason a pipeline keeps
+    * CMS instead of exact counts). The probe side joins the top keys'
+    * 4 cells against the broadcast register table. */
+  def cmsTopParts(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tpch.table(spark, dir, "lineitem").select(col("l_partkey").as("k"))
+    val cells = keys.select(explode(array(
+      (0 until CmsDepth).map(d =>
+        struct(lit(d).as("d"), cmsCell(d, col("k")).as("cell"))): _*)).as("p"))
+      .select(col("p.d").as("d"), col("p.cell").as("cell"))
+      .groupBy("d", "cell").agg(count(lit(1)).as("cnt"))
+    val top = keys.groupBy("k").agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("k")).limit(10)
+    val probes = top.select(col("k"), col("exact"), explode(array(
+      (0 until CmsDepth).map(d =>
+        struct(lit(d).as("d"), cmsCell(d, col("k")).as("cell"))): _*)).as("p"))
+      .select(col("k"), col("exact"), col("p.d").as("d"), col("p.cell").as("cell"))
+    probes.join(broadcast(cells), Seq("d", "cell"))
+      .groupBy("k", "exact").agg(min("cnt").as("est"))
+      .select(col("k").as("partkey"), col("exact"), col("est"))
+  }
+
+  // ---- bloom runtime filter ----------------------------------------------
+
+  /** Bloom geometry: 32K bits, 3 hashes — ~5% false positives at the
+    * ~2-4K key cardinality the probe builds, enough signal for the
+    * fp-rate report to be non-trivial and non-flaky. */
+  val BloomBits = 32768L
+  val BloomK = 3
+  val BloomPriceCents = 30000000L // o_totalprice > 300k keeps a selective slice
+
+  private def bloomBit(i: Int, k: Column): Column =
+    pmod(pmod(k * (1 + 7919 * i) + 104729 * i, lit(CmsP)), lit(BloomBits))
+
+  /** Bloom-filter runtime-filter probe — the semi-join reduction every
+    * engine applies at 100 TB (build a bit set from the selective dim
+    * side, drop fact rows before the shuffle): high-value order keys
+    * set 3 bits each; distinct lineitem order keys probe; the report
+    * compares bloom passes against the exact semi-join (true matches
+    * vs false positives, fp rate over the definite-negative pool).
+    * Everything integer; the two rates are single final divisions.
+    *
+    * Scale shape: the bit set is ≤ 3·|dim slice| distinct positions,
+    * BROADCAST; probing is a map-side join + per-key counter — the
+    * fact table never shuffles on the probe key. */
+  def bloomProbe(spark: SparkSession, dir: String): DataFrame = {
+    val hi = Tpch.table(spark, dir, "orders")
+      .filter(expr("CAST(round(o_totalprice * 100) AS BIGINT)") > BloomPriceCents)
+      .select(col("o_orderkey").as("k"))
+    val bits = hi.select(explode(array(
+      (0 until BloomK).map(i => bloomBit(i, col("k"))): _*)).as("bit"))
+      .distinct()
+    val probe = Tpch.table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("k")).distinct()
+    val passed = probe.select(col("k"), explode(array(
+      (0 until BloomK).map(i => bloomBit(i, col("k"))): _*)).as("bit"))
+      .join(broadcast(bits.withColumn("hit", lit(1L))), Seq("bit"), "left")
+      .groupBy("k").agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("nbits"))
+      .filter(col("nbits") === BloomK)
+      .select("k")
+    val truth = probe.join(hi, Seq("k"), "left_semi")
+    // one tagged-union aggregation for all scalars (cf. triangleStats)
+    val stats = probe.select(lit(1L).as("np"), lit(0L).as("ps"), lit(0L).as("tr"))
+      .unionAll(passed.select(lit(0L).as("np"), lit(1L).as("ps"), lit(0L).as("tr")))
+      .unionAll(truth.select(lit(0L).as("np"), lit(0L).as("ps"), lit(1L).as("tr")))
+      .agg(sum("np").as("n_probe"), sum("ps").as("n_pass"), sum("tr").as("n_true"))
+    stats.select(lit(BloomBits).as("m_bits"), col("n_probe"), col("n_pass"),
+      col("n_true"), (col("n_pass") - col("n_true")).as("n_false_pos"),
+      ((col("n_pass") - col("n_true")) / (col("n_probe") - col("n_true")))
+        .as("fp_rate"))
+  }
 }

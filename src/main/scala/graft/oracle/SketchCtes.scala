@@ -31,4 +31,47 @@ object SketchCtes {
        |  $EstNumerator / z AS est,
        |  (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS exact
        |FROM z""".stripMargin
+
+  /** twin of Sketch.cmsTopParts: identical (depth, cell) registers,
+    * identical top-10 probe, min-over-depth estimate */
+  val cmsTopParts: String = {
+    def cell(kExpr: String) =
+      s"(($kExpr * (1 + 6101 * d) + 9973 * d) % $CmsP) % $CmsWidth"
+    s"""WITH keys AS (SELECT l_partkey AS k FROM lineitem),
+       |cells AS (SELECT d, ${cell("k")} AS cell
+       |  FROM keys, unnest(generate_series(0, ${CmsDepth - 1})) t(d)),
+       |regs AS (SELECT d, cell, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM cells GROUP BY 1, 2),
+       |top AS (SELECT k, CAST(count(*) AS BIGINT) AS exact FROM keys
+       |  GROUP BY k ORDER BY exact DESC, k LIMIT 10),
+       |probes AS (SELECT k, exact, d, ${cell("k")} AS cell
+       |  FROM top, unnest(generate_series(0, ${CmsDepth - 1})) t(d))
+       |SELECT k AS partkey, exact, CAST(min(cnt) AS BIGINT) AS est
+       |FROM probes JOIN regs USING (d, cell) GROUP BY 1, 2""".stripMargin
+  }
+
+  /** twin of Sketch.bloomProbe: identical bit positions, all-K-hit
+    * membership, exact semi-join truth, single-division fp rate */
+  val bloomProbe: String = {
+    def bit(kExpr: String) =
+      s"(($kExpr * (1 + 7919 * i) + 104729 * i) % $CmsP) % $BloomBits"
+    s"""WITH hi AS (SELECT o_orderkey AS k FROM orders
+       |  WHERE CAST(round(o_totalprice * 100) AS BIGINT) > $BloomPriceCents),
+       |bits AS (SELECT DISTINCT ${bit("k")} AS bit
+       |  FROM hi, unnest(generate_series(0, ${BloomK - 1})) t(i)),
+       |probe AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+       |pb AS (SELECT k, ${bit("k")} AS bit
+       |  FROM probe, unnest(generate_series(0, ${BloomK - 1})) t(i)),
+       |passd AS (SELECT k FROM pb JOIN bits USING (bit)
+       |  GROUP BY k HAVING count(*) = $BloomK),
+       |truth AS (SELECT k FROM probe WHERE k IN (SELECT k FROM hi)),
+       |sel AS (SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM probe) AS n_probe,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM passd) AS n_pass,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true)
+       |SELECT CAST($BloomBits AS BIGINT) AS m_bits, n_probe, n_pass, n_true,
+       |  n_pass - n_true AS n_false_pos,
+       |  (n_pass - n_true) / CAST(n_probe - n_true AS DOUBLE) AS fp_rate
+       |FROM sel""".stripMargin
+  }
 }

@@ -29,6 +29,26 @@ class SketchKcoreSpec extends SparkTestBase {
     assert(z < (256L << 25) / 4)
   }
 
+  test("count-min estimates are one-sided: est >= exact for every probed heavy hitter") {
+    val rows = Sketch.cmsTopParts(spark, dir).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("exact"),
+        s"partkey=${r.getAs[Long]("partkey")}")
+    }
+  }
+
+  test("bloom probe never false-negatives and keeps fp rate in the geometry's range") {
+    val r = Sketch.bloomProbe(spark, dir).head()
+    val (probe, pass, truth) = (r.getAs[Long]("n_probe"),
+      r.getAs[Long]("n_pass"), r.getAs[Long]("n_true"))
+    assert(pass >= truth)          // every true member passes
+    assert(pass <= probe)
+    assert(r.getAs[Long]("n_false_pos") === pass - truth)
+    assert(r.getAs[Double]("fp_rate") >= 0.0)
+    assert(r.getAs[Double]("fp_rate") < 0.5) // 32K bits / 3 hashes sanity
+  }
+
   test("kcoreSurvivors: K4 survives the 3-core, a pendant is peeled") {
     val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
       (4L, 9L)) // pendant 9 hanging off the clique
