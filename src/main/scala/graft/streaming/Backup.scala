@@ -87,14 +87,16 @@ object Backup {
     * (prefix fp + delta fp). Per-row terms are reduced below 2³⁰ and
     * summed in DECIMAL(38,0), so the aggregation cannot overflow at
     * any row count (ANSI mode would reject a wrapping BIGINT sum). */
-  private def prefixFingerprint(ev: DataFrame, wm: Long): Long = {
-    val term = pmod(xxhash64(ev.columns.map(col): _*), lit(FpMod))
+  private def rowsFingerprint(rows: DataFrame): Long = {
+    val term = pmod(xxhash64(rows.columns.map(col): _*), lit(FpMod))
       .cast("decimal(38,0)")
-    val s = ev.filter(col("event_id") <= wm)
-      .agg(coalesce(sum(term), lit(0).cast("decimal(38,0)")))
+    val s = rows.agg(coalesce(sum(term), lit(0).cast("decimal(38,0)")))
       .head().getDecimal(0)
     s.remainder(java.math.BigDecimal.valueOf(FpMod)).longValueExact()
   }
+
+  private def prefixFingerprint(ev: DataFrame, wm: Long): Long =
+    rowsFingerprint(ev.filter(col("event_id") <= wm))
 
   /** throws unless the live store's history at the backup's watermark
     * is the history the backup was taken from — an id-range that
@@ -140,7 +142,13 @@ object Backup {
       inc.write.mode("append").parquet(s"$dir/events")
       val w = ev.agg(max("event_id")).head().getLong(0)
       writeWatermark(dir, w)
-      writeFingerprint(dir, prefixFingerprint(ev, w))
+      // the checksum is modular-additive, so advancing it folds in the
+      // shipped delta instead of rescanning the whole prefix — the
+      // incremental stays O(delta) end to end (a pre-guard backup with
+      // no stamp pays one prefix scan to bootstrap)
+      val base = readFingerprint(dir)
+        .getOrElse(prefixFingerprint(ev, last))
+      writeFingerprint(dir, (base + rowsFingerprint(inc)) % FpMod)
     }
     n
   }
