@@ -387,6 +387,10 @@ object SparkEntry {
     // eval-set decontamination: corpus docs sharing a K-token window
     // with the held-out benchmark set (benchmark side broadcast)
     "dd_decontaminate" -> ((s, dir) => Dedup.decontaminate(s, dir)),
+    // cross-source contamination: near-dup pair counts by source pair
+    "dd_cross_source" -> ((s, dir) => Dedup.crossSourcePairs(s, dir)),
+    // robust central tendency: 10-90% trimmed mean per priority
+    "q17_trimmed" -> ((s, dir) => graft.operators.Olap.trimmedMean(s, dir)),
     // incremental dedup: delta postings probe the base index; oracle
     // is the full recompute (hash equality proves incremental ≡ batch)
     "dd_incremental" -> ((s, dir) => Dedup.incrementalPairs(s, dir)),
@@ -721,6 +725,8 @@ object SparkEntry {
     "dd_clusters" -> TextCtes.dedupClusters,
     "dd_substring" -> TextCtes.substringDup,
     "dd_decontaminate" -> TextCtes.decontaminate,
+    "dd_cross_source" -> TextCtes.crossSourcePairs,
+    "q17_trimmed" -> OlapCtes.trimmedMean,
     "dd_incremental" -> TextCtes.incrementalPairs,
     "dd_exact_norm" -> TextCtes.exactNormalized,
     "q14_histogram" ->

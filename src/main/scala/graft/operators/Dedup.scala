@@ -417,6 +417,28 @@ object Dedup {
     out
   }
 
+  /** Cross-source near-dup contamination report — the data-lineage
+    * question a corpus owner asks after pair generation: WHICH domains
+    * duplicate each other (a src3↔src7 hot pair usually means one
+    * mirrors the other, and the cheaper fix is dropping a source, not
+    * pair-deduping forever). Reuses the memoized verified pairs; ids
+    * of constructed variants (≥ [[IdOffset]]) map back to their
+    * original's source. Output: unordered source pair → pair count.
+    * Cost beyond the memoized pairs: two broadcast-size joins and one
+    * partial-agg groupBy. */
+  def crossSourcePairs(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, dir).select(col("a"), col("b"))
+    val src = TextOps.docs(spark, dir).select(col("doc_id"), col("source"))
+    val srcAll = src.unionAll(
+      src.select((col("doc_id") + IdOffset).as("doc_id"), col("source")))
+    pairs
+      .join(srcAll.select(col("doc_id").as("a"), col("source").as("sa")), "a")
+      .join(srcAll.select(col("doc_id").as("b"), col("source").as("sb")), "b")
+      .groupBy(least(col("sa"), col("sb")).as("source_x"),
+        greatest(col("sa"), col("sb")).as("source_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Held-out benchmark construction for decontamination: every
     * [[BenchMod]]-th document contributes one benchmark item — a
     * [[BenchLen]]-token excerpt starting after [[BenchSkip]] tokens

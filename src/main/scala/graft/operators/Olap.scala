@@ -105,6 +105,27 @@ object Olap {
         max("cents").as("hi_cents"))
   }
 
+  /** Trimmed (10-90%) mean of order value per priority — the robust
+    * central-tendency report that survives the outliers a plain mean
+    * drowns in. Ranks are integer (`(cents, o_orderkey)` total order,
+    * trim bounds via `n div 10` — no percentile FP), the mean is ONE
+    * final division of exact integer sums, so both engines agree
+    * bit-for-bit. One per-group window pass (partition-local sort) +
+    * one partial-agg groupBy — five output rows at any scale. */
+  def trimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tpch.table(spark, dir, "orders")
+      .select(col("o_orderpriority").as("prio"), col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val w = Window.partitionBy("prio").orderBy(col("cents"), col("o_orderkey"))
+    val part = Window.partitionBy("prio")
+    o.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(part))
+      .filter(col("rn") > expr("n div 10") && col("rn") <= col("n") - expr("n div 10"))
+      .groupBy("prio")
+      .agg(count(lit(1)).as("n_kept"), sum("cents").as("sum_cents"))
+      .withColumn("trimmed_mean_cents", col("sum_cents") / col("n_kept"))
+  }
+
   /** Robust anomaly detection: per event type, the discrete median of
     * the cent values, the median absolute deviation (MAD), and the
     * count of events beyond [[AnomalyK]]·MAD — the outlier gate every

@@ -109,13 +109,20 @@ object Sketch {
     * across partitions/days by addition (the reason a pipeline keeps
     * CMS instead of exact counts). The probe side joins the top keys'
     * 4 cells against the broadcast register table. */
-  def cmsTopParts(spark: SparkSession, dir: String): DataFrame = {
-    val keys = Tpch.table(spark, dir, "lineitem").select(col("l_partkey").as("k"))
-    val cells = keys.select(explode(array(
+  /** (d, cell, cnt) register table over a key column — exposed so the
+    * mergeability spec can prove per-partition registers sum to the
+    * whole-stream registers (the property that lets a pipeline keep
+    * per-day sketches and add them). */
+  private[graft] def cmsRegisters(keys: DataFrame): DataFrame =
+    keys.select(explode(array(
       (0 until CmsDepth).map(d =>
         struct(lit(d).as("d"), cmsCell(d, col("k")).as("cell"))): _*)).as("p"))
       .select(col("p.d").as("d"), col("p.cell").as("cell"))
       .groupBy("d", "cell").agg(count(lit(1)).as("cnt"))
+
+  def cmsTopParts(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tpch.table(spark, dir, "lineitem").select(col("l_partkey").as("k"))
+    val cells = cmsRegisters(keys)
     val top = keys.groupBy("k").agg(count(lit(1)).as("exact"))
       .orderBy(col("exact").desc, col("k")).limit(10)
     val probes = top.select(col("k"), col("exact"), explode(array(

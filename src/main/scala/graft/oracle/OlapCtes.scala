@@ -50,6 +50,18 @@ object OlapCtes {
        |SELECT s.event_type, s.hour, CAST(coalesce(o.n, 0) AS BIGINT) AS n
        |FROM s LEFT JOIN o ON s.event_type = o.event_type AND s.hour = o.hour""".stripMargin
 
+  /** twin of Olap.trimmedMean: integer (cents, key) rank, n div 10
+    * trim bounds, one final division of exact sums */
+  val trimmedMean: String =
+    s"""WITH o AS (SELECT o_orderpriority AS prio, o_orderkey,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+       |r AS (SELECT prio, cents,
+       |    CAST(row_number() OVER (PARTITION BY prio ORDER BY cents, o_orderkey) AS BIGINT) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY prio) AS BIGINT) AS n FROM o)
+       |SELECT prio, count(*) AS n_kept, CAST(sum(cents) AS BIGINT) AS sum_cents,
+       |  CAST(sum(cents) AS BIGINT) / CAST(count(*) AS DOUBLE) AS trimmed_mean_cents
+       |FROM r WHERE rn > n // 10 AND rn <= n - n // 10 GROUP BY prio""".stripMargin
+
   val editRefine: String =
     s"""WITH ${TextCtes.nearCorpus},
        |pfx AS (SELECT doc_id, substr(text, 1, ${Olap.EditPrefix}) AS p FROM near_corpus),

@@ -251,6 +251,19 @@ object TextCtes {
        |FROM (SELECT unnest(${toks("lower(text)")}) AS tok FROM documents)
        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin
 
+  /** twin of Dedup.crossSourcePairs: verified near-dup pairs mapped
+    * back to sources (variant ids → original's source), unordered
+    * source-pair counts */
+  def crossSourcePairs: String =
+    s"""WITH p AS (SELECT a, b FROM ($ngramJaccard)),
+       |s AS (SELECT doc_id, source FROM documents
+       |  UNION ALL SELECT doc_id + 100000, source FROM documents)
+       |SELECT least(sa.source, sb.source) AS source_x,
+       |  greatest(sa.source, sb.source) AS source_y,
+       |  count(*) AS n_pairs
+       |FROM p JOIN s sa ON p.a = sa.doc_id JOIN s sb ON p.b = sb.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
   /** twin of TextOps.oovRate: top-K vocab as a broadcast-side CTE,
     * per-doc OOV counts + double rate */
   val oovRate: String =

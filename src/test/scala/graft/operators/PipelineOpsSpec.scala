@@ -82,6 +82,14 @@ class PipelineOpsSpec extends SparkTestBase {
     ()
   }
 
+  test("cross-source pair counts conserve the verified pair total") {
+    val cross = Dedup.crossSourcePairs(spark, dir)
+    val total = Dedup.ngramJaccard(spark, dir).count()
+    assert(cross.agg(sum("n_pairs")).head().getLong(0) === total)
+    // unordered pairs: x <= y always
+    assert(cross.filter(col("source_x") > col("source_y")).count() === 0L)
+  }
+
   test("oov rate conserves tokens and bounds the rate") {
     val o = TextOps.oovRate(spark, dir).persist()
     val total = TextOps.docs(spark, dir)

@@ -49,6 +49,38 @@ class SketchKcoreSpec extends SparkTestBase {
     assert(r.getAs[Double]("fp_rate") < 0.5) // 32K bits / 3 hashes sanity
   }
 
+  test("CMS registers merge by addition: per-slice sketches sum to the whole-stream sketch") {
+    val keys = graft.sources.Tpch.table(spark, dir, "lineitem")
+      .select(col("l_partkey").as("k"))
+    val whole = Sketch.cmsRegisters(keys)
+    // three disjoint "days" of the stream, sketched independently
+    val slices = (0 until 3).map(i =>
+      Sketch.cmsRegisters(keys.filter(pmod(col("k"), lit(3L)) === i)))
+    val merged = slices.reduce(_ unionAll _)
+      .groupBy("d", "cell").agg(sum("cnt").as("cnt"))
+    assert(whole.exceptAll(merged).count() === 0L)
+    assert(merged.exceptAll(whole).count() === 0L)
+  }
+
+  test("trimmed mean sits within each group's min/max and trims both tails") {
+    val rows = graft.operators.Olap.trimmedMean(spark, dir).collect()
+    assert(rows.length === 5) // five o_orderpriority values
+    val o = graft.sources.Tpch.table(spark, dir, "orders")
+      .select(col("o_orderpriority").as("prio"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val bounds = o.groupBy("prio")
+      .agg(count(lit(1)).as("n"), min("cents").as("mn"), max("cents").as("mx"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    rows.foreach { r =>
+      val (n, mn, mx) = bounds(r.getString(0))
+      val kept = r.getAs[Long]("n_kept")
+      assert(kept === n - 2 * (n / 10)) // both tails trimmed
+      val mean = r.getAs[Double]("trimmed_mean_cents")
+      assert(mean >= mn && mean <= mx)
+    }
+  }
+
   test("kcoreSurvivors: K4 survives the 3-core, a pendant is peeled") {
     val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
       (4L, 9L)) // pendant 9 hanging off the clique
