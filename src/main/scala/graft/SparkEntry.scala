@@ -274,6 +274,8 @@ object SparkEntry {
     "it_connected_components" -> ((s, dir) =>
       graft.operators.Iterative.connectedComponents(s, dir)),
     "it_bfs_depth" -> ((s, dir) => graft.operators.Iterative.bfsDepth(s, dir)),
+    // community detection: bounded synchronous label propagation
+    "it_lpa" -> ((s, dir) => graft.operators.Iterative.labelPropagation(s, dir)),
     // CONVERGED components (fixpoint via early exit; spec proves no
     // crossing edges) — component-size histogram
     "it_cc_converged" -> ((s, dir) =>
@@ -593,6 +595,7 @@ object SparkEntry {
     "cc_diff_check" -> RecordCtes.ccDiffCheck,
     "gen_summary" -> GenCtes.summary,
     "it_connected_components" -> IterCtes.connectedComponents,
+    "it_lpa" -> IterCtes.labelPropagation,
     "it_bfs_depth" -> IterCtes.bfsDepth,
     "it_cc_converged" -> IterCtes.connectedComponentsConverged,
     "it_sssp" -> IterCtes.sssp,

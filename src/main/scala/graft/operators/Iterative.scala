@@ -167,6 +167,52 @@ object Iterative {
     iterateMin(vertices, edges, CcIters, 0L)
   }
 
+  /** Synchronous label-propagation rounds — deterministic by
+    * construction: every tie in the neighbor-label vote breaks by
+    * (count desc, label asc), so both engines walk the identical
+    * label trajectory (including any oscillation a bipartite graph
+    * produces — determinism, not convergence, is the oracle
+    * contract; the bounded-round form mirrors how [[iterateMin]]
+    * handles CC). */
+  val LpaIters = 3
+
+  /** Community detection via bounded label propagation over the
+    * order↔part subgraph: labels start as node ids; each round every
+    * node adopts its neighbors' most frequent label (min label on
+    * ties).
+    *
+    * Scale shape per round: one groupBy (node, label) vote — partial-
+    * aggregable — plus one partition-local window for the argmax;
+    * the edge table is persisted once and every round's join keys on
+    * src, so the shuffle partitioning is reused. Rounds localCheckpoint
+    * like the other iteratives (lineage stays flat). */
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val rels = TpchGraph.relsLite(spark, dir).filter(col("type") === "HAS_PART")
+    lpaRounds(symmetrize(rels), LpaIters)
+  }
+
+  /** the bounded synchronous rounds over an arbitrary symmetric edge
+    * list — exposed for hand-graph specs */
+  private[graft] def lpaRounds(sym: DataFrame, iters: Int): DataFrame = {
+    val edges = sym.persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iters) {
+      val votes = edges
+        .join(labels.select(col("node").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      // argmax by (count desc, label asc) as max_by over (n, -label):
+      // two partial-aggregable groupBys, no per-node sort — the window
+      // form pays a partition sort per round for the same answer
+      labels = votes.groupBy("node")
+        .agg(max_by(col("label"), struct(col("n"), -col("label"))).as("label"))
+        .localCheckpoint()
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Bound for the CONVERGED component run: generous margin over the
     * measured convergence (~12 rounds at sf0.1); the early-exit stops
     * at the true fixpoint, and the oracle's extra unrolled rounds are

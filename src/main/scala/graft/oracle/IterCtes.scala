@@ -43,6 +43,28 @@ object IterCtes {
        |${unrolled(CcIters, 0L)}
        |SELECT node, label FROM l$CcIters""".stripMargin
 
+  /** twin of Iterative.labelPropagation: synchronous vote rounds
+    * unrolled, argmax by (count desc, label asc) */
+  val labelPropagation: String = {
+    val iters = graft.operators.Iterative.LpaIters
+    val rounds = (0 until iters).map { i =>
+      s"""l${i + 1} AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT e.dst AS node, l.label,
+         |      row_number() OVER (PARTITION BY e.dst
+         |        ORDER BY count(*) DESC, l.label) AS rn
+         |    FROM edges e JOIN l$i l ON e.src = l.node
+         |    GROUP BY e.dst, l.label)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""${Ctes.graph},
+       |hp AS (SELECT src, dst FROM rels WHERE type = 'HAS_PART'),
+       |edges AS MATERIALIZED (SELECT src, dst FROM hp UNION ALL SELECT dst, src FROM hp),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM edges),
+       |$rounds
+       |SELECT node, label FROM l$iters""".stripMargin
+  }
+
   /** weighted min-plus rounds (bounded Bellman-Ford) over
     * `wedges(src, dst, w)` — the twin of
     * [[graft.operators.Iterative.iterateMinPlus]]. */

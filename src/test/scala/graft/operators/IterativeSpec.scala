@@ -38,6 +38,31 @@ class IterativeSpec extends SparkTestBase {
       .count() === 0L)
   }
 
+  test("lpa on a path graph walks the hand-computed synchronous trajectory") {
+    import spark.implicits._
+    // path 1-2-3, symmetric. Synchronous min-tie LPA:
+    // r1: 1->2, 2->1 (tie {2,3} -> hmm labels of nbrs {2's? no: nbr
+    // labels are node ids initially: {1,3} -> min 1), 3->2
+    // r2: 1->1? nbr 2 has label 1 -> 1; 2: nbrs labels {2,2} -> 2; 3: 1
+    // r3: 1: nbr 2 label 2 -> 2; 2: nbrs {1,1} -> 1; 3: 2
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    val got = Iterative.lpaRounds(sym, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("lpa labels are partitioning-invariant") {
+    val a = Iterative.labelPropagation(spark, dir)
+    val rels = graft.model.TpchGraph.relsLite(spark, dir)
+      .filter(col("type") === "HAS_PART").repartition(7)
+    val sym = rels.select(col("src"), col("dst"))
+      .unionAll(rels.select(col("dst").as("src"), col("src").as("dst")))
+    val b = Iterative.lpaRounds(sym, Iterative.LpaIters)
+    assert(a.exceptAll(b).count() === 0L)
+    assert(b.exceptAll(a).count() === 0L)
+  }
+
   test("bfs depths from regions: nations at 1, customers/suppliers at 2, orders 3, parts 4") {
     val depths = Iterative.bfsDepth(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
