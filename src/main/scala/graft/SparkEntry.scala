@@ -407,6 +407,12 @@ object SparkEntry {
     "q14_histogram" -> ((s, dir) => graft.operators.Olap.histogram(s, dir)),
     // weighted bipartite projection: strongest co-purchase part pairs
     "g_copurchase" -> ((s, dir) => GraphOps.copurchaseTop(s, dir)),
+    // bipartite node similarity: supplier Jaccard over shared parts
+    "g_node_similarity" -> ((s, dir) => GraphOps.supplierSimilarity(s, dir)),
+    // windowed heavy hitters: top-3 event types per 6h window
+    "s_trending" -> ((s, dir) =>
+      graft.streaming.EventStreams.trending(
+        graft.streaming.EventStreams.events(s, dir))),
     // hierarchical totals over BOTH dimensions' lattice (CUBE)
     "q13_cube" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -707,6 +713,21 @@ object SparkEntry {
         |FROM r GROUP BY user_id""".stripMargin,
     "it_pagerank" -> graft.oracle.PageRankCtes.topRanks,
     "s_hourly_agg" -> EventCtes.hourlyAgg,
+    "s_trending" -> EventCtes.trending,
+    "g_node_similarity" ->
+      s"""WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+        |ok AS (SELECT p FROM sp GROUP BY p
+        |  HAVING count(*) <= ${graft.operators.GraphOps.SimDfCap}),
+        |c AS (SELECT s, p FROM sp JOIN ok USING (p)),
+        |sz AS (SELECT s, CAST(count(*) AS BIGINT) AS ns FROM c GROUP BY s),
+        |i AS (SELECT a.s AS a, b.s AS b, CAST(count(*) AS BIGINT) AS inter
+        |  FROM c a JOIN c b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2),
+        |j AS (SELECT a, b, inter / CAST(na + nb - inter AS DOUBLE) AS jacc
+        |  FROM i
+        |  JOIN (SELECT s AS a, ns AS na FROM sz) sa USING (a)
+        |  JOIN (SELECT s AS b, ns AS nb FROM sz) sb USING (b))
+        |SELECT a, b, jacc FROM j WHERE jacc >= ${graft.operators.GraphOps.SimTau}
+        |ORDER BY jacc DESC, a, b LIMIT ${graft.operators.GraphOps.SimTopK}""".stripMargin,
     "s_user_state" -> EventCtes.userState,
     "s_sessionize" -> EventCtes.sessionize,
     "s_transitions" -> EventCtes.transitions,

@@ -206,6 +206,44 @@ object GraphOps {
     pairs.orderBy(col("w").desc, col("a"), col("b")).limit(CopurchaseTopK)
   }
 
+  /** Node-similarity guards: parts supplied by more than [[SimDfCap]]
+    * suppliers drop before pair expansion (the inverted-index df cap,
+    * same role as the dedup shingle cap), Jaccard is computed over the
+    * CAPPED part sets (documented semantics, identical in the twin). */
+  val SimDfCap = 50L
+  val SimTau = 0.1
+  val SimTopK = 50
+
+  /** Graph node similarity — suppliers ranked by Jaccard overlap of
+    * the part sets they ship (the "similar nodes" query a recommender
+    * or entity-resolution pass runs over a bipartite graph). Inverted
+    * index on part → supplier pairs, df-capped so a commodity part
+    * cannot trigger quadratic blowup; exact Jaccard from integer
+    * intersection/size counts; top-k by (jacc desc, pair) is
+    * TakeOrdered — no global sort. */
+  def supplierSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val sp = graft.sources.Tpch.table(spark, dir, "lineitem")
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
+    val okParts = sp.groupBy("p").agg(count(lit(1)).as("pd"))
+      .filter(col("pd") <= SimDfCap).select("p")
+    val capped = sp.join(okParts, "p").persist()
+    val sizes = capped.groupBy("s").agg(count(lit(1)).as("ns"))
+    val inter = capped.select(col("s").as("a"), col("p"))
+      .join(capped.select(col("s").as("b"), col("p")), "p")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    val out = inter
+      .join(sizes.select(col("s").as("a"), col("ns").as("na")), "a")
+      .join(sizes.select(col("s").as("b"), col("ns").as("nb")), "b")
+      .withColumn("jacc", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jacc") >= SimTau)
+      .select("a", "b", "jacc")
+      .orderBy(col("jacc").desc, col("a"), col("b")).limit(SimTopK)
+      .localCheckpoint()
+    capped.unpersist()
+    out
+  }
+
   /** Rank base the ORACLE twin packs (deg, id) into one BIGINT with:
     * deg·RankBase + id. Sound at oracle scales (ids < 7·10^12, degrees
     * ≪ 10^5 at sf ≤ 0.1); the Spark side orients by a (deg, id) struct

@@ -98,6 +98,21 @@ object EventCtes {
        |  AND c.cus >= p.pus - 3600000000 AND c.cus <= p.pus
        |GROUP BY 1, 2""".stripMargin
 
+  /** twin of EventStreams.trending: integer epoch-second window ids,
+    * per-window rank by (count desc, type) */
+  val trending: String = {
+    val k = graft.streaming.EventStreams.TrendingK
+    val win = graft.streaming.EventStreams.TrendingWinSec
+    s"""WITH $ev,
+       |c AS (SELECT (epoch_us(ts) // 1000000) // $win AS win, event_type FROM ev),
+       |g AS (SELECT win, event_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM c GROUP BY 1, 2),
+       |r AS (SELECT win, event_type, n,
+       |  CAST(row_number() OVER (PARTITION BY win
+       |    ORDER BY n DESC, event_type) AS BIGINT) AS rnk FROM g)
+       |SELECT win, event_type, n, rnk FROM r WHERE rnk <= $k""".stripMargin
+  }
+
   val sessionize: String =
     s"""WITH $ev,
        |s1 AS (SELECT *, epoch_us(ts) AS us,

@@ -176,6 +176,39 @@ object Backup {
         s"restore refused: watermark $w is ahead of backed-up data (max event $maxId) at $dir — torn backup; re-run a full backup")
   }
 
+  /** Small-file compaction of the events backup — the maintenance job
+    * every incremental backup accumulates toward (each increment
+    * appends a file set; after months the backup is thousands of tiny
+    * files and restore is metadata-bound). Verify-then-swap: the
+    * consolidated rewrite's checksum must equal the stamped one
+    * BEFORE the old layout is replaced, so a failed rewrite can never
+    * corrupt the only copy. Watermark/store-id/fingerprint stamps are
+    * untouched (same rows ⇒ same commutative checksum). */
+  def compact(spark: SparkSession, dir: String,
+              storeId: String = DefaultStoreId, numFiles: Int = 1): Unit = {
+    enforceStoreId(dir, storeId, "compact")
+    enforceRecovered(spark, dir)
+    val tmp = s"$dir/events_compacting"
+    spark.read.parquet(s"$dir/events")
+      .coalesce(numFiles).write.mode("overwrite").parquet(tmp)
+    val rewritten = rowsFingerprint(spark.read.parquet(tmp))
+    readFingerprint(dir).foreach { stamped =>
+      if (rewritten != stamped) {
+        deleteTree(Paths.get(tmp))
+        throw new IllegalStateException(
+          s"compact aborted: rewrite checksum $rewritten != stamped $stamped at $dir — original layout left untouched")
+      }
+    }
+    deleteTree(Paths.get(dir, "events"))
+    Files.move(Paths.get(tmp), Paths.get(dir, "events"))
+    ()
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+
   /** RebuildFromLogs: replay the backed-up log into state
     * (RebuildFromLogs.java:60-150 — replay then verify). Refuses a
     * backup stamped for a different store, and a torn backup. */

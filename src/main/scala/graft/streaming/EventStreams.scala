@@ -49,6 +49,24 @@ object EventStreams {
     withTs.withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
   }
 
+  /** Trending top-[[TrendingK]] event types per 6-hour window — the
+    * windowed heavy-hitter report a monitoring dashboard polls. The
+    * window id is integer epoch-seconds div 21600 (engine-exact, no
+    * timezone/bucketing library in the loop); per-window ranking is a
+    * partition-local sort over ≤ |event types| rows. One partial-agg
+    * groupBy + one tiny window pass at any stream length. */
+  val TrendingK = 3
+  val TrendingWinSec = 21600L
+  def trending(ev: DataFrame): DataFrame = {
+    val counts = ev
+      .select(expr(s"(unix_micros(ts) div 1000000) div $TrendingWinSec").as("win"),
+        col("event_type"))
+      .groupBy("win", "event_type").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("win").orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= TrendingK)
+  }
+
   /** Tumbling 1-hour window per event type (batch twin). */
   def hourlyAgg(ev: DataFrame): DataFrame =
     ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))

@@ -9,6 +9,37 @@ import graft.streaming.EventStreams
 class AnalyticsOpsSpec extends SparkTestBase {
   private val dir = "/root/testdata/sf0.001"
 
+  test("trending: at most k rows per window, dense ranks, counts non-increasing") {
+    val t = EventStreams.trending(EventStreams.events(spark, dir)).persist()
+    assert(t.count() > 0)
+    val byWin = t.groupBy("win").agg(
+      count(lit(1)).as("rows"), max("rnk").as("mx"), min("rnk").as("mn"))
+    assert(byWin.filter(col("rows") > EventStreams.TrendingK).count() === 0L)
+    assert(byWin.filter(col("mn") =!= 1L || col("mx") =!= col("rows")).count() === 0L)
+    // rank order respects count order within a window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("win").orderBy("rnk")
+    assert(t.withColumn("prev_n", lag("n", 1).over(w))
+      .filter(col("prev_n").isNotNull && col("n") > col("prev_n"))
+      .count() === 0L)
+    t.unpersist()
+    ()
+  }
+
+  test("supplier similarity pairs are canonical, bounded, and truly overlapping") {
+    import graft.operators.GraphOps
+    val simRows = GraphOps.supplierSimilarity(spark, dir).collect()
+    assert(simRows.nonEmpty && simRows.length <= GraphOps.SimTopK)
+    simRows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val j = r.getDouble(2)
+      assert(j >= GraphOps.SimTau && j <= 1.0)
+    }
+    // descending by (jacc, a, b)
+    val ord = simRows.map(r => (-r.getDouble(2), r.getLong(0), r.getLong(1)))
+    assert(ord.sameElements(ord.sorted))
+  }
+
   test("funnel stages are monotone and bounded by the user census") {
     val ev = EventStreams.events(spark, dir)
     val r = EventStreams.funnel(ev).collect().head

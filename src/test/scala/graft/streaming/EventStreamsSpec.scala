@@ -281,6 +281,37 @@ class EventStreamsSpec extends SparkTestBase {
     assert(e.getMessage.contains("props"))
   }
 
+  test("backup compaction consolidates files, preserves stamps, still restores and catches branches") {
+    val backupDir = Files.createTempDirectory("graft-backup-compact").toString
+    val ev = EventStreams.events(spark, dir)
+    val maxId = ev.agg(max("event_id")).head().getLong(0)
+    Backup.full(spark, ev.filter(col("event_id") <= maxId / 3), backupDir)
+    Backup.incremental(spark, ev.filter(col("event_id") <= 2 * maxId / 3), backupDir)
+    Backup.incremental(spark, ev, backupDir)
+    def parquetFiles() = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(backupDir, "events"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    val before = parquetFiles()
+    assert(before > 1L) // increments accumulated file sets
+    val wmBefore = Backup.readWatermark(backupDir)
+    val fpBefore = Backup.readFingerprint(backupDir)
+    Backup.compact(spark, backupDir)
+    assert(parquetFiles() === 1L)
+    // stamps untouched, restore identical, idempotent incremental ok
+    assert(Backup.readWatermark(backupDir) === wmBefore)
+    assert(Backup.readFingerprint(backupDir) === fpBefore)
+    assert(asRows(Backup.rebuildState(spark, backupDir)) ===
+      asRows(EventStreams.userState(ev)))
+    assert(Backup.incremental(spark, ev, backupDir) === 0L)
+    // the branch guard survives compaction
+    val branched = ev.withColumn("event_type",
+      when(col("event_id") === 1L, lit("rewritten")).otherwise(col("event_type")))
+    intercept[IllegalStateException] {
+      Backup.incremental(spark, branched, backupDir)
+    }
+    ()
+  }
+
   test("branched source is refused by incremental; faithful append still ships (BranchedDataException analog)") {
     val backupDir = Files.createTempDirectory("graft-backup-branch").toString
     val ev = EventStreams.events(spark, dir)
