@@ -221,7 +221,11 @@ object GraphOps {
     * cannot trigger quadratic blowup; exact Jaccard from integer
     * intersection/size counts; top-k by (jacc desc, pair) is
     * TakeOrdered — no global sort. */
-  def supplierSimilarity(spark: SparkSession, dir: String): DataFrame = {
+  private val supSimMemo = new graft.SessionMemo[DataFrame]
+  def supplierSimilarity(spark: SparkSession, dir: String): DataFrame =
+    supSimMemo.getOrElseUpdate(spark, dir)(supplierSimilarityCompute(spark, dir))
+
+  private def supplierSimilarityCompute(spark: SparkSession, dir: String): DataFrame = {
     val sp = graft.sources.Tpch.table(spark, dir, "lineitem")
       .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
     val okParts = sp.groupBy("p").agg(count(lit(1)).as("pd"))
