@@ -299,6 +299,8 @@ object SparkEntry {
     "q15_cms_heavy" -> ((s, dir) => graft.operators.Sketch.cmsTopParts(s, dir)),
     // bloom runtime-filter probe: pass/true/false-positive accounting
     "q16_bloom_filter" -> ((s, dir) => graft.operators.Sketch.bloomProbe(s, dir)),
+    // grouped HLL: distinct orders per return flag, one register pass
+    "q18_hll_grouped" -> ((s, dir) => graft.operators.Sketch.hllOrdersByFlag(s, dir)),
     // hierarchical aggregation: one Expand + partial-agg pass
     "q09_rollup" -> ((s, dir) => graft.operators.Olap.rollupReport(s, dir)),
     // exact discrete percentiles, integer index arithmetic
@@ -615,6 +617,7 @@ object SparkEntry {
     "q08_hll_distinct" -> SketchCtes.hllOrders,
     "q15_cms_heavy" -> SketchCtes.cmsTopParts,
     "q16_bloom_filter" -> SketchCtes.bloomProbe,
+    "q18_hll_grouped" -> SketchCtes.hllOrdersByFlag,
     "q09_rollup" -> OlapCtes.rollupReport,
     "q10_percentiles" -> OlapCtes.percentiles,
     "dd_edit_refine" -> OlapCtes.editRefine,

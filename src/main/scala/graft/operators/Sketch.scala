@@ -86,6 +86,48 @@ object Sketch {
     hllDistinct(Tpch.table(spark, dir, "lineitem").select(col("l_orderkey")),
       "l_orderkey")
 
+  /** the two degski rounds + final xor as one Column (identical to the
+    * chained-select pipeline in [[hllDistinct]]) */
+  private def mix(c: Column): Column = {
+    val a = c.bitwiseXOR(shiftright(c, 16))
+    val b = pmod(a * MixMult, lit(HashMod))
+    val d = b.bitwiseXOR(shiftright(b, 16))
+    val e = pmod(d * MixMult, lit(HashMod))
+    e.bitwiseXOR(shiftright(e, 16))
+  }
+
+  /** Grouped HLL — the shape a reporting pipeline actually runs
+    * ("distinct users per segment"): registers key on (group, bucket),
+    * so the whole sketch family stays ONE partial-agg groupBy with
+    * |groups|·256 output rows; empty registers backfill via a tiny
+    * groups×buckets frame. Same exact-integer Z' and single final
+    * division per group as [[hllDistinct]]. */
+  def hllDistinctBy(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val h = mix(pmod(col(keyCol), lit(HashMod)))
+    val hashed = df.select(col(groupCol).as("grp"),
+      shiftright(h, SuffixBits).as("bucket"),
+      pmod(h, lit(1L << SuffixBits)).as("rest"))
+    val regs = hashed
+      .select(col("grp"), col("bucket"), (lit(Scale) - bitLen(col("rest"))).as("rho"))
+      .groupBy("grp", "bucket").agg(max("rho").as("m_j"))
+    val frame = df.select(col(groupCol).as("grp")).distinct()
+      .crossJoin(broadcast(spark.range(Buckets).select(col("id").as("bucket"))))
+    val full = frame.join(regs, Seq("grp", "bucket"), "left")
+      .select(col("grp"), coalesce(col("m_j"), lit(0)).as("m_j"))
+    val z = full.groupBy("grp").agg(
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), $Scale - m_j)")).as("z"))
+    val exact = df.groupBy(col(groupCol).as("grp"))
+      .agg(countDistinct(col(keyCol)).as("exact"))
+    z.join(exact, "grp")
+      .select(col("grp"), lit(Buckets.toLong).as("m"), col("z"),
+        (lit(EstNumerator) / col("z")).as("est"), col("exact"))
+  }
+
+  def hllOrdersByFlag(spark: SparkSession, dir: String): DataFrame =
+    hllDistinctBy(Tpch.table(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey")), "l_returnflag", "l_orderkey")
+
   // ---- count-min sketch -------------------------------------------------
 
   /** CMS geometry: depth×width integer register matrix. Width 1024 at

@@ -32,6 +32,33 @@ object SketchCtes {
        |  (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS exact
        |FROM z""".stripMargin
 
+  /** twin of Sketch.hllDistinctBy over (l_returnflag, l_orderkey):
+    * registers keyed (group, bucket), per-group Z' and estimate */
+  val hllOrdersByFlag: String =
+    s"""WITH h0 AS (SELECT l_returnflag AS grp, l_orderkey % $HashMod AS h FROM lineitem),
+       |h1 AS (SELECT grp, xor(h, h >> 16) AS h FROM h0),
+       |h2 AS (SELECT grp, (h * $MixMult) % $HashMod AS h FROM h1),
+       |h3 AS (SELECT grp, xor(h, h >> 16) AS h FROM h2),
+       |h4 AS (SELECT grp, (h * $MixMult) % $HashMod AS h FROM h3),
+       |h AS (SELECT grp, xor(h, h >> 16) AS h FROM h4),
+       |x AS (SELECT grp, h // ${1L << SuffixBits} AS bucket,
+       |             h % ${1L << SuffixBits} AS rest FROM h),
+       |r AS (SELECT grp, bucket, $Scale - (CASE $caseChain ELSE 0 END) AS rho FROM x),
+       |regs AS (SELECT grp, bucket, max(rho) AS m_j FROM r GROUP BY 1, 2),
+       |frame AS (SELECT grp, bucket FROM (SELECT DISTINCT grp FROM h0),
+       |  generate_series(0, ${Buckets - 1}) t(bucket)),
+       |f AS (SELECT frame.grp, coalesce(regs.m_j, 0) AS m_j
+       |  FROM frame LEFT JOIN regs
+       |  ON frame.grp = regs.grp AND frame.bucket = regs.bucket),
+       |z AS (SELECT grp, CAST(sum(CAST(1 AS BIGINT) << ($Scale - m_j)) AS BIGINT) AS z
+       |  FROM f GROUP BY grp),
+       |e AS (SELECT l_returnflag AS grp,
+       |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact
+       |  FROM lineitem GROUP BY 1)
+       |SELECT z.grp, CAST($Buckets AS BIGINT) AS m, z.z,
+       |  $EstNumerator / z.z AS est, e.exact
+       |FROM z JOIN e ON z.grp = e.grp""".stripMargin
+
   /** twin of Sketch.cmsTopParts: identical (depth, cell) registers,
     * identical top-10 probe, min-over-depth estimate */
   val cmsTopParts: String = {

@@ -29,6 +29,17 @@ class SketchKcoreSpec extends SparkTestBase {
     assert(z < (256L << 25) / 4)
   }
 
+  test("grouped HLL estimates land within error bounds for every group") {
+    val rows = Sketch.hllOrdersByFlag(spark, dir).collect()
+    assert(rows.length === 3) // three return flags
+    rows.foreach { r =>
+      val (est, exact) = (r.getAs[Double]("est"), r.getAs[Long]("exact"))
+      // 256 buckets → σ ≈ 6.5%; 3σ + small-range slack
+      assert(math.abs(est - exact) / exact < 0.25,
+        s"grp=${r.getString(0)} est=$est exact=$exact")
+    }
+  }
+
   test("count-min estimates are one-sided: est >= exact for every probed heavy hitter") {
     val rows = Sketch.cmsTopParts(spark, dir).collect()
     assert(rows.length === 10)
