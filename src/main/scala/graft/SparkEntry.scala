@@ -293,6 +293,8 @@ object SparkEntry {
     "it_triangles" -> ((s, dir) => graft.operators.GraphOps.triangleCount(s, dir)),
     // bounded k-core peel (degree >= K survivor census per kind)
     "it_kcore" -> ((s, dir) => graft.operators.Iterative.kcore(s, dir)),
+    // HyperBall neighborhood function: per-node HLL registers merged along edges
+    "it_hyperball" -> ((s, dir) => graft.operators.HyperBall.hyperball(s, dir)),
     // engine-invariant HyperLogLog vs exact distinct (self-quantifying probe)
     "q08_hll_distinct" -> ((s, dir) => graft.operators.Sketch.hllOrders(s, dir)),
     // count-min sketch registers + top-10 heavy-hitter probe (est >= exact)
@@ -614,6 +616,7 @@ object SparkEntry {
     "it_sssp" -> IterCtes.sssp,
     "it_triangles" -> IterCtes.triangles,
     "it_kcore" -> IterCtes.kcore,
+    "it_hyperball" -> IterCtes.hyperball,
     "q08_hll_distinct" -> SketchCtes.hllOrders,
     "q15_cms_heavy" -> SketchCtes.cmsTopParts,
     "q16_bloom_filter" -> SketchCtes.bloomProbe,

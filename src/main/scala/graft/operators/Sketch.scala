@@ -87,8 +87,9 @@ object Sketch {
       "l_orderkey")
 
   /** the two degski rounds + final xor as one Column (identical to the
-    * chained-select pipeline in [[hllDistinct]]) */
-  private def mix(c: Column): Column = {
+    * chained-select pipeline in [[hllDistinct]]; also the register hash
+    * of [[HyperBall]]) */
+  private[operators] def mix(c: Column): Column = {
     val a = c.bitwiseXOR(shiftright(c, 16))
     val b = pmod(a * MixMult, lit(HashMod))
     val d = b.bitwiseXOR(shiftright(b, 16))

@@ -140,6 +140,55 @@ object IterCtes {
        |       (SELECT count(*) FROM tri) AS n_triangles""".stripMargin
   }
 
+  /** twin of [[graft.operators.HyperBall.hyperball]]: per-node HLL
+    * registers max-merged along edges for the same unrolled rounds,
+    * identical degski hash / rho cascade / exact-integer Z', top-10 by
+    * (z, node), exact balls via a seed-bounded unrolled BFS. */
+  val hyperball: String = {
+    import graft.operators.HyperBall.{Buckets, EstNumerator, Iters, Scale, SuffixBits, TopN}
+    import graft.operators.Sketch.{HashMod, MixMult}
+    val caseChain = (SuffixBits to 1 by -1)
+      .map(b => s"WHEN rest >= ${1L << (b - 1)} THEN $b").mkString(" ")
+    val rounds = (1 to Iters).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT node, bucket, max(rho) AS rho FROM (
+         |  SELECT node, bucket, rho FROM r${i - 1}
+         |  UNION ALL
+         |  SELECT e.dst, r.bucket, r.rho
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node)
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val ballRounds = (1 to Iters).map { i =>
+      s"""b$i AS MATERIALIZED (SELECT DISTINCT seed, node FROM (
+         |  SELECT seed, node FROM b${i - 1}
+         |  UNION ALL
+         |  SELECT b.seed, e.dst FROM b${i - 1} b JOIN edges e ON b.node = e.src))""".stripMargin
+    }.mkString(",\n")
+    s"""${Ctes.graph},
+       |edges AS MATERIALIZED (SELECT src, dst FROM rels UNION ALL SELECT dst, src FROM rels),
+       |h0 AS (SELECT id AS node, id % $HashMod AS h FROM nodes),
+       |h1 AS (SELECT node, xor(h, h >> 16) AS h FROM h0),
+       |h2 AS (SELECT node, (h * $MixMult) % $HashMod AS h FROM h1),
+       |h3 AS (SELECT node, xor(h, h >> 16) AS h FROM h2),
+       |h4 AS (SELECT node, (h * $MixMult) % $HashMod AS h FROM h3),
+       |hh AS (SELECT node, xor(h, h >> 16) AS h FROM h4),
+       |r0 AS MATERIALIZED (SELECT node, h // ${1L << SuffixBits} AS bucket,
+       |  $Scale - (CASE $caseChain ELSE 0 END) AS rho
+       |  FROM (SELECT node, h, h % ${1L << SuffixBits} AS rest FROM hh)),
+       |$rounds,
+       |z AS (SELECT node,
+       |  ${Buckets.toLong << Scale} - count(*) * ${1L << Scale}
+       |    + CAST(sum(CAST(1 AS BIGINT) << ($Scale - rho)) AS BIGINT) AS z
+       |  FROM r$Iters GROUP BY node),
+       |top AS MATERIALIZED (SELECT node, z FROM z ORDER BY z, node LIMIT $TopN),
+       |b0 AS (SELECT node AS seed, node FROM top),
+       |$ballRounds,
+       |balls AS (SELECT seed, CAST(count(*) AS BIGINT) AS exact_ball
+       |  FROM b$Iters GROUP BY seed)
+       |SELECT t.node, n.kind, t.z, $EstNumerator / t.z AS est, balls.exact_ball
+       |FROM top t JOIN nodes n ON t.node = n.id
+       |JOIN balls ON balls.seed = t.node""".stripMargin
+  }
+
   val bfsDepth: String =
     s"""${Ctes.graph},
        |edges AS (SELECT src, dst FROM rels UNION ALL SELECT dst, src FROM rels),
