@@ -433,6 +433,8 @@ object SparkEntry {
     // recall@K of every approximate ANN variant vs brute-force truth
     "ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
     "dd_embedding" -> ((s, dir) => Similarity.embeddingDup(s, dir)),
+    // SemDeDup: k-means clusters, near-dup pairs only within clusters
+    "dd_semantic" -> ((s, dir) => Similarity.semDedup(s, dir)),
     // per-dimension embedding stats (drift monitoring)
     "emb_dim_stats" -> ((s, dir) => Similarity.dimStats(s, dir)),
     // multimodal demux: magic-byte sniff next to the bytes
@@ -793,6 +795,7 @@ object SparkEntry {
     "ann_ivf_kmeans" -> TextCtes.annIvfTrained,
     "ann_recall" -> TextCtes.annRecall,
     "dd_embedding" -> TextCtes.embeddingDup,
+    "dd_semantic" -> TextCtes.semDedup,
     "emb_dim_stats" -> TextCtes.dimStats,
     "mm_modality_route" -> TextCtes.modalityRoute,
     "mm_media_features" -> TextCtes.mediaFeatures,

@@ -282,15 +282,22 @@ object Similarity {
     * (each quantized component +1, ids offset): pairs in the same LSH
     * bucket with cos ≥ τ. Bucket-blocked join = linear-scale near-dup. */
   private val dupCorpusMemo = new graft.SessionMemo[DataFrame]
-  def embeddingDup(spark: SparkSession, dir: String): DataFrame = {
+
+  /** embeddings ∪ perturbed copy, quantized + LSH-bucketed — the
+    * shared near-dup corpus of [[embeddingDup]] and [[semDedup]]. */
+  private def dupCorpus(spark: SparkSession, dir: String): DataFrame = {
     val e = quantizedCached(spark, dir)
     val perturbed = e.select((col("vec_id") + IdOffset).as("vec_id"),
       expr("transform(q, x -> x + 1)").as("q"))
       .withColumn("nrm", expr("graft_dot(q, q)"))
       .filter(col("nrm") > 0)
-    val corpus = dupCorpusMemo.getOrElseUpdate(spark, dir)(
+    dupCorpusMemo.getOrElseUpdate(spark, dir)(
       withBucket(e.select("vec_id", "q", "nrm")
         .unionAll(perturbed.select("vec_id", "q", "nrm"))).persist())
+  }
+
+  def embeddingDup(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = dupCorpus(spark, dir)
     val a = corpus.select(col("vec_id").as("a"), col("q").as("qv"), col("nrm").as("qn"), col("bucket"))
     val b = corpus.select(col("vec_id").as("b"), col("q").as("cv"), col("nrm").as("cn"), col("bucket"))
     a.join(b, "bucket").filter(col("a") < col("b"))
@@ -298,6 +305,66 @@ object Similarity {
       .withColumn("cos", cos)
       .filter(col("cos") >= DupCosTau)
       .select(col("a"), col("b"), col("cos"))
+  }
+
+  // ---- SemDeDup --------------------------------------------------------
+
+  /** τ² = 361/400, i.e. cos ≥ 0.95, as a pure-integer test:
+    * dot > 0 ∧ 400·dot² ≥ 361·|a|²·|b|². Bounds: dot ≤ 64·10⁶ so
+    * 400·dot² ≤ 1.7·10¹⁸ < 2⁶³ — no overflow on either engine. */
+  val SemTauNum = 361L
+  val SemTauDen = 400L
+
+  private val semMemo = new graft.SessionMemo[DataFrame]
+
+  /** SemDeDup (Abbas et al. 2023): cluster the corpus by nearest
+    * centroid, then look for semantic duplicates ONLY inside each
+    * cluster — pairwise cost falls from O(N²) to Σ|cluster|², and at
+    * 100 TB the centroid count scales with the corpus (k ∝ N) so the
+    * per-cluster quadratic term stays bounded. The assignment is the
+    * same broadcast×argmax kernel as IVF, expressed as a partial-
+    * aggregable `max_by(cid, struct(cos, -cid))` — no window sort over
+    * the corpus. Keeper policy: min vec_id per qualifying pair
+    * (deterministic; the paper's farthest-from-centroid keeper is an
+    * orthogonal policy knob). Output: per-cluster census
+    * (cid, n_members, n_dropped) — all integers. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame =
+    semMemo.getOrElseUpdate(spark, dir)(semDedupCompute(spark, dir))
+
+  private def semDedupCompute(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantizedCached(spark, dir)
+    val corpus = dupCorpus(spark, dir).select("vec_id", "q", "nrm")
+    val cents = e.filter(col("vec_id") % CentroidMod === 0)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn"))
+    // nearest-centroid assignment: broadcast the (tiny) centroid set,
+    // argmax per corpus row without a window — map-side combinable
+    val assign = corpus.crossJoin(broadcast(cents))
+      .withColumn("dot", dot("q", "cq"))
+      .withColumn("cos", col("dot") / (sqrt(col("nrm")) * sqrt(col("cn"))))
+      .groupBy("vec_id")
+      .agg(expr("max_by(cid, struct(cos, -cid))").as("cid"))
+    // members referenced three ways (both pair sides + census): one
+    // persisted copy for the session-memoized 20-row output
+    val m = assign.join(corpus, "vec_id").persist()
+    val a = m.select(col("cid"), col("vec_id").as("a"),
+      col("q").as("qa"), col("nrm").as("na"))
+    val b = m.select(col("cid"), col("vec_id").as("b"),
+      col("q").as("qb"), col("nrm").as("nb"))
+    val drops = a.join(b, "cid").filter(col("a") < col("b"))
+      .withColumn("dp", dot("qa", "qb"))
+      .filter(col("dp") > 0 &&
+        lit(SemTauDen) * col("dp") * col("dp") >=
+          lit(SemTauNum) * col("na") * col("nb"))
+      .select(col("cid"), col("b")).distinct()
+    val census = m.groupBy("cid").agg(count(lit(1)).as("n_members"))
+    val dropped = drops.groupBy("cid").agg(count(lit(1)).as("n_dropped"))
+    val out = census.join(dropped, Seq("cid"), "left")
+      .select(col("cid"), col("n_members"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+      .persist()
+    out.count()
+    m.unpersist()
+    out
   }
 
   /** Per-dimension feature statistics over the quantized embeddings —

@@ -591,6 +591,49 @@ object TextCtes {
        |JOIN cvalid nb ON d.b = nb.vec_id
        |WHERE d.dot / (sqrt(na.nrm) * sqrt(nb.nrm)) >= 0.999""".stripMargin
 
+  /** twin of Similarity.semDedup: nearest-centroid assignment
+    * (row_number ≡ Spark's max_by(cid, struct(cos, -cid))), then the
+    * same integer-threshold pair test inside each cluster. */
+  val semDedup: String = {
+    import graft.operators.Similarity.{CentroidMod, SemTauDen, SemTauNum}
+    s"""WITH $embBase,
+       |corp AS (
+       |  SELECT e.vec_id, e.q FROM e JOIN valid v ON e.vec_id = v.vec_id
+       |  UNION ALL
+       |  SELECT e.vec_id + 100000, list_transform(e.q, x -> x + 1)
+       |  FROM e JOIN valid v ON e.vec_id = v.vec_id),
+       |cel AS (SELECT vec_id, unnest(q) AS x, unnest(generate_series(1, len(q))) AS i FROM corp),
+       |cn AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS nrm FROM cel GROUP BY vec_id),
+       |cvalid AS (SELECT vec_id, nrm FROM cn WHERE nrm > 0),
+       |centl AS (SELECT vec_id, x, i FROM el WHERE vec_id % $CentroidMod = 0),
+       |centn AS (SELECT vec_id, nrm FROM valid WHERE vec_id % $CentroidMod = 0),
+       |adot AS (SELECT a.vec_id, c.vec_id AS cid, CAST(sum(a.x * c.x) AS BIGINT) AS dot
+       |  FROM cel a JOIN centl c ON a.i = c.i GROUP BY 1, 2),
+       |assign AS (SELECT vec_id, cid FROM (
+       |  SELECT d.vec_id, d.cid,
+       |    row_number() OVER (PARTITION BY d.vec_id
+       |      ORDER BY d.dot / (sqrt(cv.nrm) * sqrt(ce.nrm)) DESC, d.cid) AS rn
+       |  FROM adot d JOIN cvalid cv ON d.vec_id = cv.vec_id
+       |  JOIN centn ce ON d.cid = ce.vec_id) WHERE rn = 1),
+       |pd AS (SELECT m1.cid, m1.vec_id AS a, m2.vec_id AS b
+       |  FROM assign m1 JOIN assign m2
+       |  ON m1.cid = m2.cid AND m1.vec_id < m2.vec_id),
+       |pdot AS (SELECT p.cid, p.a, p.b, CAST(sum(x1.x * x2.x) AS BIGINT) AS dot
+       |  FROM pd p JOIN cel x1 ON x1.vec_id = p.a
+       |  JOIN cel x2 ON x2.vec_id = p.b AND x2.i = x1.i
+       |  GROUP BY 1, 2, 3),
+       |drops AS (SELECT DISTINCT p.cid, p.b
+       |  FROM pdot p JOIN cvalid na ON p.a = na.vec_id
+       |  JOIN cvalid nb ON p.b = nb.vec_id
+       |  WHERE p.dot > 0
+       |    AND $SemTauDen * p.dot * p.dot >= $SemTauNum * na.nrm * nb.nrm),
+       |mc AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members FROM assign GROUP BY cid),
+       |dc AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_dropped FROM drops GROUP BY cid)
+       |SELECT mc.cid, mc.n_members,
+       |  coalesce(dc.n_dropped, CAST(0 AS BIGINT)) AS n_dropped
+       |FROM mc LEFT JOIN dc USING (cid)""".stripMargin
+  }
+
   // ---- multimodal ------------------------------------------------------
 
   /** twin of Media.frameSample: ASCII corpus ⇒ byte at offset ==
