@@ -317,6 +317,9 @@ object SparkEntry {
     // ---- streaming/CDC batch twins (SURVEY §2.5, §3.3) ----
     "s_hourly_agg" -> ((s, dir) =>
       graft.streaming.EventStreams.hourlyAgg(graft.streaming.EventStreams.events(s, dir))),
+    // hourly distinct users as a mergeable HLL (constant per-window state)
+    "s_windowed_distinct" -> ((s, dir) =>
+      graft.streaming.EventStreams.windowedDistinct(graft.streaming.EventStreams.events(s, dir))),
     "s_user_state" -> ((s, dir) =>
       graft.streaming.EventStreams.userState(graft.streaming.EventStreams.events(s, dir))),
     "s_sessionize" -> ((s, dir) =>
@@ -721,6 +724,7 @@ object SparkEntry {
         |FROM r GROUP BY user_id""".stripMargin,
     "it_pagerank" -> graft.oracle.PageRankCtes.topRanks,
     "s_hourly_agg" -> EventCtes.hourlyAgg,
+    "s_windowed_distinct" -> SketchCtes.windowedDistinct,
     "s_trending" -> EventCtes.trending,
     "g_node_similarity" ->
       s"""WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),

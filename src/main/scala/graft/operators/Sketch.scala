@@ -97,12 +97,28 @@ object Sketch {
     e.bitwiseXOR(shiftright(e, 16))
   }
 
+  /** Linear-counting table for the small-range correction:
+    * lc(v) = m·ln(m/v) where v = empty buckets. v has only m+1
+    * possible values, so BOTH engines read the correction from the
+    * same 257 double CONSTANTS precomputed here — no ln() in either
+    * engine's runtime, hence no libm last-bit divergence to worry
+    * about. Index 0 is unused (v = 0 ⇒ raw regime). */
+  private[graft] val LcTable: Array[Double] =
+    (0 to Buckets).map(v =>
+      if (v == 0) 0.0 else Buckets * math.log(Buckets.toDouble / v)).toArray
+
+  /** raw-vs-linear-counting switch point, the standard 2.5·m */
+  private[graft] val LcCutoff: Double = 2.5 * Buckets
+
   /** Grouped HLL — the shape a reporting pipeline actually runs
     * ("distinct users per segment"): registers key on (group, bucket),
     * so the whole sketch family stays ONE partial-agg groupBy with
     * |groups|·256 output rows; empty registers backfill via a tiny
     * groups×buckets frame. Same exact-integer Z' and single final
-    * division per group as [[hllDistinct]]. */
+    * division per group as [[hllDistinct]] — plus the standard HLL
+    * small-range correction (raw ≤ 2.5m ∧ v > 0 ⇒ linear counting),
+    * because per-group cardinalities routinely sit far below m where
+    * the raw estimator saturates at α·m. */
   def hllDistinctBy(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
     val spark = df.sparkSession
     val h = mix(pmod(col(keyCol), lit(HashMod)))
@@ -117,12 +133,16 @@ object Sketch {
     val full = frame.join(regs, Seq("grp", "bucket"), "left")
       .select(col("grp"), coalesce(col("m_j"), lit(0)).as("m_j"))
     val z = full.groupBy("grp").agg(
-      sum(expr(s"shiftleft(CAST(1 AS BIGINT), $Scale - m_j)")).as("z"))
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), $Scale - m_j)")).as("z"),
+      sum(when(col("m_j") === 0, 1L).otherwise(0L)).as("v"))
     val exact = df.groupBy(col(groupCol).as("grp"))
       .agg(countDistinct(col(keyCol)).as("exact"))
+    val raw = lit(EstNumerator) / col("z")
+    val lc = element_at(typedLit(LcTable), (col("v") + 1).cast("int"))
     z.join(exact, "grp")
-      .select(col("grp"), lit(Buckets.toLong).as("m"), col("z"),
-        (lit(EstNumerator) / col("z")).as("est"), col("exact"))
+      .select(col("grp"), lit(Buckets.toLong).as("m"), col("z"), col("v"),
+        when(col("v") > 0 && raw <= lit(LcCutoff), lc).otherwise(raw).as("est"),
+        col("exact"))
   }
 
   def hllOrdersByFlag(spark: SparkSession, dir: String): DataFrame =

@@ -32,10 +32,12 @@ object SketchCtes {
        |  (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS exact
        |FROM z""".stripMargin
 
-  /** twin of Sketch.hllDistinctBy over (l_returnflag, l_orderkey):
-    * registers keyed (group, bucket), per-group Z' and estimate */
-  val hllOrdersByFlag: String =
-    s"""WITH h0 AS (SELECT l_returnflag AS grp, l_orderkey % $HashMod AS h FROM lineitem),
+  /** grouped-HLL twin of Sketch.hllDistinctBy over any
+    * `src(grp, k)` subquery: registers keyed (group, bucket),
+    * per-group Z' and estimate; `alias` names the group column. */
+  private def groupedHll(srcSql: String, alias: String): String =
+    s"""WITH src AS ($srcSql),
+       |h0 AS (SELECT grp, k % $HashMod AS h FROM src),
        |h1 AS (SELECT grp, xor(h, h >> 16) AS h FROM h0),
        |h2 AS (SELECT grp, (h * $MixMult) % $HashMod AS h FROM h1),
        |h3 AS (SELECT grp, xor(h, h >> 16) AS h FROM h2),
@@ -50,14 +52,27 @@ object SketchCtes {
        |f AS (SELECT frame.grp, coalesce(regs.m_j, 0) AS m_j
        |  FROM frame LEFT JOIN regs
        |  ON frame.grp = regs.grp AND frame.bucket = regs.bucket),
-       |z AS (SELECT grp, CAST(sum(CAST(1 AS BIGINT) << ($Scale - m_j)) AS BIGINT) AS z
+       |z AS (SELECT grp, CAST(sum(CAST(1 AS BIGINT) << ($Scale - m_j)) AS BIGINT) AS z,
+       |  CAST(sum(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
        |  FROM f GROUP BY grp),
-       |e AS (SELECT l_returnflag AS grp,
-       |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact
-       |  FROM lineitem GROUP BY 1)
-       |SELECT z.grp, CAST($Buckets AS BIGINT) AS m, z.z,
-       |  $EstNumerator / z.z AS est, e.exact
+       |e AS (SELECT grp, CAST(count(DISTINCT k) AS BIGINT) AS exact
+       |  FROM src GROUP BY 1)
+       |SELECT z.grp AS $alias, CAST($Buckets AS BIGINT) AS m, z.z, z.v,
+       |  CASE WHEN z.v > 0 AND $EstNumerator / z.z <= $LcCutoff
+       |    THEN (${LcTable.mkString("[", ", ", "]")})[CAST(z.v AS INT) + 1]
+       |    ELSE $EstNumerator / z.z END AS est,
+       |  e.exact
        |FROM z JOIN e ON z.grp = e.grp""".stripMargin
+
+  /** twin of Sketch.hllOrdersByFlag over (l_returnflag, l_orderkey) */
+  val hllOrdersByFlag: String =
+    groupedHll("SELECT l_returnflag AS grp, l_orderkey AS k FROM lineitem", "grp")
+
+  /** twin of EventStreams.windowedDistinct: the same grouped sketch
+    * keyed by integer epoch-hour over the event stream */
+  val windowedDistinct: String = groupedHll(
+    "SELECT (epoch_us(ts) // 1000000) // 3600 AS grp, user_id AS k FROM events",
+    "win")
 
   /** twin of Sketch.cmsTopParts: identical (depth, cell) registers,
     * identical top-10 probe, min-over-depth estimate */

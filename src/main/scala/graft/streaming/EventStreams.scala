@@ -67,6 +67,25 @@ object EventStreams {
       .filter(col("rnk") <= TrendingK)
   }
 
+  /** Distinct users per hour — but as the SKETCH a dashboard actually
+    * serves at scale: an exact hourly `count(DISTINCT user_id)` is a
+    * full re-shuffle of the stream per window, while HLL registers
+    * keyed (hour, bucket) are one partial-aggregable pass
+    * ([[graft.operators.Sketch.hllDistinctBy]]) whose per-window state
+    * is a constant 256 integers. Registers merge by max — associative
+    * and idempotent — so late/duplicate events fold in without
+    * correction terms; a streaming variant would carry the same
+    * (win, bucket, max rho) state under a watermark. Window id is
+    * integer epoch-hour (same engine-exact arithmetic as [[trending]]).
+    * Output (win, m, z, est, exact) quantifies its own error like
+    * every sketch probe here. */
+  def windowedDistinct(ev: DataFrame): DataFrame =
+    graft.operators.Sketch.hllDistinctBy(
+      ev.select(expr("(unix_micros(ts) div 1000000) div 3600").as("win"),
+        col("user_id")),
+      "win", "user_id")
+      .withColumnRenamed("grp", "win")
+
   /** Tumbling 1-hour window per event type (batch twin). */
   def hourlyAgg(ev: DataFrame): DataFrame =
     ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))

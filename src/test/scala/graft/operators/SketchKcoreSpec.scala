@@ -40,6 +40,20 @@ class SketchKcoreSpec extends SparkTestBase {
     }
   }
 
+  test("windowed distinct: linear-counting correction tracks tiny per-window cardinalities") {
+    val ev = graft.streaming.EventStreams.events(spark, dir)
+    val rows = graft.streaming.EventStreams.windowedDistinct(ev).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, est, exact) =
+        (r.getAs[Long]("v"), r.getAs[Double]("est"), r.getAs[Long]("exact"))
+      // cardinalities here are far below 2.5m: the correction MUST fire
+      // (raw HLL saturates at alpha*m ~ 185 on such windows)
+      assert(v > 0 && est < 100.0, s"correction did not fire: v=$v est=$est")
+      assert(math.abs(est / exact - 1.0) < 0.45, s"est=$est exact=$exact")
+    }
+  }
+
   test("count-min estimates are one-sided: est >= exact for every probed heavy hitter") {
     val rows = Sketch.cmsTopParts(spark, dir).collect()
     assert(rows.length === 10)
