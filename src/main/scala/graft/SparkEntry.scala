@@ -449,6 +449,8 @@ object SparkEntry {
     "pipe_curation" -> ((s, dir) => graft.operators.Pipeline.curate(s, dir)),
     // deterministic per-source token-budget sampling (training mix)
     "pipe_sample_budget" -> ((s, dir) => graft.operators.Pipeline.sampleBudget(s, dir)),
+    // per-epoch deterministic shuffle + shard routing with order checksums
+    "pipe_epoch_shuffle" -> ((s, dir) => graft.operators.Pipeline.epochShuffle(s, dir)),
     // sequence packing: per-source hash-order token cumsum → fixed
     // token-budget training sequences
     "pipe_pack" -> ((s, dir) => graft.operators.Pipeline.packSequences(s, dir)),
@@ -807,6 +809,7 @@ object SparkEntry {
     "mm_resize" -> TextCtes.resizeThumbs,
     "pipe_curation" -> TextCtes.curation,
     "pipe_sample_budget" -> TextCtes.sampleBudget,
+    "pipe_epoch_shuffle" -> TextCtes.epochShuffle,
     "pipe_pack" -> TextCtes.packSequences,
     "pipe_split" -> TextCtes.splitStats,
     "pipe_mixture" -> TextCtes.mixtureSample,

@@ -208,4 +208,42 @@ object Pipeline {
         sum(when(col("cum") <= BudgetChars, 1L).otherwise(0L)).as("n_sampled"),
         sum(when(col("cum") <= BudgetChars, col("n_chars")).otherwise(0L)).as("chars_sampled"))
   }
+
+  // ---- deterministic epoch shuffle ------------------------------------
+
+  val ShuffleShards = 8L
+  val EpochMix = 1000003L // seeds successive epochs apart before mixing
+
+  /** Deterministic per-epoch global shuffle + sharding — how training
+    * corpora are actually randomized at scale: never a `rand()` (whose
+    * draws depend on partition layout) and never a global sort. Each
+    * (epoch, doc) gets a mixed hash; shard = h mod S routes the doc,
+    * and the within-shard order is the hash order — a different,
+    * reproducible permutation every epoch. The ONLY sort is
+    * partition-local per (epoch, shard), which is exactly the
+    * shard-file-write shape (S ≈ tens of thousands at 100 TB, each
+    * shard fitting one writer task). The output pins the permutation
+    * itself: a position-weighted checksum Σ pos·(h mod P) mod P per
+    * shard — any reordering, drop, or duplicate changes it. */
+  def epochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Tpch.table(spark, dir, "documents").select(col("doc_id"))
+    val tagged = Seq(1L, 2L)
+      .map(e => docs.withColumn("epoch", lit(e)))
+      .reduce(_ unionAll _)
+    val h = Sketch.mix(
+      pmod(col("doc_id") + col("epoch") * EpochMix, lit(Sketch.HashMod)))
+    val hashed = tagged
+      .select(col("epoch"), col("doc_id"), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(ShuffleShards)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("epoch", "shard").orderBy(col("h"), col("doc_id"))
+    hashed
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("term",
+        pmod(col("pos") * pmod(col("h"), lit(TextOps.P)), lit(TextOps.P)))
+      .groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        expr(s"CAST(sum(CAST(term AS DECIMAL(38,0))) % ${TextOps.P} AS BIGINT)")
+          .as("checksum"))
+  }
 }

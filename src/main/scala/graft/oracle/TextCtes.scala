@@ -841,4 +841,26 @@ object TextCtes {
        |  CAST(sum(CASE WHEN cum <= $BudgetChars THEN n_chars ELSE 0 END) AS BIGINT) AS chars_sampled
        |FROM c GROUP BY source""".stripMargin
   }
+
+  /** twin of Pipeline.epochShuffle: same degski-mixed (doc, epoch)
+    * hash, shard routing, and position-weighted order checksum */
+  val epochShuffle: String = {
+    import graft.operators.Pipeline.{EpochMix, ShuffleShards}
+    import graft.operators.Sketch.{HashMod, MixMult}
+    s"""WITH d AS (SELECT CAST(unnest([1, 2]) AS BIGINT) AS epoch, doc_id FROM documents),
+       |h0 AS (SELECT epoch, doc_id, (doc_id + epoch * $EpochMix) % $HashMod AS h FROM d),
+       |h1 AS (SELECT epoch, doc_id, xor(h, h >> 16) AS h FROM h0),
+       |h2 AS (SELECT epoch, doc_id, (h * $MixMult) % $HashMod AS h FROM h1),
+       |h3 AS (SELECT epoch, doc_id, xor(h, h >> 16) AS h FROM h2),
+       |h4 AS (SELECT epoch, doc_id, (h * $MixMult) % $HashMod AS h FROM h3),
+       |hh AS (SELECT epoch, doc_id, xor(h, h >> 16) AS h FROM h4),
+       |s AS (SELECT epoch, doc_id, h, h % $ShuffleShards AS shard FROM hh),
+       |p AS (SELECT epoch, shard, h,
+       |  CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY h, doc_id) AS BIGINT) AS pos
+       |  FROM s),
+       |t AS (SELECT epoch, shard, (pos * (h % $P)) % $P AS term FROM p)
+       |SELECT epoch, shard, count(*) AS n_docs,
+       |  CAST(CAST(sum(term) AS HUGEINT) % $P AS BIGINT) AS checksum
+       |FROM t GROUP BY 1, 2""".stripMargin
+  }
 }

@@ -289,6 +289,25 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(totalDocs === expected)
   }
 
+  test("epoch shuffle: complete partition per epoch, distinct permutations, reproducible") {
+    val rows = Pipeline.epochShuffle(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    // every doc lands in exactly one shard, both epochs
+    Seq(1L, 2L).foreach { e =>
+      assert(rows.collect { case ((`e`, _), (n, _)) => n }.sum === nDocs)
+    }
+    // the two epochs are different permutations: shard contents (hence
+    // position checksums) must not all coincide
+    val e1 = rows.collect { case ((1L, s), (_, c)) => s -> c }.toMap
+    val e2 = rows.collect { case ((2L, s), (_, c)) => s -> c }.toMap
+    assert(e1.exists { case (s, c) => e2.get(s).exists(_ != c) })
+    // reproducible: a second run yields the identical checksums
+    val again = Pipeline.epochShuffle(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(again === rows)
+  }
+
   test("variable-length path expansion matches hand-joined counts") {
     val out = GraphOps.pathExpand(spark, dir).collect()
       .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
