@@ -122,6 +122,21 @@ class PlanInvariantsSpec extends SparkTestBase {
     }
   }
 
+  test("pipe_epoch_shuffle windows per (epoch, shard), never a single partition") {
+    val p = plan("pipe_epoch_shuffle")
+    assert(p.contains("hashpartitioning(epoch"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("s_windowed_distinct register aggregation is partial and window-free") {
+    val p = plan("s_windowed_distinct")
+    // HLL registers must combine map-side; an exact distinct-per-window
+    // (expand or two-phase count distinct over user_id) is the anti-shape
+    assert(p.contains("partial"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("it_triangles wedge join is equi-keyed — no cartesian anywhere") {
     import graft.operators.GraphOps
     // inspect the un-checkpointed lineage: the public triangleStats
