@@ -295,6 +295,8 @@ object SparkEntry {
     "it_kcore" -> ((s, dir) => graft.operators.Iterative.kcore(s, dir)),
     // HyperBall neighborhood function: per-node HLL registers merged along edges
     "it_hyperball" -> ((s, dir) => graft.operators.HyperBall.hyperball(s, dir)),
+    "g_random_walks" -> ((s, dir) => graft.operators.Walks.walkVisits(s, dir)),
+    "it_harmonic" -> ((s, dir) => graft.operators.HyperBall.harmonic(s, dir)),
     // engine-invariant HyperLogLog vs exact distinct (self-quantifying probe)
     "q08_hll_distinct" -> ((s, dir) => graft.operators.Sketch.hllOrders(s, dir)),
     // count-min sketch registers + top-10 heavy-hitter probe (est >= exact)
@@ -624,6 +626,8 @@ object SparkEntry {
     "it_triangles" -> IterCtes.triangles,
     "it_kcore" -> IterCtes.kcore,
     "it_hyperball" -> IterCtes.hyperball,
+    "g_random_walks" -> IterCtes.randomWalks,
+    "it_harmonic" -> IterCtes.harmonicTop,
     "q08_hll_distinct" -> SketchCtes.hllOrders,
     "q15_cms_heavy" -> SketchCtes.cmsTopParts,
     "q16_bloom_filter" -> SketchCtes.bloomProbe,

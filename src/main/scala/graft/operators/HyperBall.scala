@@ -51,14 +51,28 @@ object HyperBall {
       when(x >= (1L << (b - 1)), lit(b)).otherwise(acc)
     }
 
-  /** Output is TopN rows — memoize it and drop the big register
-    * intermediates once it is materialized. */
-  private val memo = new graft.SessionMemo[DataFrame]
+  /** Both outputs are TopN rows — memoize them as a pair (one register
+    * pyramid feeds both) and drop the big intermediates once both are
+    * materialized. */
+  private val memo = new graft.SessionMemo[(DataFrame, DataFrame)]
 
   def hyperball(spark: SparkSession, dir: String): DataFrame =
-    memo.getOrElseUpdate(spark, dir)(compute(spark, dir))
+    memo.getOrElseUpdate(spark, dir)(compute(spark, dir))._1
 
-  private def compute(spark: SparkSession, dir: String): DataFrame = {
+  /** Harmonic centrality (Boldi & Vigna, "Axioms for centrality",
+    * 2014) from the SAME register pyramid: for the TopN largest-ball
+    * nodes, Σ_t (|ball(t)|−|ball(t−1)|)/t with ball sizes read off the
+    * per-round HLL estimates. Selection stays pure-integer (final z
+    * ascending, node) — doubles appear only as output values computed
+    * by ONE fixed-order expression both engines evaluate identically.
+    * This is the published way to get closeness-family centralities on
+    * billion-edge graphs: the exact all-pairs BFS is |V|² and dead on
+    * arrival, while this reuses sketches the neighborhood function
+    * already paid for. */
+  def harmonic(spark: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate(spark, dir)(compute(spark, dir))._2
+
+  private def compute(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val rels = TpchGraph.relsLite(spark, dir).select("src", "dst")
     // symmetrized, pre-partitioned by src and persisted once: every
     // round (and the exact-ball probe) joins on src against this copy
@@ -85,6 +99,7 @@ object HyperBall {
     var regs = seeded.select(col("node") +: regCols: _*).persist()
     val maxCols = (0 until Buckets).map(j => max(s"r$j").as(s"r$j"))
     val cached = scala.collection.mutable.ListBuffer(regs)
+    val rounds = scala.collection.mutable.ListBuffer(regs) // r0..rIters
     for (_ <- 1 to Iters) {
       val fromNbrs = edges
         .join(regs.withColumnRenamed("node", "src"), "src")
@@ -94,6 +109,7 @@ object HyperBall {
         .groupBy("node").agg(maxCols.head, maxCols.tail: _*)
         .persist()
       cached += next
+      rounds += next
       regs = next
     }
 
@@ -126,8 +142,28 @@ object HyperBall {
         (lit(EstNumerator) / col("z")).as("est"), col("exact_ball"))
       .persist()
     out.count() // materialize, then release the register pyramid
+
+    // harmonic centrality for the same TopN winners: per-round z read
+    // off each persisted register round restricted to the 10 winners
+    // (broadcast semi-join — the register tables never move)
+    val roundZ = rounds.toList.zipWithIndex.map { case (r, t) =>
+      r.join(broadcast(top.select("node")), "node")
+        .select(col("node"), expr(zExpr).as(s"z$t"))
+    }
+    val estT = (t: Int) => lit(EstNumerator) / col(s"z$t")
+    val harmExpr = (1 to Iters)
+      .map(t => (estT(t) - estT(t - 1)) / lit(t.toDouble))
+      .reduce(_ + _) // left-assoc: identical IEEE order in the oracle
+    val harm = roundZ.reduce(_.join(_, "node"))
+      .join(nodeKinds, "node")
+      .select(col("node") :: col("kind") ::
+        (0 to Iters).map(t => col(s"z$t")).toList :::
+        harmExpr.as("harmonic") :: Nil: _*)
+      .persist()
+    harm.count()
+
     edges.unpersist()
     cached.foreach(_.unpersist())
-    out
+    (out, harm)
   }
 }

@@ -189,6 +189,94 @@ object IterCtes {
        |JOIN balls ON balls.seed = t.node""".stripMargin
   }
 
+  /** twin of [[graft.operators.HyperBall.harmonic]]: the same register
+    * rounds as [[hyperball]], but z is read per round for the TopN
+    * winners and the harmonic sum is the identical fixed-order double
+    * expression. */
+  val harmonicTop: String = {
+    import graft.operators.HyperBall.{Buckets, EstNumerator, Iters, Scale, SuffixBits, TopN}
+    import graft.operators.Sketch.{HashMod, MixMult}
+    val caseChain = (SuffixBits to 1 by -1)
+      .map(b => s"WHEN rest >= ${1L << (b - 1)} THEN $b").mkString(" ")
+    val rounds = (1 to Iters).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT node, bucket, max(rho) AS rho FROM (
+         |  SELECT node, bucket, rho FROM r${i - 1}
+         |  UNION ALL
+         |  SELECT e.dst, r.bucket, r.rho
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node)
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val zRounds = (0 to Iters).map { t =>
+      s"""zt$t AS (SELECT node,
+         |  ${Buckets.toLong << Scale} - count(*) * ${1L << Scale}
+         |    + CAST(sum(CAST(1 AS BIGINT) << ($Scale - rho)) AS BIGINT) AS z
+         |  FROM r$t GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    val harm = (1 to Iters)
+      .map(t => s"($EstNumerator / t$t.z - $EstNumerator / t${t - 1}.z) / $t.0")
+      .mkString(" + ")
+    val zJoins = (0 to Iters)
+      .map(t => s"JOIN zt$t t$t ON t$t.node = top.node").mkString("\n")
+    s"""${Ctes.graph},
+       |edges AS MATERIALIZED (SELECT src, dst FROM rels UNION ALL SELECT dst, src FROM rels),
+       |h0 AS (SELECT id AS node, id % $HashMod AS h FROM nodes),
+       |h1 AS (SELECT node, xor(h, h >> 16) AS h FROM h0),
+       |h2 AS (SELECT node, (h * $MixMult) % $HashMod AS h FROM h1),
+       |h3 AS (SELECT node, xor(h, h >> 16) AS h FROM h2),
+       |h4 AS (SELECT node, (h * $MixMult) % $HashMod AS h FROM h3),
+       |hh AS (SELECT node, xor(h, h >> 16) AS h FROM h4),
+       |r0 AS MATERIALIZED (SELECT node, h // ${1L << SuffixBits} AS bucket,
+       |  $Scale - (CASE $caseChain ELSE 0 END) AS rho
+       |  FROM (SELECT node, h, h % ${1L << SuffixBits} AS rest FROM hh)),
+       |$rounds,
+       |$zRounds,
+       |top AS MATERIALIZED (SELECT node, z FROM zt$Iters ORDER BY z, node LIMIT $TopN)
+       |SELECT top.node, n.kind,
+       |  ${(0 to Iters).map(t => s"t$t.z AS z$t").mkString(", ")},
+       |  $harm AS harmonic
+       |FROM top
+       |$zJoins
+       |JOIN nodes n ON top.node = n.id""".stripMargin
+  }
+
+  /** twin of [[graft.operators.Walks.walkVisits]]: unrolled walk steps,
+    * each one the identical degski draw-hash chain (the h0..hh pattern
+    * of [[hyperball]]) followed by the (node, idx = h mod deg)
+    * adjacency join. */
+  val randomWalks: String = {
+    import graft.operators.Walks.{NumWalks, Steps}
+    import graft.operators.Sketch.{HashMod, MixMult}
+    val steps = (1 to Steps).map { i =>
+      s"""s${i}a AS (SELECT seed, walk, node,
+         |  (node * 1009 + seed * 31 + walk * 7 + $i) % $HashMod AS h FROM w${i - 1}),
+         |s${i}b AS (SELECT seed, walk, node, xor(h, h >> 16) AS h FROM s${i}a),
+         |s${i}c AS (SELECT seed, walk, node, (h * $MixMult) % $HashMod AS h FROM s${i}b),
+         |s${i}d AS (SELECT seed, walk, node, xor(h, h >> 16) AS h FROM s${i}c),
+         |s${i}e AS (SELECT seed, walk, node, (h * $MixMult) % $HashMod AS h FROM s${i}d),
+         |s${i}f AS (SELECT seed, walk, node, xor(h, h >> 16) AS h FROM s${i}e),
+         |w$i AS MATERIALIZED (SELECT s.seed, s.walk, a.nbr AS node
+         |  FROM s${i}f s JOIN adj a ON a.node = s.node AND a.idx = s.h % a.deg)""".stripMargin
+    }.mkString(",\n")
+    val layers = (0 to Steps).map(i => s"SELECT $i AS step, node FROM w$i")
+      .mkString("\n  UNION ALL ")
+    s"""${Ctes.graph},
+       |und AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM rels UNION ALL SELECT dst, src FROM rels)),
+       |adj AS MATERIALIZED (SELECT src AS node, dst AS nbr,
+       |  row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+       |  count(*) OVER (PARTITION BY src) AS deg FROM und),
+       |w0 AS (SELECT id AS seed, walk, id AS node
+       |  FROM nodes, unnest([${(0 until NumWalks).mkString(", ")}]) AS t(walk)
+       |  WHERE kind = 'customer'),
+       |$steps,
+       |visits AS (
+       |  $layers)
+       |SELECT v.step, n.kind, count(*) AS n_visits,
+       |  CAST(count(DISTINCT v.node) AS BIGINT) AS n_nodes
+       |FROM visits v JOIN nodes n ON v.node = n.id
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   val bfsDepth: String =
     s"""${Ctes.graph},
        |edges AS (SELECT src, dst FROM rels UNION ALL SELECT dst, src FROM rels),
