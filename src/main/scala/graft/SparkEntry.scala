@@ -297,6 +297,10 @@ object SparkEntry {
     "it_hyperball" -> ((s, dir) => graft.operators.HyperBall.hyperball(s, dir)),
     "g_random_walks" -> ((s, dir) => graft.operators.Walks.walkVisits(s, dir)),
     "it_harmonic" -> ((s, dir) => graft.operators.HyperBall.harmonic(s, dir)),
+    "it_ppr" -> ((s, dir) => graft.operators.PageRank.personalized(s, dir)),
+    "q19_sample_quantiles" -> ((s, dir) => graft.operators.Sketch.sampleQuantiles(s, dir)),
+    "s_decay" -> ((s, dir) =>
+      graft.streaming.EventStreams.decayScore(graft.streaming.EventStreams.events(s, dir))),
     // engine-invariant HyperLogLog vs exact distinct (self-quantifying probe)
     "q08_hll_distinct" -> ((s, dir) => graft.operators.Sketch.hllOrders(s, dir)),
     // count-min sketch registers + top-10 heavy-hitter probe (est >= exact)
@@ -628,6 +632,9 @@ object SparkEntry {
     "it_hyperball" -> IterCtes.hyperball,
     "g_random_walks" -> IterCtes.randomWalks,
     "it_harmonic" -> IterCtes.harmonicTop,
+    "it_ppr" -> graft.oracle.PageRankCtes.personalized,
+    "q19_sample_quantiles" -> SketchCtes.sampleQuantiles,
+    "s_decay" -> EventCtes.decayScore,
     "q08_hll_distinct" -> SketchCtes.hllOrders,
     "q15_cms_heavy" -> SketchCtes.cmsTopParts,
     "q16_bloom_filter" -> SketchCtes.bloomProbe,

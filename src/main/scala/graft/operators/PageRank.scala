@@ -9,7 +9,7 @@ import graft.model.TpchGraph
   * analytic, SURVEY.md §1.6 last row) expressed DataFrame-first in
   * FIXED-POINT arithmetic:
   *
-  *   pr(v) ← d·S + (1−d)·Σ_{u→v} (pr(u) div outdeg(u))
+  *   pr(v) ← restart(v) + (1−d)·Σ_{u→v} (pr(u) div outdeg(u))
   *
   * with ranks scaled by 10⁹ (BIGINT), damping 0.85 as ×85 div 100, and
   * integer division for the per-edge share. Every operation is exact
@@ -18,6 +18,15 @@ import graft.model.TpchGraph
   * matches bit-for-bit (a floating PageRank could never be
   * hash-compared). The dangling-mass term is dropped (ranks are
   * relative ordering, not a probability distribution).
+  *
+  * [[personalized]] is the same loop with the restart mass restricted
+  * to a seed set (Personalized PageRank, the recommendation /
+  * similar-entity primitive): restart(v) = d·S·1[v∈seeds], pr₀ =
+  * S·1[v∈seeds]. At 100 TB PPR is how you rank "what is near these
+  * seeds" without touching the whole rank vector's worth of float
+  * error — and because seeds only change the restart column, the two
+  * variants share every plan property (broadcast guard, co-partitioned
+  * rank⋈edge join, localCheckpoint lineage truncation).
   *
   * Each round is one rank-join + partial-agg shuffle like
   * [[Iterative.iterateMin]]: the rank table carries a broadcast hint
@@ -30,22 +39,39 @@ object PageRank {
   val Iters = 5
   val Scale = 1000000000L // 1e9 fixed-point
   val TopK = 20
+  /** d·S as an exact integer: (15 × 10⁹) div 100 — the restart mass a
+    * restart-eligible node receives each round. */
+  val RestartUnit: Long = 15L * Scale / 100
 
-  def topRanks(spark: SparkSession, dir: String): DataFrame = {
+  def topRanks(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, seedKind = None)
+
+  /** PPR from the supplier nodes: restart and initial mass live only on
+    * the seeds. */
+  def personalized(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, seedKind = Some("supplier"))
+
+  private def run(spark: SparkSession, dir: String,
+      seedKind: Option[String]): DataFrame = {
     val edges = TpchGraph.relsLite(spark, dir).select("src", "dst").persist()
     val outdeg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
-    // outdeg rides along in the rank state, so each round skips the
-    // separate pr⋈outdeg join (sinks carry null and emit no shares,
-    // matching the inner join the fold replaced)
-    val base = TpchGraph.nodes(spark, dir).select(col("id").as("node"))
+    // outdeg and the restart mass ride along in the rank state, so each
+    // round skips the separate pr⋈outdeg join (sinks carry null and
+    // emit no shares, matching the inner join the fold replaced)
+    val ind = seedKind match {
+      case Some(k) => when(col("kind") === k, lit(1L)).otherwise(lit(0L))
+      case None    => lit(1L)
+    }
+    val base = TpchGraph.nodes(spark, dir)
+      .select(col("id").as("node"), ind.as("ind"))
       .join(outdeg, Seq("node"), "left")
       .localCheckpoint(true)
     // rank rows = node count, constant across rounds — decide once
     val nNodes = base.count()
     val maxRows = Iterative.broadcastMaxRows(spark)
 
-    var pr = base.withColumn("pr", lit(Scale))
+    var pr = base.withColumn("pr", lit(Scale) * col("ind"))
     for (_ <- 0 until Iters) {
       val shares = edges
         .join(Iterative.hinted(pr.filter(col("outdeg").isNotNull)
@@ -58,9 +84,9 @@ object PageRank {
       // against a constant-size LogicalRDD (see Iterative.iterateMin);
       // superseded rounds are garbage-collected with their reference.
       pr = base.join(shares, Seq("node"), "left")
-        .select(col("node"), col("outdeg"),
+        .select(col("node"), col("ind"), col("outdeg"),
           // integer div, not `/` (Spark's / on BIGINT yields DOUBLE)
-          expr(s"(15 * CAST($Scale AS BIGINT)) div 100 + (85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100").as("pr"))
+          expr(s"$RestartUnit * ind + (85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100").as("pr"))
         .localCheckpoint(true)
     }
     edges.unpersist()

@@ -246,4 +246,54 @@ object Sketch {
       ((col("n_pass") - col("n_true")) / (col("n_probe") - col("n_true")))
         .as("fp_rate"))
   }
+
+  /** Keep 1-in-SampleMod rows by the mixed hash of the row key. */
+  val SampleMod = 16L
+
+  /** Quantile estimation by deterministic hash-systematic sampling —
+    * the mergeable alternative to [[graft.operators.Olap.percentiles]]'
+    * exact per-group window. The exact form sorts EVERY group member
+    * (at one giant group that is a single-partition sort of the whole
+    * table); here the full table contributes only a partial-agg count,
+    * and the rank sort runs over the 1/16 hash sample. The sample
+    * predicate is a pure function of the row key, so shards can be
+    * sampled independently and unioned — the property that makes it a
+    * sketch (two samples of two table halves ARE the sample of the
+    * union; same merge story as the HLL registers). Expected rank error
+    * at quantile q is √(q(1−q)·SampleMod/n) — report n_total and
+    * n_sample so the consumer can bound it. All-integer output; the
+    * estimates sit next to the exact p50 so the probe quantifies its
+    * own error like `q08_hll_distinct` and `ann_recall` do. */
+  def sampleQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tpch.table(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+    // exact side: count + exact median per group (integer rank index)
+    val wAll = Window.partitionBy("l_returnflag")
+      .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+    val exact = li
+      .withColumn("rn", row_number().over(wAll))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_total"),
+        max(when(col("rn") === expr("(cnt - 1) div 2 + 1"), col("cents")))
+          .as("exact_p50_cents"))
+    // sample side: hash-systematic 1/16, then the same integer-rank
+    // quantile pick over the (16× smaller) sample
+    val keyed = li.filter(pmod(
+      mix(pmod(col("l_orderkey") * 41L + col("l_linenumber"), lit(HashMod))),
+      lit(SampleMod)) === 0)
+    def pick(num: Int, den: Int, name: String) =
+      max(when(col("rn") === expr(s"(cnt - 1) * $num div $den + 1"),
+        col("cents"))).as(name)
+    val q = keyed
+      .withColumn("rn", row_number().over(wAll))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_sample"), pick(1, 4, "p25_cents"),
+        pick(1, 2, "p50_cents"), pick(9, 10, "p90_cents"),
+        pick(99, 100, "p99_cents"))
+    exact.join(q, "l_returnflag")
+  }
 }

@@ -113,6 +113,24 @@ object EventCtes {
        |SELECT win, event_type, n, rnk FROM r WHERE rnk <= $k""".stripMargin
   }
 
+  /** twin of EventStreams.decayScore: identical hour buckets, capped
+    * right-shift halving, integer sums. */
+  val decayScore: String = {
+    val half = graft.streaming.EventStreams.DecayHalfLifeHours
+    val maxShift = graft.streaming.EventStreams.DecayMaxShift
+    s"""WITH $ev,
+       |e AS (SELECT event_type, cents, epoch_us(ts) // 3600000000 AS hr FROM ev),
+       |mx AS (SELECT max(hr) AS mx FROM e),
+       |d AS (SELECT event_type, cents, (mx - hr) // $half AS age_b FROM e, mx),
+       |s AS (SELECT event_type, cents,
+       |  CASE WHEN age_b >= $maxShift THEN CAST(0 AS BIGINT)
+       |       ELSE cents >> age_b END AS decayed FROM d)
+       |SELECT event_type, count(*) AS n_events,
+       |  CAST(sum(cents) AS BIGINT) AS raw_cents,
+       |  CAST(sum(decayed) AS BIGINT) AS decayed_cents
+       |FROM s GROUP BY 1""".stripMargin
+  }
+
   val sessionize: String =
     s"""WITH $ev,
        |s1 AS (SELECT *, epoch_us(ts) AS us,

@@ -116,4 +116,43 @@ object SketchCtes {
        |  (n_pass - n_true) / CAST(n_probe - n_true AS DOUBLE) AS fp_rate
        |FROM sel""".stripMargin
   }
+
+  /** twin of [[graft.operators.Sketch.sampleQuantiles]]: identical
+    * degski sample predicate, identical integer rank picks. */
+  val sampleQuantiles: String = {
+    import graft.operators.Sketch.SampleMod
+    def pick(num: Int, den: Int, name: String) =
+      s"max(CASE WHEN rn = (cnt - 1) * $num // $den + 1 THEN cents END) AS $name"
+    s"""WITH x AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+       |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+       |ra AS (SELECT l_returnflag, cents,
+       |  row_number() OVER (PARTITION BY l_returnflag
+       |    ORDER BY cents, l_orderkey, l_linenumber) AS rn,
+       |  count(*) OVER (PARTITION BY l_returnflag) AS cnt FROM x),
+       |exact AS (SELECT l_returnflag, count(*) AS n_total,
+       |  max(CASE WHEN rn = (cnt - 1) // 2 + 1 THEN cents END)
+       |    AS exact_p50_cents
+       |  FROM ra GROUP BY 1),
+       |h0 AS (SELECT *, (l_orderkey * 41 + l_linenumber) % $HashMod AS h FROM x),
+       |h1 AS (SELECT * REPLACE (xor(h, h >> 16) AS h) FROM h0),
+       |h2 AS (SELECT * REPLACE ((h * $MixMult) % $HashMod AS h) FROM h1),
+       |h3 AS (SELECT * REPLACE (xor(h, h >> 16) AS h) FROM h2),
+       |h4 AS (SELECT * REPLACE ((h * $MixMult) % $HashMod AS h) FROM h3),
+       |hh AS (SELECT * REPLACE (xor(h, h >> 16) AS h) FROM h4),
+       |s AS (SELECT l_returnflag, l_orderkey, l_linenumber, cents
+       |  FROM hh WHERE h % $SampleMod = 0),
+       |r AS (SELECT l_returnflag, cents,
+       |  row_number() OVER (PARTITION BY l_returnflag
+       |    ORDER BY cents, l_orderkey, l_linenumber) AS rn,
+       |  count(*) OVER (PARTITION BY l_returnflag) AS cnt FROM s),
+       |q AS (SELECT l_returnflag, count(*) AS n_sample,
+       |  ${pick(1, 4, "p25_cents")},
+       |  ${pick(1, 2, "p50_cents")},
+       |  ${pick(9, 10, "p90_cents")},
+       |  ${pick(99, 100, "p99_cents")}
+       |  FROM r GROUP BY 1)
+       |SELECT l_returnflag, n_total, exact_p50_cents, n_sample,
+       |  p25_cents, p50_cents, p90_cents, p99_cents
+       |FROM exact JOIN q USING (l_returnflag)""".stripMargin
+  }
 }

@@ -67,6 +67,38 @@ object EventStreams {
       .filter(col("rnk") <= TrendingK)
   }
 
+  /** Exponential time-decay scoring — the recency weighting every
+    * feed-ranking / trending-content pipeline applies before anything
+    * else, in ENGINE-EXACT integer arithmetic: value halves per
+    * [[DecayHalfLifeHours]]-hour age bucket via a right shift
+    * (floor-of-powers-of-two decay), so there is no pow()/exp() float
+    * for the engines to disagree on. The anchor (newest event hour) is
+    * a one-row aggregate broadcast against the scan; the score is then
+    * a single partial-aggregable groupBy — decayed values sum
+    * map-side, and two shards scored independently merge by addition,
+    * which is what makes the metric maintainable incrementally at
+    * stream scale (new batch: shift the old total by the elapsed
+    * buckets, add the new). Shifts are capped at [[DecayMaxShift]]:
+    * Java's `>>` masks the shift amount mod 64, so an uncapped
+    * 83-hour-bucket age would silently wrap on the Spark side while
+    * DuckDB zeroes — the CASE keeps both engines at exactly 0. */
+  val DecayHalfLifeHours = 24L
+  val DecayMaxShift = 40L
+  def decayScore(ev: DataFrame): DataFrame = {
+    val e = ev.select(col("event_type"), col("cents"),
+      expr("unix_micros(ts) div 3600000000").as("hr"))
+    val anchor = e.agg(max("hr").as("mx"))
+    e.crossJoin(broadcast(anchor))
+      .withColumn("age_b", expr(s"(mx - hr) div $DecayHalfLifeHours"))
+      .withColumn("decayed", expr(
+        s"CASE WHEN age_b >= $DecayMaxShift THEN CAST(0 AS BIGINT) " +
+          "ELSE shiftright(cents, CAST(age_b AS INT)) END"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum("cents").as("raw_cents"),
+        sum("decayed").as("decayed_cents"))
+  }
+
   /** Distinct users per hour — but as the SKETCH a dashboard actually
     * serves at scale: an exact hourly `count(DISTINCT user_id)` is a
     * full re-shuffle of the stream per window, while HLL registers
