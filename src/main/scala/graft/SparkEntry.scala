@@ -296,6 +296,7 @@ object SparkEntry {
     // HyperBall neighborhood function: per-node HLL registers merged along edges
     "it_hyperball" -> ((s, dir) => graft.operators.HyperBall.hyperball(s, dir)),
     "g_random_walks" -> ((s, dir) => graft.operators.Walks.walkVisits(s, dir)),
+    "it_ktruss" -> ((s, dir) => GraphOps.ktruss(s, dir)),
     "it_harmonic" -> ((s, dir) => graft.operators.HyperBall.harmonic(s, dir)),
     "it_ppr" -> ((s, dir) => graft.operators.PageRank.personalized(s, dir)),
     "q19_sample_quantiles" -> ((s, dir) => graft.operators.Sketch.sampleQuantiles(s, dir)),
@@ -631,6 +632,7 @@ object SparkEntry {
     "it_kcore" -> IterCtes.kcore,
     "it_hyperball" -> IterCtes.hyperball,
     "g_random_walks" -> IterCtes.randomWalks,
+    "it_ktruss" -> IterCtes.ktruss,
     "it_harmonic" -> IterCtes.harmonicTop,
     "it_ppr" -> graft.oracle.PageRankCtes.personalized,
     "q19_sample_quantiles" -> SketchCtes.sampleQuantiles,

@@ -324,4 +324,85 @@ object GraphOps {
       .agg(sum("e").as("n_edges"), sum("t").as("n_triangles"))
     (res, Seq(und, o))
   }
+
+  /** k-truss: every surviving edge sits in ≥ k−2 triangles of the
+    * surviving subgraph — the standard cohesion refinement above
+    * [[graft.operators.Iterative.kcore]] (Cohen 2008). */
+  val TrussK = 4
+  val TrussIters = 3
+  /** the 1995 trade slice keeps the peel rounds proportionate: truss
+    * is triangle-enumeration per round, so the operator's scale story
+    * is "bound the slice, then peel" — at 100 TB you run it per
+    * time/partition slice, not on the full history at once. */
+  val TrussCutoff = "1996-01-01 00:00:00"
+
+  /** Bounded k-truss peel over the 1995 part co-purchase graph (parts
+    * sharing an order — each order induces a part-clique, so the graph
+    * actually carries trusses; the tripartite lineitem graph's edges
+    * mostly sit in one triangle and a 4-truss of it is empty). Each
+    * round re-runs the degree-ordered oriented triangle enumeration
+    * ([[triangleStatsLazy]]'s shape — wedge fan-out stays O(√m) on the
+    * peeled subgraph), explodes each triangle to its 3 unordered
+    * edges, partial-aggregates support, and inner-joins the edge set
+    * (zero-support edges drop via the join). Rounds are bounded and
+    * the edge set only shrinks, so extra rounds past the fixpoint are
+    * no-ops — the oracle unrolls identically. Output is the per-round
+    * (n_edges, n_nodes) peel curve, the densification report a
+    * cohesion analysis actually reads. */
+  def ktruss(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.sources.Tpch.table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") < lit(TrussCutoff).cast("timestamp"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    // eager localCheckpoint per round, NOT persist: a round references
+    // its predecessor ~15× (deg ×2, orientation, support join), so an
+    // un-truncated lineage grows ~15^rounds plan nodes and OOMs the
+    // driver during ANALYSIS before a single task runs (the same
+    // reason Iterative.iterateMin checkpoints each frontier).
+    var und = li.select(col("ok"), col("pk").as("a"))
+      .join(li.select(col("ok"), col("pk").as("b")), "ok")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct().localCheckpoint(true)
+    val rounds = scala.collection.mutable.ListBuffer(und)
+    for (_ <- 1 to TrussIters) {
+      val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val o = und
+        .join(deg.select(col("n").as("a"), struct(col("deg"), col("n")).as("ra")), "a")
+        .join(deg.select(col("n").as("b"), struct(col("deg"), col("n")).as("rb")), "b")
+        .select(
+          when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("u"),
+          when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("v"))
+        .localCheckpoint(true) // referenced 3× by the wedge join
+      val tri = o.select(col("u").as("t_a"), col("v").as("t_b"))
+        .join(o.select(col("u").as("t_b"), col("v").as("t_c")), "t_b")
+        .join(o.select(col("u").as("t_a"), col("v").as("t_c")), Seq("t_a", "t_c"))
+      val support = tri.select(explode(array(
+          struct(least(col("t_a"), col("t_b")).as("a"),
+            greatest(col("t_a"), col("t_b")).as("b")),
+          struct(least(col("t_b"), col("t_c")).as("a"),
+            greatest(col("t_b"), col("t_c")).as("b")),
+          struct(least(col("t_a"), col("t_c")).as("a"),
+            greatest(col("t_a"), col("t_c")).as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("supp"))
+      und = und.join(support, Seq("a", "b"))
+        .filter(col("supp") >= TrussK - 2)
+        .select("a", "b").localCheckpoint(true)
+      rounds += und
+    }
+    // peel curve: per-round edge and node counts, each a tagged-union
+    // aggregation over an already-materialized LogicalRDD
+    rounds.toList.zipWithIndex.map { case (e, t) =>
+      val nodes = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+        .distinct()
+      e.select(lit(1L).as("e"), lit(0L).as("n"))
+        .unionAll(nodes.select(lit(0L).as("e"), lit(1L).as("n")))
+        // coalesce: a fully-peeled (empty) round aggregates to NULL
+        // sums, while the oracle's count(*) gives 0
+        .agg(coalesce(sum("e"), lit(0L)).as("n_edges"),
+          coalesce(sum("n"), lit(0L)).as("n_nodes"))
+        .select(lit(t).as("round"), col("n_edges"), col("n_nodes"))
+    }.reduce(_ unionByName _)
+  }
 }

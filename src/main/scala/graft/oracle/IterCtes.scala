@@ -189,6 +189,45 @@ object IterCtes {
        |JOIN balls ON balls.seed = t.node""".stripMargin
   }
 
+  /** twin of [[graft.operators.GraphOps.ktruss]]: unrolled peel
+    * rounds over the 1995 part co-purchase graph, each the oriented
+    * triangle enumeration + 3-edge explode + support filter;
+    * orientation packs (deg, id) into one BIGINT (sound at oracle
+    * scale, see GraphOps.RankBase). Output is the per-round peel
+    * curve. */
+  val ktruss: String = {
+    import graft.operators.GraphOps.{RankBase, TrussCutoff, TrussIters, TrussK}
+    val rounds = (1 to TrussIters).map { i =>
+      s"""deg$i AS (SELECT n, count(*) AS deg FROM (
+         |  SELECT a AS n FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) GROUP BY n),
+         |rk$i AS (SELECT e.a, e.b, da.deg * $RankBase + e.a AS ra,
+         |    db.deg * $RankBase + e.b AS rb
+         |  FROM e${i - 1} e JOIN deg$i da ON e.a = da.n JOIN deg$i db ON e.b = db.n),
+         |o$i AS MATERIALIZED (SELECT CASE WHEN ra < rb THEN a ELSE b END AS u,
+         |  CASE WHEN ra < rb THEN b ELSE a END AS v FROM rk$i),
+         |tri$i AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         |  FROM o$i e1 JOIN o$i e2 ON e1.v = e2.u
+         |  JOIN o$i e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |supp$i AS (SELECT a, b, count(*) AS supp FROM (
+         |  SELECT least(x, y) AS a, greatest(x, y) AS b FROM tri$i
+         |  UNION ALL SELECT least(y, z), greatest(y, z) FROM tri$i
+         |  UNION ALL SELECT least(x, z), greatest(x, z) FROM tri$i) GROUP BY 1, 2),
+         |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e
+         |  JOIN supp$i s ON e.a = s.a AND e.b = s.b WHERE s.supp >= ${TrussK - 2})""".stripMargin
+    }.mkString(",\n")
+    val curve = (0 to TrussIters).map { t =>
+      s"""SELECT $t AS round, (SELECT count(*) FROM e$t) AS n_edges,
+         |  (SELECT CAST(count(DISTINCT id) AS BIGINT) FROM (
+         |    SELECT a AS id FROM e$t UNION ALL SELECT b FROM e$t)) AS n_nodes""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem WHERE l_shipdate < TIMESTAMP '$TrussCutoff'),
+       |e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS a, b.pk AS b
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+       |$rounds
+       |$curve""".stripMargin
+  }
+
   /** twin of [[graft.operators.HyperBall.harmonic]]: the same register
     * rounds as [[hyperball]], but z is read per round for the TopN
     * winners and the harmonic sum is the identical fixed-order double
