@@ -300,6 +300,9 @@ object SparkEntry {
     "it_harmonic" -> ((s, dir) => graft.operators.HyperBall.harmonic(s, dir)),
     "it_ppr" -> ((s, dir) => graft.operators.PageRank.personalized(s, dir)),
     "q19_sample_quantiles" -> ((s, dir) => graft.operators.Sketch.sampleQuantiles(s, dir)),
+    "q20_kmv_distinct" -> ((s, dir) => graft.operators.Sketch.kmvOrders(s, dir)),
+    "t_boilerplate" -> ((s, dir) => graft.operators.TextOps.boilerplate(s, dir)),
+    "pipe_chunk" -> ((s, dir) => graft.operators.TextOps.chunkStats(s, dir)),
     "s_decay" -> ((s, dir) =>
       graft.streaming.EventStreams.decayScore(graft.streaming.EventStreams.events(s, dir))),
     // engine-invariant HyperLogLog vs exact distinct (self-quantifying probe)
@@ -636,6 +639,9 @@ object SparkEntry {
     "it_harmonic" -> IterCtes.harmonicTop,
     "it_ppr" -> graft.oracle.PageRankCtes.personalized,
     "q19_sample_quantiles" -> SketchCtes.sampleQuantiles,
+    "q20_kmv_distinct" -> SketchCtes.kmvOrders,
+    "t_boilerplate" -> TextCtes.boilerplate,
+    "pipe_chunk" -> TextCtes.chunkStats,
     "s_decay" -> EventCtes.decayScore,
     "q08_hll_distinct" -> SketchCtes.hllOrders,
     "q15_cms_heavy" -> SketchCtes.cmsTopParts,

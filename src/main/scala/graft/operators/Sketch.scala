@@ -247,6 +247,32 @@ object Sketch {
         .as("fp_rate"))
   }
 
+  /** KMV (k minimum values / bottom-k) distinct sketch size. */
+  val KmvK = 256
+
+  /** Bottom-k (KMV) distinct estimator over order keys — the OTHER
+    * classic mergeable distinct sketch next to the HLL
+    * ([[hllDistinct]]): keep the [[KmvK]] smallest distinct hash
+    * values; est = (k−1)·2³²/h₍ₖ₎. Merging two shards' bottom-k sets
+    * is bottom-k of the union, and Spark's orderBy+limit IS that merge
+    * (per-partition top-k heap, then driver k-way merge — no global
+    * sort). The estimate is ONE double division over exact integers;
+    * selection/order is pure-integer, so the oracle matches
+    * bit-for-bit. Reported next to the exact distinct (and next to
+    * `q08_hll_distinct` over the same key domain, so the two sketch
+    * families can be compared directly). */
+  def kmvOrders(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tpch.table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("k")).distinct()
+    val hs = keys.select(mix(pmod(col("k"), lit(HashMod))).as("h")).distinct()
+    val bottom = hs.orderBy("h").limit(KmvK)
+      .agg(max("h").as("h_k"), count(lit(1)).as("kk"))
+    val exact = keys.agg(count(lit(1)).as("exact"))
+    bottom.crossJoin(broadcast(exact))
+      .select(col("kk").as("k"), col("h_k"),
+        ((col("kk") - 1) * lit(HashMod) / col("h_k")).as("est"), col("exact"))
+  }
+
   /** Keep 1-in-SampleMod rows by the mixed hash of the row key. */
   val SampleMod = 16L
 

@@ -245,4 +245,84 @@ object TextOps {
         when(col("top2_frac") <= RepTop2Tau && col("dup3_frac") <= RepDup3Tau, 1L)
           .otherwise(0L))
   }
+
+  /** Boilerplate gram length and document-frequency threshold: a gram
+    * appearing in more than [[BpDf]] distinct documents is corpus
+    * boilerplate (the CCNet / RefinedWeb "discard lines shared across
+    * pages" rule re-expressed over n-grams — this corpus has no line
+    * structure). */
+  val BpK = 3
+  val BpDf = 5
+  /** keep iff boilerplate ≤ 30% of grams — integer cross-multiply,
+    * never a float ratio. */
+  val BpMaxNum = 3
+  val BpMaxDen = 10
+
+  /** Corpus-level boilerplate removal: count each document's gram
+    * occurrences that hit a high-df gram. The df table is ONE
+    * partial-aggregable pass over the gram stream; the high-df
+    * survivors are by construction FEW (boilerplate is frequent but
+    * not diverse — 29 grams at sf0.01), so the per-doc count joins
+    * them BROADCAST and the gram stream never reshuffles. That is the
+    * 100 TB shape: df-pass + tiny-dictionary map-side probe, linear
+    * in corpus size. Documents shorter than [[BpK]] tokens carry
+    * zero grams and keep vacuously. */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    val t = tokenTable(spark, dir)
+    val grams = t.filter(size(col("t")) >= BpK)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(t) - $BpK), j -> array_join(slice(t, j + 1, $BpK), ' '))"))
+        .as("gram"))
+      .select(col("doc_id"), expr(fpSql("gram")).as("gfp"))
+    val bp = grams.select("doc_id", "gfp").distinct()
+      .groupBy("gfp").agg(count(lit(1)).as("df"))
+      .filter(col("df") > BpDf)
+      .select("gfp")
+    val perDoc = grams
+      .join(broadcast(bp.withColumn("hit", lit(1L))), Seq("gfp"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_bp"))
+    docs(spark, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_bp"), lit(0L)).as("n_bp"))
+      .withColumn("keep",
+        when(col("n_bp") * BpMaxDen <= col("n_grams") * BpMaxNum, 1L)
+          .otherwise(0L))
+  }
+
+  /** Chunk geometry for [[chunkStats]]: [[ChunkW]]-token windows every
+    * [[ChunkS]] tokens (overlap W−S) — the RAG/embedding ingestion
+    * split. */
+  val ChunkW = 64
+  val ChunkS = 48
+  val ChunkP = 1000000007L
+
+  /** Overlapping token-window chunking — per doc: chunk count, the
+    * short tail's length, and a fingerprint checksum over the ACTUAL
+    * chunk texts (Σ polyhash(chunk) mod P), so the query pins chunk
+    * CONTENT, not just arithmetic. Pure per-document map work: no
+    * shuffle at all until the final (tiny) output, which is the whole
+    * point — chunking 100 TB is embarrassingly parallel and anything
+    * that reshuffles the token stream is wrong. */
+  def chunkStats(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    tokenTable(spark, dir)
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        expr(
+          s"""CASE WHEN size(t) <= $ChunkW THEN CAST(1 AS BIGINT)
+             |ELSE (size(t) - $ChunkW + $ChunkS - 1) div $ChunkS + 1 END"""
+            .stripMargin).as("n_chunks"), col("t"))
+      .withColumn("last_len",
+        expr(s"size(t) - (n_chunks - 1) * $ChunkS"))
+      .withColumn("chunk_sum", expr(
+        s"""aggregate(
+           |  transform(sequence(0, CAST(n_chunks AS INT) - 1),
+           |    i -> ${fpSql(s"array_join(slice(t, i * $ChunkS + 1, $ChunkW), ' ')")}),
+           |  CAST(0 AS BIGINT), (acc, x) -> (acc + x) % $ChunkP)""".stripMargin))
+      .select("doc_id", "n_tokens", "n_chunks", "last_len", "chunk_sum")
+  }
 }

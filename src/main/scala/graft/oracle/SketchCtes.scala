@@ -117,6 +117,24 @@ object SketchCtes {
        |FROM sel""".stripMargin
   }
 
+  /** twin of [[graft.operators.Sketch.kmvOrders]]: same mix chain,
+    * bottom-k by integer order, one double division. */
+  val kmvOrders: String = {
+    import graft.operators.Sketch.KmvK
+    s"""WITH keys AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+       |h0 AS (SELECT k % $HashMod AS h FROM keys),
+       |h1 AS (SELECT xor(h, h >> 16) AS h FROM h0),
+       |h2 AS (SELECT (h * $MixMult) % $HashMod AS h FROM h1),
+       |h3 AS (SELECT xor(h, h >> 16) AS h FROM h2),
+       |h4 AS (SELECT (h * $MixMult) % $HashMod AS h FROM h3),
+       |hh AS (SELECT DISTINCT xor(h, h >> 16) AS h FROM h4),
+       |tk AS (SELECT h FROM hh ORDER BY h LIMIT $KmvK),
+       |s AS (SELECT max(h) AS h_k, count(*) AS kk FROM tk),
+       |e AS (SELECT CAST(count(*) AS BIGINT) AS exact FROM keys)
+       |SELECT kk AS k, h_k, (kk - 1) * $HashMod / h_k AS est, exact
+       |FROM s, e""".stripMargin
+  }
+
   /** twin of [[graft.operators.Sketch.sampleQuantiles]]: identical
     * degski sample predicate, identical integer rank picks. */
   val sampleQuantiles: String = {

@@ -863,4 +863,47 @@ object TextCtes {
        |  CAST(CAST(sum(term) AS HUGEINT) % $P AS BIGINT) AS checksum
        |FROM t GROUP BY 1, 2""".stripMargin
   }
+
+  /** twin of TextOps.boilerplate: gram df over distinct (doc, gram),
+    * high-df dictionary, per-doc occurrence probe, integer keep rule. */
+  val boilerplate: String = {
+    import graft.operators.TextOps.{BpDf, BpK, BpMaxDen, BpMaxNum}
+    s"""WITH t AS (SELECT doc_id, ${toks("text")} AS ts FROM documents),
+       |g AS (SELECT doc_id, ${fp("gram")} AS gfp FROM (
+       |  SELECT doc_id, unnest(list_transform(
+       |      generate_series(0, len(ts) - $BpK),
+       |      j -> array_to_string(list_slice(ts, j + 1, j + $BpK), ' '))) AS gram
+       |  FROM t WHERE len(ts) >= $BpK)),
+       |bp AS (SELECT gfp FROM (SELECT DISTINCT doc_id, gfp FROM g)
+       |  GROUP BY gfp HAVING count(*) > $BpDf),
+       |pd AS (SELECT g.doc_id, count(*) AS n_grams,
+       |    CAST(sum(CASE WHEN b.gfp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bp
+       |  FROM g LEFT JOIN bp b ON g.gfp = b.gfp GROUP BY g.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(pd.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+       |  coalesce(pd.n_bp, CAST(0 AS BIGINT)) AS n_bp,
+       |  CAST(CASE WHEN coalesce(pd.n_bp, CAST(0 AS BIGINT)) * $BpMaxDen
+       |         <= coalesce(pd.n_grams, CAST(0 AS BIGINT)) * $BpMaxNum
+       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id""".stripMargin
+  }
+
+  /** twin of TextOps.chunkStats: same chunk-count arithmetic, same
+    * per-chunk polyhash checksum (list_slice end-index == Spark's
+    * slice length form). */
+  val chunkStats: String = {
+    import graft.operators.TextOps.{ChunkP, ChunkS, ChunkW}
+    s"""WITH t AS (SELECT doc_id, ${toks("text")} AS ts FROM documents),
+       |c AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+       |  CASE WHEN len(ts) <= $ChunkW THEN CAST(1 AS BIGINT)
+       |       ELSE CAST((len(ts) - $ChunkW + $ChunkS - 1) // $ChunkS + 1 AS BIGINT)
+       |  END AS n_chunks, ts FROM t)
+       |SELECT doc_id, n_tokens, n_chunks,
+       |  CAST(n_tokens - (n_chunks - 1) * $ChunkS AS BIGINT) AS last_len,
+       |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+       |      generate_series(0, CAST(n_chunks AS INT) - 1),
+       |      i -> ${fp(s"array_to_string(list_slice(ts, i * $ChunkS + 1, i * $ChunkS + $ChunkW), ' ')")})),
+       |    (acc, x) -> (acc + x) % $ChunkP) AS BIGINT) AS chunk_sum
+       |FROM c""".stripMargin
+  }
 }
