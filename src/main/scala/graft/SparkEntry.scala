@@ -297,12 +297,17 @@ object SparkEntry {
     "it_hyperball" -> ((s, dir) => graft.operators.HyperBall.hyperball(s, dir)),
     "g_random_walks" -> ((s, dir) => graft.operators.Walks.walkVisits(s, dir)),
     "it_ktruss" -> ((s, dir) => GraphOps.ktruss(s, dir)),
+    "it_mis" -> ((s, dir) => graft.operators.Iterative.misRounds(s, dir)),
+    "s_late" -> ((s, dir) =>
+      graft.streaming.EventStreams.lateness(graft.streaming.EventStreams.events(s, dir))),
     "it_harmonic" -> ((s, dir) => graft.operators.HyperBall.harmonic(s, dir)),
     "it_ppr" -> ((s, dir) => graft.operators.PageRank.personalized(s, dir)),
     "q19_sample_quantiles" -> ((s, dir) => graft.operators.Sketch.sampleQuantiles(s, dir)),
     "q20_kmv_distinct" -> ((s, dir) => graft.operators.Sketch.kmvOrders(s, dir)),
     "t_boilerplate" -> ((s, dir) => graft.operators.TextOps.boilerplate(s, dir)),
     "pipe_chunk" -> ((s, dir) => graft.operators.TextOps.chunkStats(s, dir)),
+    "ann_hard_negatives" -> ((s, dir) => graft.operators.Similarity.hardNegatives(s, dir)),
+    "pipe_balance" -> ((s, dir) => graft.operators.Pipeline.balanceClasses(s, dir)),
     "s_decay" -> ((s, dir) =>
       graft.streaming.EventStreams.decayScore(graft.streaming.EventStreams.events(s, dir))),
     // engine-invariant HyperLogLog vs exact distinct (self-quantifying probe)
@@ -636,12 +641,16 @@ object SparkEntry {
     "it_hyperball" -> IterCtes.hyperball,
     "g_random_walks" -> IterCtes.randomWalks,
     "it_ktruss" -> IterCtes.ktruss,
+    "it_mis" -> IterCtes.misRounds,
+    "s_late" -> EventCtes.lateness,
     "it_harmonic" -> IterCtes.harmonicTop,
     "it_ppr" -> graft.oracle.PageRankCtes.personalized,
     "q19_sample_quantiles" -> SketchCtes.sampleQuantiles,
     "q20_kmv_distinct" -> SketchCtes.kmvOrders,
     "t_boilerplate" -> TextCtes.boilerplate,
     "pipe_chunk" -> TextCtes.chunkStats,
+    "ann_hard_negatives" -> TextCtes.hardNegatives,
+    "pipe_balance" -> TextCtes.balanceClasses,
     "s_decay" -> EventCtes.decayScore,
     "q08_hll_distinct" -> SketchCtes.hllOrders,
     "q15_cms_heavy" -> SketchCtes.cmsTopParts,

@@ -330,4 +330,74 @@ object Iterative {
     edges.unpersist()
     deg.filter(col("deg") >= 1).select(col("node").as("id"))
   }
+
+  /** Luby MIS geometry: unique-ish integer priority (mixed hash of the
+    * node packed with node mod 10⁷; a residual collision just makes
+    * both colliders wait — deterministic on both engines) and bounded
+    * selection rounds. */
+  val MisIters = 3
+  val MisIdMod = 10000000L
+
+  /** Maximal-independent-set rounds (Luby 1986, the deterministic
+    * variant): a node joins the MIS when its priority is a strict
+    * local minimum among still-active neighbors (isolated-in-active
+    * nodes join unconditionally); winners and their neighbors
+    * deactivate. MIS is THE symmetry-breaking primitive under
+    * distributed coloring/scheduling — and the Spark expression is one
+    * (edges ⋈ priorities → min-per-dst) partial-agg shuffle plus two
+    * anti-joins per round, with each round's active set
+    * localCheckpoint'ed (same lineage-truncation discipline as
+    * [[iterateMin]]; the active table is referenced 4× per round).
+    * Independence is invariant-checked in the spec; with bounded
+    * rounds the set is independent and maximal over the deactivated
+    * region — the oracle unrolls the identical rounds. */
+  def misRounds(spark: SparkSession, dir: String): DataFrame = {
+    val (mis, active, edges) = misSets(spark, dir)
+    val out = mis.join(TpchGraph.nodes(spark, dir)
+        .select(col("id").as("node"), col("kind")), "node")
+      .groupBy("kind").agg(count(lit(1)).as("n_mis"))
+    val undecided = active.agg(count(lit(1)).as("n_undecided"))
+    val res = out.crossJoin(broadcast(undecided)).localCheckpoint()
+    edges.unpersist()
+    res
+  }
+
+  /** (MIS nodes, still-undecided nodes, persisted symmetric edges) —
+    * exposed so the independence invariant is spec-checkable. Caller
+    * owns unpersisting the edge table. */
+  private[graft] def misSets(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val rels = TpchGraph.relsLite(spark, dir).select("src", "dst")
+    val edges = rels
+      .unionAll(rels.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().repartition(col("dst")).persist()
+    val prio = Sketch.mix(pmod(col("node"), lit(Sketch.HashMod))) *
+      MisIdMod + pmod(col("node"), lit(MisIdMod))
+    var active = TpchGraph.nodes(spark, dir)
+      .select(col("id").as("node")).withColumn("p", prio)
+      .localCheckpoint(true)
+    val maxRows = broadcastMaxRows(spark)
+    var mis = active.select("node").limit(0).localCheckpoint(true)
+    for (_ <- 1 to MisIters) {
+      val nActive = active.count()
+      val h = hinted(active, nActive, maxRows)
+      // min active-neighbor priority per node: one partial-agg shuffle
+      val nbrMin = edges
+        .join(h.select(col("node").as("src"), col("p").as("sp")), "src")
+        .groupBy(col("dst").as("node")).agg(min("sp").as("minp"))
+      val winners = active.join(nbrMin, Seq("node"), "left")
+        .filter(col("minp").isNull || col("p") < col("minp"))
+        .select("node").localCheckpoint(true)
+      val nWin = winners.count()
+      val wh = hinted(winners, nWin, maxRows)
+      val removed = wh.unionAll(
+        edges.join(wh.select(col("node").as("src")), "src")
+          .select(col("dst").as("node")))
+        .distinct()
+      mis = mis.unionAll(winners).localCheckpoint(true)
+      active = active.join(removed, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+    }
+    (mis, active, edges)
+  }
 }

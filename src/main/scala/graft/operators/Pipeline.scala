@@ -246,4 +246,36 @@ object Pipeline {
         expr(s"CAST(sum(CAST(term AS DECIMAL(38,0))) % ${TextOps.P} AS BIGINT)")
           .as("checksum"))
   }
+
+  /** Per-class keep cap and selection-checksum modulus for
+    * [[balanceClasses]]. */
+  val BalanceCap = 100L
+  val BalanceP = 1000000007L
+
+  /** Class-balanced resampling: cap every label at [[BalanceCap]]
+    * examples, chosen by deterministic hash order (so the undersample
+    * is reproducible and shard-stable — re-running on re-partitioned
+    * data keeps the SAME examples). The report carries a selection
+    * checksum (Σ vec_id·rank mod P over kept rows), pinning exactly
+    * WHICH rows survive, not just how many. The per-label rank is a
+    * window over one label's rows; labels are the parallelism unit —
+    * for a label too hot for one partition, the same selection is a
+    * threshold lookup (keep h below the label's Cap-th smallest hash,
+    * a bottom-k per group à la [[Sketch.kmvOrders]]) — the window form
+    * is the exact-parity twin of that. */
+  def balanceClasses(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.sources.Tpch.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+      .withColumn("h",
+        Sketch.mix(pmod(col("vec_id") * 131L, lit(Sketch.HashMod))))
+    val w = Window.partitionBy("label").orderBy(col("h"), col("vec_id"))
+    e.withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("rn") <= BalanceCap, 1L).otherwise(0L)).as("n_kept"),
+        pmod(sum(when(col("rn") <= BalanceCap,
+          pmod(col("vec_id") * col("rn"), lit(BalanceP))).otherwise(0L)),
+          lit(BalanceP)).as("kept_sum"))
+  }
 }

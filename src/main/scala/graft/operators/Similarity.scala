@@ -278,6 +278,39 @@ object Similarity {
       .select(col("variant"), col("n_hits"), col("n_truth"), col("recall"))
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * query, the top-K most-similar candidates whose label DIFFERS
+    * (similar-but-wrong examples are what the trainer needs). Same
+    * broadcast-query kernel as [[annBruteForce]], plus a label
+    * inequality before scoring — the filter runs inside the codegen
+    * stage, so wrong-label candidates are skipped before the dot
+    * product, and at scale the kernel composes with the IVF/LSH
+    * bucketing the same way the plain top-k does. */
+  private val hardNegMemo = new graft.SessionMemo[DataFrame]
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    hardNegMemo.getOrElseUpdate(spark, dir)(
+      hardNegativesCompute(spark, dir).persist())
+
+  private def hardNegativesCompute(spark: SparkSession, dir: String): DataFrame = {
+    val labels = Tpch.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val e = quantizedCached(spark, dir).join(labels, "vec_id")
+    val queries = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qv"),
+        col("nrm").as("qn"), col("label").as("q_label"))
+    val cands = e.select(col("vec_id").as("nid"), col("q").as("cv"),
+      col("nrm").as("cn"), col("label").as("n_label"))
+    val scored = broadcast(queries).crossJoin(cands)
+      .filter(col("q_label") =!= col("n_label"))
+      .withColumn("dot", dot("qv", "cv"))
+      .withColumn("cos", cos)
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("q_label"), col("rank"), col("nid"),
+        col("n_label"), col("cos"))
+  }
+
   /** Embedding-cosine near-dup over embeddings ∪ perturbed copy
     * (each quantized component +1, ids offset): pairs in the same LSH
     * bucket with cos ≥ τ. Bucket-blocked join = linear-scale near-dup. */

@@ -89,6 +89,9 @@ object Sketch {
   /** the two degski rounds + final xor as one Column (identical to the
     * chained-select pipeline in [[hllDistinct]]; also the register hash
     * of [[HyperBall]]) */
+  /** [[mix]] for callers outside this package (streaming ops). */
+  def mixPub(c: Column): Column = mix(c)
+
   private[operators] def mix(c: Column): Column = {
     val a = c.bitwiseXOR(shiftright(c, 16))
     val b = pmod(a * MixMult, lit(HashMod))

@@ -113,6 +113,34 @@ object EventCtes {
        |SELECT win, event_type, n, rnk FROM r WHERE rnk <= $k""".stripMargin
   }
 
+  /** twin of EventStreams.lateness: identical modeled arrival delay
+    * (degski chain mod 2 h), identical arrival-replay window and
+    * lateness buckets. */
+  val lateness: String = {
+    import graft.operators.Sketch.{HashMod, MixMult}
+    val jit = graft.streaming.EventStreams.LateMaxJitterUs
+    s"""WITH e0 AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+       |  event_id % $HashMod AS h FROM events),
+       |e1 AS (SELECT * REPLACE (xor(h, h >> 16) AS h) FROM e0),
+       |e2 AS (SELECT * REPLACE ((h * $MixMult) % $HashMod AS h) FROM e1),
+       |e3 AS (SELECT * REPLACE (xor(h, h >> 16) AS h) FROM e2),
+       |e4 AS (SELECT * REPLACE ((h * $MixMult) % $HashMod AS h) FROM e3),
+       |e AS (SELECT user_id, event_id, us,
+       |  us + (xor(h, h >> 16) % $jit) AS arr_us FROM e4),
+       |r AS (SELECT user_id, event_id, us,
+       |  max(us) OVER (PARTITION BY user_id ORDER BY arr_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us AS late_us
+       |  FROM e),
+       |b AS (SELECT CASE
+       |    WHEN late_us = 0 THEN 'a_on_time'
+       |    WHEN late_us < 60000000 THEN 'b_lt_1m'
+       |    WHEN late_us < 3600000000 THEN 'c_lt_1h'
+       |    WHEN late_us < 21600000000 THEN 'd_lt_6h'
+       |    ELSE 'e_ge_6h' END AS bucket, late_us FROM r)
+       |SELECT bucket, count(*) AS n_events, max(late_us) AS max_late_us
+       |FROM b GROUP BY bucket""".stripMargin
+  }
+
   /** twin of EventStreams.decayScore: identical hour buckets, capped
     * right-shift halving, integer sums. */
   val decayScore: String = {

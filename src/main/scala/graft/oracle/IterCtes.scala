@@ -189,6 +189,44 @@ object IterCtes {
        |JOIN balls ON balls.seed = t.node""".stripMargin
   }
 
+  /** twin of [[graft.operators.Iterative.misRounds]]: same priorities
+    * (degski mix × 10⁷ + node mod 10⁷), same strict-local-min rounds
+    * unrolled, winners ∪ their neighbors deactivate. */
+  val misRounds: String = {
+    import graft.operators.Iterative.{MisIdMod, MisIters}
+    import graft.operators.Sketch.{HashMod, MixMult}
+    val rounds = (1 to MisIters).map { r =>
+      s"""nm$r AS (SELECT e.dst AS node, min(a.p) AS minp
+         |  FROM edges e JOIN a${r - 1} a ON e.src = a.node GROUP BY e.dst),
+         |w$r AS MATERIALIZED (SELECT a.node FROM a${r - 1} a
+         |  LEFT JOIN nm$r m ON a.node = m.node
+         |  WHERE m.minp IS NULL OR a.p < m.minp),
+         |rm$r AS (SELECT DISTINCT node FROM (
+         |  SELECT node FROM w$r
+         |  UNION ALL SELECT e.dst FROM edges e JOIN w$r w ON e.src = w.node)),
+         |a$r AS MATERIALIZED (SELECT a.node, a.p FROM a${r - 1} a
+         |  LEFT JOIN rm$r x ON a.node = x.node WHERE x.node IS NULL)""".stripMargin
+    }.mkString(",\n")
+    val misUnion = (1 to MisIters).map(r => s"SELECT node FROM w$r")
+      .mkString(" UNION ALL ")
+    s"""${Ctes.graph},
+       |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM rels UNION ALL SELECT dst, src FROM rels)),
+       |h0 AS (SELECT id AS node, id % $HashMod AS h FROM nodes),
+       |h1 AS (SELECT node, xor(h, h >> 16) AS h FROM h0),
+       |h2 AS (SELECT node, (h * $MixMult) % $HashMod AS h FROM h1),
+       |h3 AS (SELECT node, xor(h, h >> 16) AS h FROM h2),
+       |h4 AS (SELECT node, (h * $MixMult) % $HashMod AS h FROM h3),
+       |hh AS (SELECT node, xor(h, h >> 16) AS h FROM h4),
+       |a0 AS MATERIALIZED (SELECT node, h * $MisIdMod + node % $MisIdMod AS p FROM hh),
+       |$rounds,
+       |mis AS ($misUnion)
+       |SELECT n.kind, count(*) AS n_mis,
+       |  (SELECT count(*) FROM a$MisIters) AS n_undecided
+       |FROM mis JOIN nodes n ON mis.node = n.id
+       |GROUP BY n.kind""".stripMargin
+  }
+
   /** twin of [[graft.operators.GraphOps.ktruss]]: unrolled peel
     * rounds over the 1995 part co-purchase graph, each the oriented
     * triangle enumeration + 3-edge explode + support filter;

@@ -864,6 +864,57 @@ object TextCtes {
        |FROM t GROUP BY 1, 2""".stripMargin
   }
 
+  /** twin of Similarity.hardNegatives: brute-force kernel with the
+    * label-inequality filter; labels joined back onto the ranked
+    * output. */
+  val hardNegatives: String = {
+    import graft.operators.Similarity.{K, QueryMod}
+    s"""WITH $embBase,
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |dots AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS nid, CAST(sum(a.x * b.x) AS BIGINT) AS dot
+       |  FROM el a JOIN el b ON a.i = b.i
+       |  JOIN lab la ON la.vec_id = a.vec_id
+       |  JOIN lab lb ON lb.vec_id = b.vec_id
+       |  WHERE a.vec_id % $QueryMod = 0 AND la.label <> lb.label
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.qid, d.nid, d.dot / (sqrt(qa.nrm) * sqrt(qb.nrm)) AS cos
+       |  FROM dots d JOIN valid qa ON d.qid = qa.vec_id
+       |  JOIN valid qb ON d.nid = qb.vec_id),
+       |ranked AS (
+       |  SELECT qid, nid, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+       |  FROM scored)
+       |SELECT r.qid, la.label AS q_label, r.rnk AS rank, r.nid,
+       |  lb.label AS n_label, r.cos
+       |FROM ranked r
+       |JOIN lab la ON r.qid = la.vec_id
+       |JOIN lab lb ON r.nid = lb.vec_id
+       |WHERE r.rnk <= $K""".stripMargin
+  }
+
+  /** twin of Pipeline.balanceClasses: same mix-hash order, same
+    * capped-rank keep, same selection checksum. */
+  val balanceClasses: String = {
+    import graft.operators.Pipeline.{BalanceCap, BalanceP}
+    import graft.operators.Sketch.{HashMod, MixMult}
+    s"""WITH b AS (SELECT vec_id, label, (vec_id * 131) % $HashMod AS h FROM embeddings),
+       |h1 AS (SELECT vec_id, label, xor(h, h >> 16) AS h FROM b),
+       |h2 AS (SELECT vec_id, label, (h * $MixMult) % $HashMod AS h FROM h1),
+       |h3 AS (SELECT vec_id, label, xor(h, h >> 16) AS h FROM h2),
+       |h4 AS (SELECT vec_id, label, (h * $MixMult) % $HashMod AS h FROM h3),
+       |hh AS (SELECT vec_id, label, xor(h, h >> 16) AS h FROM h4),
+       |r AS (SELECT vec_id, label,
+       |  row_number() OVER (PARTITION BY label ORDER BY h, vec_id) AS rn FROM hh)
+       |SELECT label, count(*) AS n_total,
+       |  CAST(sum(CASE WHEN rn <= $BalanceCap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(CAST(sum(CASE WHEN rn <= $BalanceCap
+       |      THEN (vec_id * rn) % $BalanceP ELSE 0 END) AS HUGEINT)
+       |    % $BalanceP AS BIGINT) AS kept_sum
+       |FROM r GROUP BY label""".stripMargin
+  }
+
   /** twin of TextOps.boilerplate: gram df over distinct (doc, gram),
     * high-df dictionary, per-doc occurrence probe, integer keep rule. */
   val boilerplate: String = {

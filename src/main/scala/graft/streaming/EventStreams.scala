@@ -67,6 +67,41 @@ object EventStreams {
       .filter(col("rnk") <= TrendingK)
   }
 
+  /** Per-event modeled ingestion delay bound: the corpus carries no
+    * ingestion timestamp, so arrival = event time + (mixed hash of
+    * event_id mod 2 h) — a deterministic stand-in with the statistics
+    * of network/batching delay. On a real stream, replace `arr_us`
+    * with the ingestion column; everything else is unchanged. */
+  val LateMaxJitterUs = 7200000000L
+
+  /** Out-of-orderness audit — the measurement that SIZES a watermark.
+    * Events are replayed in arrival order per user; an event is late
+    * by (running-max event time − its event time). The report buckets
+    * that lateness (on-time / <1m / <1h / <6h / ≥6h) with counts and
+    * the bucket's worst case: exactly the "what delay covers 99.9% of
+    * events" table you read before choosing `withWatermark`. One
+    * per-user window pass (arrival replay) + one tiny groupBy — the
+    * same cost as sessionize, and integer-exact on both engines. */
+  def lateness(ev: DataFrame): DataFrame = {
+    val arr = expr("unix_micros(ts)") +
+      pmod(graft.operators.Sketch.mixPub(
+        pmod(col("event_id"), lit(graft.operators.Sketch.HashMod))),
+        lit(LateMaxJitterUs))
+    val w = Window.partitionBy("user_id").orderBy("arr_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"), arr.as("arr_us"))
+      .withColumn("late_us", max("us").over(w) - col("us"))
+      .withColumn("bucket",
+        when(col("late_us") === 0L, "a_on_time")
+          .when(col("late_us") < 60L * 1000000L, "b_lt_1m")
+          .when(col("late_us") < 3600L * 1000000L, "c_lt_1h")
+          .when(col("late_us") < 6L * 3600L * 1000000L, "d_lt_6h")
+          .otherwise("e_ge_6h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_events"), max("late_us").as("max_late_us"))
+  }
+
   /** Exponential time-decay scoring — the recency weighting every
     * feed-ranking / trending-content pipeline applies before anything
     * else, in ENGINE-EXACT integer arithmetic: value halves per
