@@ -126,12 +126,16 @@ object Iterative {
     // converged tail costs zero jobs instead of 2·rounds
     while (round < iters && frontierRows > 0) {
       val t0 = System.nanoTime()
+      // LAZY checkpoint: the frontier count below is the action that
+      // materializes it, so each round runs ONE job (round shuffle +
+      // checkpoint write + count) instead of two. Lineage truncation
+      // is identical — the block is pinned on first action.
       val joined = costRound(v, frontier, edges, cost, frontierRows, maxRows)
-        .localCheckpoint(true)
-      itLog(s"round $round (frontier=$frontierRows): ${(System.nanoTime() - t0) / 1e9}s")
+        .localCheckpoint(false)
       frontier = joined.filter(col("newl") < col("label"))
         .select(col("node"), col("newl").as("label"))
       frontierRows = frontier.count()
+      itLog(s"round $round (frontier=$frontierRows): ${(System.nanoTime() - t0) / 1e9}s")
       v = joined.select(col("node"), col("newl").as("label"))
       round += 1
     }
