@@ -80,14 +80,17 @@ object PageRank {
           col("src") === col("u"))
         .groupBy(col("dst").as("node"))
         .agg(sum("share").as("inflow"))
-      // eager localCheckpoint: truncates lineage so round k+1 plans
-      // against a constant-size LogicalRDD (see Iterative.iterateMin);
-      // superseded rounds are garbage-collected with their reference.
+      // LAZY localCheckpoint: truncates the logical plan identically
+      // (round k+1 plans against a constant-size LogicalRDD, see
+      // Iterative.iterateMin) but defers materialization — the final
+      // top-k action executes the whole round chain as ONE job's
+      // stages instead of one eager job per round. RDD lineage (cheap)
+      // chains; Catalyst plans (the thing that blows up) do not.
       pr = base.join(shares, Seq("node"), "left")
         .select(col("node"), col("ind"), col("outdeg"),
           // integer div, not `/` (Spark's / on BIGINT yields DOUBLE)
           expr(s"$RestartUnit * ind + (85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100").as("pr"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     edges.unpersist()
 
