@@ -377,11 +377,15 @@ object Iterative {
       .distinct().repartition(col("dst")).persist()
     val prio = Sketch.mix(pmod(col("node"), lit(Sketch.HashMod))) *
       MisIdMod + pmod(col("node"), lit(MisIdMod))
+    // lazy checkpoints throughout: each round's count is the action
+    // that pins the block (see iterateCost) — one job per table per
+    // round instead of two. `mis` is a linear union of the (already
+    // checkpointed) winners, so it needs no checkpoint of its own.
     var active = TpchGraph.nodes(spark, dir)
       .select(col("id").as("node")).withColumn("p", prio)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val maxRows = broadcastMaxRows(spark)
-    var mis = active.select("node").limit(0).localCheckpoint(true)
+    var mis = active.select("node").limit(0)
     for (_ <- 1 to MisIters) {
       val nActive = active.count()
       val h = hinted(active, nActive, maxRows)
@@ -391,16 +395,16 @@ object Iterative {
         .groupBy(col("dst").as("node")).agg(min("sp").as("minp"))
       val winners = active.join(nbrMin, Seq("node"), "left")
         .filter(col("minp").isNull || col("p") < col("minp"))
-        .select("node").localCheckpoint(true)
+        .select("node").localCheckpoint(false)
       val nWin = winners.count()
       val wh = hinted(winners, nWin, maxRows)
       val removed = wh.unionAll(
         edges.join(wh.select(col("node").as("src")), "src")
           .select(col("dst").as("node")))
         .distinct()
-      mis = mis.unionAll(winners).localCheckpoint(true)
+      mis = mis.unionAll(winners)
       active = active.join(removed, Seq("node"), "left_anti")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     (mis, active, edges)
   }
