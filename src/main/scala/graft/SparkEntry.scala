@@ -308,6 +308,9 @@ object SparkEntry {
     "pipe_chunk" -> ((s, dir) => graft.operators.TextOps.chunkStats(s, dir)),
     "ann_hard_negatives" -> ((s, dir) => graft.operators.Similarity.hardNegatives(s, dir)),
     "pipe_balance" -> ((s, dir) => graft.operators.Pipeline.balanceClasses(s, dir)),
+    "t_bm25" -> ((s, dir) => graft.operators.TextOps.bm25TopDocs(s, dir)),
+    "s_scd2" -> ((s, dir) =>
+      graft.streaming.EventStreams.scd2(graft.streaming.EventStreams.events(s, dir))),
     "s_decay" -> ((s, dir) =>
       graft.streaming.EventStreams.decayScore(graft.streaming.EventStreams.events(s, dir))),
     // engine-invariant HyperLogLog vs exact distinct (self-quantifying probe)
@@ -651,6 +654,8 @@ object SparkEntry {
     "pipe_chunk" -> TextCtes.chunkStats,
     "ann_hard_negatives" -> TextCtes.hardNegatives,
     "pipe_balance" -> TextCtes.balanceClasses,
+    "t_bm25" -> TextCtes.bm25TopDocs,
+    "s_scd2" -> EventCtes.scd2,
     "s_decay" -> EventCtes.decayScore,
     "q08_hll_distinct" -> SketchCtes.hllOrders,
     "q15_cms_heavy" -> SketchCtes.cmsTopParts,

@@ -92,6 +92,13 @@ object Sketch {
   /** [[mix]] for callers outside this package (streaming ops). */
   def mixPub(c: Column): Column = mix(c)
 
+  /** [[bitLen]] over a 32-bit-bounded value for callers outside the
+    * HLL (integer-log idf in [[TextOps.bm25TopDocs]]). */
+  def bitLenPub(c: Column): Column =
+    (1 to 32).foldLeft(lit(0)) { (acc, b) =>
+      when(c >= (1L << (b - 1)), lit(b)).otherwise(acc)
+    }
+
   private[operators] def mix(c: Column): Column = {
     val a = c.bitwiseXOR(shiftright(c, 16))
     val b = pmod(a * MixMult, lit(HashMod))

@@ -294,6 +294,67 @@ object TextOps {
           .otherwise(0L))
   }
 
+  /** Retrieval geometry for [[bm25TopDocs]]: [[BmQueries]] two-term
+    * AND queries drawn from the global frequency-ranked vocabulary,
+    * k1 = [[BmK1]], scores scaled by [[BmScale]]. */
+  val BmQueries = 5
+  val BmK1 = 2L
+  val BmScale = 1000L
+  val BmTopK = 10
+
+  /** BM25-shaped full-text retrieval, integer-quantized so both
+    * engines rank identically: idf is the BIT LENGTH of N/df (an
+    * integer log₂ — preserves idf's ordering), tf saturates as
+    * tf·(k1+1)·Scale div (tf + k1 + k1·len div avglen) (the classic
+    * shape with the length norm folded into the denominator), and a
+    * document scores only when it contains EVERY query term (AND
+    * semantics via a distinct-term count). No log()/float anywhere —
+    * a float BM25 could never be hash-compared across engines, and at
+    * 100 TB you want the scoring expression codegen'd, not a UDF.
+    *
+    * Plan shape: postings/df/doclen are partial-aggregable passes over
+    * the token stream; the query set (10 terms) broadcasts against the
+    * postings, so the index side never reshuffles per query — the
+    * standard "query joins the inverted index" retrieval plan. */
+  def bm25TopDocs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ensureRegistered(spark)
+    val toks = tokenTable(spark, dir)
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+    val postings = toks
+      .select(col("doc_id"), expr(fpSql("tok")).as("tfp"))
+      .groupBy("doc_id", "tfp").agg(count(lit(1)).as("tf"))
+    val df = postings.groupBy("tfp").agg(count(lit(1)).as("df"))
+    val doclen = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    // one row: corpus size and integer average doc length
+    val corpus = doclen.agg(count(lit(1)).as("n_docs"),
+      expr("sum(len) div count(1)").as("avglen"))
+    // query terms: ranks 1..2·BmQueries of the global term frequency
+    // order (count desc, token asc), paired (1,2)(3,4)… — a
+    // deterministic stand-in for a real query log
+    val w = Window.partitionBy(lit(0)).orderBy(col("n").desc, col("tok"))
+    val queries = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(2 * BmQueries)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(expr("(rn - 1) div 2").as("qid"),
+        expr(fpSql("tok")).as("tfp"))
+    val idf = Sketch.bitLenPub(expr("n_docs div df"))
+    val scored = postings
+      .join(broadcast(queries), "tfp")
+      .join(broadcast(df), "tfp")
+      .join(doclen, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("term_score", idf *
+        expr(s"(tf * ${BmK1 + 1} * $BmScale) div (tf + $BmK1 + ($BmK1 * len) div avglen)"))
+      .groupBy("qid", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("term_score").as("score"))
+      .filter(col("n_terms") === 2L) // AND semantics
+    val wq = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(wq).cast("long"))
+      .filter(col("rank") <= BmTopK)
+      .select("qid", "rank", "doc_id", "score")
+  }
+
   /** Chunk geometry for [[chunkStats]]: [[ChunkW]]-token windows every
     * [[ChunkS]] tokens (overlap W−S) — the RAG/embedding ingestion
     * split. */

@@ -113,6 +113,25 @@ object EventCtes {
        |SELECT win, event_type, n, rnk FROM r WHERE rnk <= $k""".stripMargin
   }
 
+  /** twin of EventStreams.scd2: lag change detection + lead interval
+    * close over the same (user, time) order; open version = −1. */
+  val scd2: String = {
+    val m = graft.streaming.EventStreams.Scd2UserMod
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id, ts
+       |  FROM events WHERE user_id % $m = 0),
+       |c AS (SELECT *, lag(event_type, 1) OVER (
+       |    PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM e),
+       |chg AS (SELECT user_id, event_type, us, event_id FROM c
+       |  WHERE prev_type IS NULL OR prev_type <> event_type)
+       |SELECT user_id,
+       |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT)
+       |    AS version,
+       |  event_type AS state, us AS valid_from_us,
+       |  coalesce(lead(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id),
+       |    CAST(-1 AS BIGINT)) AS valid_to_us
+       |FROM chg""".stripMargin
+  }
+
   /** twin of EventStreams.lateness: identical modeled arrival delay
     * (degski chain mod 2 h), identical arrival-replay window and
     * lateness buckets. */

@@ -915,6 +915,44 @@ object TextCtes {
        |FROM r GROUP BY label""".stripMargin
   }
 
+  /** twin of TextOps.bm25TopDocs: same integer idf (bit-length
+    * cascade), saturating tf, AND gate, and (score desc, doc) rank. */
+  val bm25TopDocs: String = {
+    import graft.operators.TextOps.{BmK1, BmQueries, BmScale, BmTopK}
+    val bitCase = (32 to 1 by -1)
+      .map(b => s"WHEN (c.n_docs // df.df) >= ${1L << (b - 1)} THEN $b")
+      .mkString(" ")
+    s"""WITH t AS (SELECT doc_id, unnest(${toks("text")}) AS tok FROM documents),
+       |postings AS (SELECT doc_id, ${fp("tok")} AS tfp, count(*) AS tf
+       |  FROM t GROUP BY 1, 2),
+       |df AS (SELECT tfp, count(*) AS df FROM postings GROUP BY tfp),
+       |doclen AS (SELECT doc_id, count(*) AS len FROM t GROUP BY doc_id),
+       |corpus AS (SELECT count(*) AS n_docs, sum(len) // count(*) AS avglen
+       |  FROM doclen),
+       |ranked_terms AS (SELECT tok, count(*) AS n,
+       |  row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+       |  FROM t GROUP BY tok ORDER BY n DESC, tok LIMIT ${2 * BmQueries}),
+       |queries AS (SELECT (rn - 1) // 2 AS qid, ${fp("tok")} AS tfp
+       |  FROM ranked_terms),
+       |scored0 AS (SELECT q.qid, p.doc_id,
+       |  (CASE $bitCase ELSE 0 END) *
+       |    ((p.tf * ${BmK1 + 1} * $BmScale) //
+       |     (p.tf + $BmK1 + ($BmK1 * l.len) // c.avglen)) AS term_score
+       |  FROM postings p
+       |  JOIN queries q ON p.tfp = q.tfp
+       |  JOIN df ON p.tfp = df.tfp
+       |  JOIN doclen l ON p.doc_id = l.doc_id
+       |  CROSS JOIN corpus c),
+       |agg AS (SELECT qid, doc_id, count(*) AS n_terms,
+       |  CAST(sum(term_score) AS BIGINT) AS score
+       |  FROM scored0 GROUP BY 1, 2),
+       |rk AS (SELECT qid, doc_id, score,
+       |  CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM agg WHERE n_terms = 2)
+       |SELECT qid, rank, doc_id, score FROM rk WHERE rank <= $BmTopK""".stripMargin
+  }
+
   /** twin of TextOps.boilerplate: gram df over distinct (doc, gram),
     * high-df dictionary, per-doc occurrence probe, integer keep rule. */
   val boilerplate: String = {

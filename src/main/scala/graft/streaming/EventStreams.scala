@@ -67,6 +67,39 @@ object EventStreams {
       .filter(col("rnk") <= TrendingK)
   }
 
+  /** [[scd2]] materializes history for 1-in-[[Scd2UserMod]] users (the
+    * full version table at sf0.01 is the whole event stream's runs;
+    * the slice keeps the oracle row count proportionate — the operator
+    * itself is per-user-linear). */
+  val Scd2UserMod = 10L
+
+  /** Slowly-changing-dimension (type 2) build — the warehouse
+    * dimension-history op: each run of equal consecutive states per
+    * user becomes a version row [valid_from, valid_to), the open
+    * version carrying −1. One lag window detects changes, one lead
+    * window closes intervals — two passes over the SAME (user, time)
+    * partitioning, so the exchange is paid once. Versions are integer
+    * micros; no floats. At 100 TB this is the standard
+    * "compact events into dimension history" job, and the plan is the
+    * one you want: partition by the dimension key, window locally,
+    * never a global sort. */
+  def scd2(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val changes = ev.filter(pmod(col("user_id"), lit(Scd2UserMod)) === 0)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"), col("event_id"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+    val w2 = Window.partitionBy("user_id").orderBy("us", "event_id")
+    changes
+      .withColumn("version", row_number().over(w2).cast("long"))
+      .withColumn("valid_to_us",
+        coalesce(lead("us", 1).over(w2), lit(-1L)))
+      .select(col("user_id"), col("version"), col("event_type").as("state"),
+        col("us").as("valid_from_us"), col("valid_to_us"))
+  }
+
   /** Per-event modeled ingestion delay bound: the corpus carries no
     * ingestion timestamp, so arrival = event time + (mixed hash of
     * event_id mod 2 h) — a deterministic stand-in with the statistics
