@@ -59,6 +59,17 @@ object Interchange {
       .schema(schema)
       .json(path)
 
+  /** ORC: the other typed columnar format a warehouse migration brings
+    * along (Hive estates). Spark ships the reader/writer natively;
+    * unlike CSV/JSON the schema and stats travel in the file, so no
+    * schema-on-write contract is needed and predicate pushdown works
+    * the same as parquet (`PushedFilters` in the scan). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Ingest pattern: interchange file → typed parquet landing table.
     * Returns the landed DataFrame (reading the parquet copy). */
   def landToParquet(spark: SparkSession, src: DataFrame, dest: String): DataFrame = {

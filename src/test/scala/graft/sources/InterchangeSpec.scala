@@ -63,4 +63,17 @@ class InterchangeSpec extends SparkTestBase {
     }
     assertSame(q01(li), q01(landed))
   }
+
+  test("orders round-trips through ORC with schema and pushdown intact") {
+    val orders = Tpch.table(spark, dir, "orders")
+    val path = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    Interchange.writeOrc(orders, path)
+    val back = Interchange.readOrc(spark, path)
+    assertSame(orders, back)
+    // typed columnar: a filter reaches the ORC scan as a pushed filter
+    val plan = back.filter(back("o_orderkey") === 42L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderkey"),
+      s"no pushdown in ORC scan:\n$plan")
+  }
 }
