@@ -309,6 +309,7 @@ object SparkEntry {
     "ann_hard_negatives" -> ((s, dir) => graft.operators.Similarity.hardNegatives(s, dir)),
     "pipe_balance" -> ((s, dir) => graft.operators.Pipeline.balanceClasses(s, dir)),
     "t_bm25" -> ((s, dir) => graft.operators.TextOps.bm25TopDocs(s, dir)),
+    "dd_prefix_join" -> ((s, dir) => Dedup.prefixJaccard(s, dir)),
     "s_scd2" -> ((s, dir) =>
       graft.streaming.EventStreams.scd2(graft.streaming.EventStreams.events(s, dir))),
     "s_decay" -> ((s, dir) =>
@@ -655,6 +656,9 @@ object SparkEntry {
     "ann_hard_negatives" -> TextCtes.hardNegatives,
     "pipe_balance" -> TextCtes.balanceClasses,
     "t_bm25" -> TextCtes.bm25TopDocs,
+    // oracle is the PLAIN inverted-index Jaccard: hash equality proves
+    // the prefix pruning lossless (cf. dd_incremental)
+    "dd_prefix_join" -> TextCtes.ngramJaccard,
     "s_scd2" -> EventCtes.scd2,
     "s_decay" -> EventCtes.decayScore,
     "q08_hll_distinct" -> SketchCtes.hllOrders,

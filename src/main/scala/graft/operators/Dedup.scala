@@ -119,6 +119,61 @@ object Dedup {
       verifiedPairs(nearShingles(spark, dir)).persist())
   }
 
+  /** Prefix-filtered set-similarity join (AllPairs/PPJoin family,
+    * Bayardo et al. WWW'07): each document indexes only its PREFIX —
+    * the |s| − ⌈τ|s|⌉ + 1 globally-rarest shingles (global order =
+    * (df asc, sfp asc)) — and two documents become a candidate only if
+    * their prefixes share a shingle. For J(a,b) ≥ τ the intersection
+    * is ≥ ⌈τ|a|⌉ and ≥ ⌈τ|b|⌉, so the globally-smallest shared
+    * shingle must sit in BOTH prefixes — the pruning is LOSSLESS, and
+    * this query's oracle is deliberately the plain inverted-index
+    * ngram-Jaccard twin: the hash equality IS the losslessness proof
+    * (same trick as `dd_incremental`). At 100 TB prefix filtering is
+    * the published way to run a similarity self-join without the full
+    * Σdf² pair expansion: the index holds ~half of each posting and
+    * candidates shrink superlinearly as τ grows; the exact verify then
+    * touches candidates only ([[scoreCandidates]]). */
+  def prefixJaccard(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.ensureRegistered(spark)
+    val sh = nearShingles(spark, dir)
+    val df = sh.groupBy("sfp").agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("df", "sfp")
+    // prefix length for τ = 1/2: n − ⌈n/2⌉ + 1, pure integer
+    val pref = sh.join(df, "sfp")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .join(sizes, "doc_id")
+      .filter(col("rnk") <= col("nsh") - expr("(nsh + 1) div 2") + 1)
+      .select("doc_id", "sfp")
+    val cand = pref.select(col("doc_id").as("a"), col("sfp"))
+      .join(pref.select(col("doc_id").as("b"), col("sfp")), "sfp")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    scoreCandidates(sh, cand)
+  }
+
+  /** candidate-set sizes (prefix-filtered vs full inverted index) —
+    * exposed so the spec can pin that the pruning actually prunes. */
+  private[graft] def prefixCandidateCounts(spark: SparkSession,
+      dir: String): (Long, Long) = {
+    TextOps.ensureRegistered(spark)
+    val sh = nearShingles(spark, dir)
+    val df = sh.groupBy("sfp").agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("df", "sfp")
+    val pref = sh.join(df, "sfp")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .join(sizes, "doc_id")
+      .filter(col("rnk") <= col("nsh") - expr("(nsh + 1) div 2") + 1)
+      .select("doc_id", "sfp")
+    def pairs(t: DataFrame) = t.select(col("doc_id").as("a"), col("sfp"))
+      .join(t.select(col("doc_id").as("b"), col("sfp")), "sfp")
+      .filter(col("a") < col("b")).select("a", "b").distinct().count()
+    (pairs(pref), pairs(sh))
+  }
+
   /** MinHash parameters: h_i(x) = (a_i·x + b_i) mod P, 16 hashes in 4
     * bands of 4. */
   val NumHashes = 16
