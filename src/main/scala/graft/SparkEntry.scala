@@ -310,6 +310,9 @@ object SparkEntry {
     "pipe_balance" -> ((s, dir) => graft.operators.Pipeline.balanceClasses(s, dir)),
     "t_bm25" -> ((s, dir) => graft.operators.TextOps.bm25TopDocs(s, dir)),
     "dd_prefix_join" -> ((s, dir) => Dedup.prefixJaccard(s, dir)),
+    "s_ltv" -> ((s, dir) =>
+      graft.streaming.EventStreams.cohortLtv(graft.streaming.EventStreams.events(s, dir))),
+    "q21_skew_report" -> ((s, dir) => graft.operators.Olap.skewReport(s, dir)),
     "s_scd2" -> ((s, dir) =>
       graft.streaming.EventStreams.scd2(graft.streaming.EventStreams.events(s, dir))),
     "s_decay" -> ((s, dir) =>
@@ -660,6 +663,8 @@ object SparkEntry {
     // the prefix pruning lossless (cf. dd_incremental)
     "dd_prefix_join" -> TextCtes.ngramJaccard,
     "s_scd2" -> EventCtes.scd2,
+    "s_ltv" -> EventCtes.cohortLtv,
+    "q21_skew_report" -> OlapCtes.skewReport,
     "s_decay" -> EventCtes.decayScore,
     "q08_hll_distinct" -> SketchCtes.hllOrders,
     "q15_cms_heavy" -> SketchCtes.cmsTopParts,

@@ -177,4 +177,28 @@ object Olap {
         levenshtein(col("pa"), col("pb")).cast("long").as("dist"))
       .filter(col("dist") <= EditMax)
   }
+
+  val SkewTopK = 10
+
+  /** Join-key skew profiler — the diagnostic you run BEFORE deciding
+    * on salting/AQE for a hot join: the key histogram's head (top-10
+    * by count), with the table totals alongside so max/mean
+    * concentration is one division away. Two partial-aggregable
+    * passes (per-key count, then a TakeOrdered head) — profiling a
+    * 100 TB join key costs one shuffle of (key, count) partials, never
+    * the rows. All integer; pairs with `q06_salted_agg`/the AQE skew
+    * specs, which act on what this measures. */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tpch.table(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("key")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(count(lit(1)).as("n_keys"),
+      sum("cnt").as("n_rows"), max("cnt").as("max_cnt"))
+    val w = Window.partitionBy(lit(0)).orderBy(col("cnt").desc, col("key"))
+    counts.orderBy(col("cnt").desc, col("key")).limit(SkewTopK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(totals))
+      .select(col("rank"), col("key"), col("cnt"),
+        col("n_keys"), col("n_rows"), col("max_cnt"))
+  }
 }

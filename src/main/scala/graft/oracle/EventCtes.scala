@@ -113,6 +113,26 @@ object EventCtes {
        |SELECT win, event_type, n, rnk FROM r WHERE rnk <= $k""".stripMargin
   }
 
+  /** twin of EventStreams.cohortLtv: integer epoch-week ids,
+    * cumulative window over the cohort×age grid. */
+  val cohortLtv: String =
+    s"""WITH $ev,
+       |e AS (SELECT user_id, cents,
+       |  (epoch_us(ts) // ${86400L * 1000000L}) // 7 AS ew FROM ev),
+       |f AS (SELECT user_id, min(ew) AS cohort FROM e GROUP BY user_id),
+       |aged AS (SELECT e.user_id, e.cents, f.cohort,
+       |  e.ew - f.cohort AS age_weeks
+       |  FROM e JOIN f ON e.user_id = f.user_id),
+       |grid AS (SELECT cohort, age_weeks,
+       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+       |  FROM aged GROUP BY 1, 2)
+       |SELECT cohort, age_weeks, n_users, revenue_cents,
+       |  CAST(sum(revenue_cents) OVER (PARTITION BY cohort ORDER BY age_weeks
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_revenue_cents
+       |FROM grid""".stripMargin
+
   /** twin of EventStreams.scd2: lag change detection + lead interval
     * close over the same (user, time) order; open version = −1. */
   val scd2: String = {

@@ -71,4 +71,17 @@ object OlapCtes {
        |JOIN pfx pa ON l.a = pa.doc_id
        |JOIN pfx pb ON l.b = pb.doc_id
        |WHERE levenshtein(pa.p, pb.p) <= ${Olap.EditMax}""".stripMargin
+
+  /** twin of Olap.skewReport: per-key counts, head by (count desc,
+    * key), totals alongside. */
+  val skewReport: String =
+    s"""WITH c AS (SELECT l_orderkey AS key, count(*) AS cnt
+       |  FROM lineitem GROUP BY 1),
+       |t AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+       |  max(cnt) AS max_cnt FROM c),
+       |h AS (SELECT key, cnt,
+       |  CAST(row_number() OVER (ORDER BY cnt DESC, key) AS BIGINT) AS rank
+       |  FROM c ORDER BY cnt DESC, key LIMIT ${Olap.SkewTopK})
+       |SELECT h.rank, h.key, h.cnt, t.n_keys, t.n_rows, t.max_cnt
+       |FROM h, t""".stripMargin
 }

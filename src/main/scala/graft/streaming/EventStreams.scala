@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
@@ -65,6 +65,28 @@ object EventStreams {
     val w = Window.partitionBy("win").orderBy(col("n").desc, col("event_type"))
     counts.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= TrendingK)
+  }
+
+  /** Cohort lifetime-value report — the subscription-analytics staple:
+    * users are grouped by the WEEK of their first event (cohort; the
+    * corpus spans ~a month, so weeks give a real grid), and revenue
+    * accumulates per cohort over week age. Week ids are pure integer
+    * epoch-days div 7, the cumulative sum is a window over the (tiny)
+    * cohort×age grid, and the heavy part — first-event week per
+    * user — is one partial-aggregable min. Complements `s_retention`
+    * (activity) with value. */
+  def cohortLtv(ev: DataFrame): DataFrame = {
+    val e = ev.select(col("user_id"), col("cents"),
+      expr(s"(unix_micros(ts) div ${86400L * 1000000L}) div 7").as("ew"))
+    val firsts = e.groupBy("user_id").agg(min("ew").as("cohort"))
+    val aged = e.join(firsts, "user_id")
+      .withColumn("age_weeks", col("ew") - col("cohort"))
+    val grid = aged.groupBy("cohort", "age_weeks")
+      .agg(count_distinct(col("user_id")).as("n_users"),
+        sum("cents").as("revenue_cents"))
+    val w = Window.partitionBy("cohort").orderBy("age_weeks")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.withColumn("cum_revenue_cents", sum("revenue_cents").over(w))
   }
 
   /** [[scd2]] materializes history for 1-in-[[Scd2UserMod]] users (the
