@@ -298,6 +298,7 @@ object SparkEntry {
     "g_random_walks" -> ((s, dir) => graft.operators.Walks.walkVisits(s, dir)),
     "it_ktruss" -> ((s, dir) => GraphOps.ktruss(s, dir)),
     "it_mis" -> ((s, dir) => graft.operators.Iterative.misRounds(s, dir)),
+    "g_clustering" -> ((s, dir) => GraphOps.clusteringStats(s, dir)),
     "s_late" -> ((s, dir) =>
       graft.streaming.EventStreams.lateness(graft.streaming.EventStreams.events(s, dir))),
     "it_harmonic" -> ((s, dir) => graft.operators.HyperBall.harmonic(s, dir)),
@@ -649,6 +650,7 @@ object SparkEntry {
     "g_random_walks" -> IterCtes.randomWalks,
     "it_ktruss" -> IterCtes.ktruss,
     "it_mis" -> IterCtes.misRounds,
+    "g_clustering" -> IterCtes.clusteringStats,
     "s_late" -> EventCtes.lateness,
     "it_harmonic" -> IterCtes.harmonicTop,
     "it_ppr" -> graft.oracle.PageRankCtes.personalized,

@@ -325,6 +325,70 @@ object GraphOps {
     (res, Seq(und, o))
   }
 
+  /** Global clustering coefficient over the lineitem co-occurrence
+    * graph: 3·triangles / wedges, with wedges = Σ deg·(deg−1)/2 — the
+    * graph-science "how clique-ish is this network" scalar. Both
+    * counts are exact integers from the SAME oriented enumeration
+    * [[triangleStatsLazy]] already pins; the coefficient is ONE double
+    * division. Degree assortativity rides along: Pearson correlation
+    * of endpoint degrees over edges, numerator/denominator from exact
+    * integer sums (each ≤ ~2⁶⁰ at sf≤1) promoted to double only for
+    * the final expression — a float accumulation would never
+    * hash-match. */
+  def clusteringStats(spark: SparkSession, dir: String): DataFrame = {
+    val raw = triangleRawEdges(spark, dir)
+    val und = raw.select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct().persist()
+    val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg")).persist()
+    // triangles via the shared oriented enumeration
+    val ranked = und
+      .join(deg.select(col("n").as("a"), struct(col("deg"), col("n")).as("ra")), "a")
+      .join(deg.select(col("n").as("b"), struct(col("deg"), col("n")).as("rb")), "b")
+    val o = ranked.select(
+        when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("u"),
+        when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("v"))
+      .persist()
+    val tri = o.select(col("u").as("t_a"), col("v").as("t_b"))
+      .join(o.select(col("u").as("t_b"), col("v").as("t_c")), "t_b")
+      .join(o.select(col("u").as("t_a"), col("v").as("t_c")), Seq("t_a", "t_c"))
+    // endpoint-degree moments over edges (each edge once, both
+    // orientations summed symmetrically: x = deg(a), y = deg(b))
+    val m = und
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+      .select(lit(0L).as("tri"), lit(1L).as("m"),
+        (col("da") + col("db")).as("sx"),
+        (col("da") * col("da") + col("db") * col("db")).as("sxx"),
+        (col("da") * col("db")).as("sxy"), lit(0L).as("w0"))
+    // wedge count straight from degrees: Σ deg·(deg−1)/2 per node
+    val wedges = deg.select(lit(0L).as("tri"), lit(0L).as("m"), lit(0L).as("sx"),
+      lit(0L).as("sxx"), lit(0L).as("sxy"),
+      expr("deg * (deg - 1) div 2").as("w0"))
+    val all = tri.select(lit(1L).as("tri"), lit(0L).as("m"), lit(0L).as("sx"),
+        lit(0L).as("sxx"), lit(0L).as("sxy"), lit(0L).as("w0"))
+      .unionAll(m)
+      .unionAll(wedges)
+      .agg(sum("tri").as("n_triangles"), sum("m").as("n_edges"),
+        sum("sx").as("sx"), sum("sxx").as("sxx"), sum("sxy").as("sxy"),
+        sum("w0").as("n_wedges"))
+    val out = all.select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+      (lit(3.0) * col("n_triangles") / col("n_wedges")).as("global_cc"),
+      // assortativity r = (2M·sxy − sx²) / (2M·sxx − sx²) over
+      // symmetrized endpoint degrees; sx² is computed in DOUBLE — the
+      // integer square overflows BIGINT long before 100 TB on BOTH
+      // engines (DuckDB would raise, Spark would wrap)
+      ((lit(2.0) * col("n_edges") * col("sxy") -
+          col("sx").cast("double") * col("sx")) /
+        (lit(2.0) * col("n_edges") * col("sxx") -
+          col("sx").cast("double") * col("sx")))
+        .as("assortativity"))
+      .localCheckpoint()
+    und.unpersist(); deg.unpersist(); o.unpersist()
+    out
+  }
+
   /** k-truss: every surviving edge sits in ≥ k−2 triangles of the
     * surviving subgraph — the standard cohesion refinement above
     * [[graft.operators.Iterative.kcore]] (Cohen 2008). */

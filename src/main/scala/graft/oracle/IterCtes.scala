@@ -189,6 +189,47 @@ object IterCtes {
        |JOIN balls ON balls.seed = t.node""".stripMargin
   }
 
+  /** twin of [[graft.operators.GraphOps.clusteringStats]]: same
+    * oriented triangle count, integer degree moments, identical
+    * fixed-order double expressions. */
+  val clusteringStats: String = {
+    val B = Ctes.B
+    val rank = graft.operators.GraphOps.RankBase
+    s"""WITH li AS (
+       |  SELECT ${6 * B} + l_orderkey AS o, ${5 * B} + l_partkey AS p,
+       |         ${4 * B} + l_suppkey AS s FROM lineitem),
+       |raw AS (
+       |  SELECT o AS x, p AS y FROM li
+       |  UNION ALL SELECT o, s FROM li
+       |  UNION ALL SELECT p, s FROM li),
+       |und AS MATERIALIZED (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM raw),
+       |deg AS MATERIALIZED (SELECT n, count(*) AS deg FROM (
+       |  SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY n),
+       |ranked AS (
+       |  SELECT u.a, u.b, da.deg * $rank + u.a AS ra, db.deg * $rank + u.b AS rb
+       |  FROM und u JOIN deg da ON u.a = da.n JOIN deg db ON u.b = db.n),
+       |o AS MATERIALIZED (
+       |  SELECT CASE WHEN ra < rb THEN a ELSE b END AS u,
+       |         CASE WHEN ra < rb THEN b ELSE a END AS v FROM ranked),
+       |tri AS (
+       |  SELECT count(*) AS n_triangles FROM o e1
+       |  JOIN o e2 ON e1.v = e2.u
+       |  JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |mom AS (
+       |  SELECT count(*) AS n_edges,
+       |    CAST(sum(da.deg + db.deg) AS BIGINT) AS sx,
+       |    CAST(sum(da.deg * da.deg + db.deg * db.deg) AS BIGINT) AS sxx,
+       |    CAST(sum(da.deg * db.deg) AS BIGINT) AS sxy
+       |  FROM und u JOIN deg da ON u.a = da.n JOIN deg db ON u.b = db.n),
+       |wed AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+       |SELECT mom.n_edges, wed.n_wedges, tri.n_triangles,
+       |  3.0 * tri.n_triangles / wed.n_wedges AS global_cc,
+       |  (2.0 * mom.n_edges * mom.sxy - CAST(mom.sx AS DOUBLE) * mom.sx) /
+       |  (2.0 * mom.n_edges * mom.sxx - CAST(mom.sx AS DOUBLE) * mom.sx)
+       |    AS assortativity
+       |FROM mom, wed, tri""".stripMargin
+  }
+
   /** twin of [[graft.operators.Iterative.misRounds]]: same priorities
     * (degski mix × 10⁷ + node mod 10⁷), same strict-local-min rounds
     * unrolled, winners ∪ their neighbors deactivate. */

@@ -31,4 +31,18 @@ class KtrussSpec extends SparkTestBase {
         s"$n nodes for $e edges: a truss edge needs >= 3 nodes around it")
     }
   }
+
+  test("clustering stats: bounded coefficients, counts consistent") {
+    val r = GraphOps.clusteringStats(spark, dir).collect().head
+    val (tri, wed) = (r.getAs[Long]("n_triangles"), r.getAs[Long]("n_wedges"))
+    assert(wed >= 3 * tri, "every triangle contributes 3 closed wedges")
+    val cc = r.getAs[Double]("global_cc")
+    assert(cc >= 0.0 && cc <= 1.0)
+    val ast = r.getAs[Double]("assortativity")
+    assert(ast >= -1.0 && ast <= 1.0)
+    // triangle count agrees with the standalone enumeration
+    val t2 = GraphOps.triangleCount(spark, dir).collect().head
+    assert(tri === t2.getAs[Long]("n_triangles"))
+    assert(r.getAs[Long]("n_edges") === t2.getAs[Long]("n_edges"))
+  }
 }
