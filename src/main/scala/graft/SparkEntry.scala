@@ -49,6 +49,7 @@ object SparkEntry {
     // outputs fill here so per-query numbers are steady-state
     quiet(Dedup.simhashDup(s, dir).count())
     quiet(Dedup.minhashLsh(s, dir).count())
+    quiet(Dedup.prefixJaccard(s, dir).count())
     quiet(TextOps.tokenTable(s, dir).count())
     quiet(Similarity.warm(s, dir))
     quiet(graft.operators.Bucketing.warm(s, dir))
