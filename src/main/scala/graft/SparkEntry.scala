@@ -315,6 +315,9 @@ object SparkEntry {
     "s_ltv" -> ((s, dir) =>
       graft.streaming.EventStreams.cohortLtv(graft.streaming.EventStreams.events(s, dir))),
     "q21_skew_report" -> ((s, dir) => graft.operators.Olap.skewReport(s, dir)),
+    "q22_dq_checks" -> ((s, dir) => graft.operators.Olap.dqChecks(s, dir)),
+    "q23_grouping_sets" -> ((s, dir) => graft.operators.Olap.groupingSets(s, dir)),
+    "pipe_weighted_sample" -> ((s, dir) => graft.operators.Pipeline.weightedSample(s, dir)),
     "s_scd2" -> ((s, dir) =>
       graft.streaming.EventStreams.scd2(graft.streaming.EventStreams.events(s, dir))),
     "s_decay" -> ((s, dir) =>
@@ -668,6 +671,9 @@ object SparkEntry {
     "s_scd2" -> EventCtes.scd2,
     "s_ltv" -> EventCtes.cohortLtv,
     "q21_skew_report" -> OlapCtes.skewReport,
+    "q22_dq_checks" -> OlapCtes.dqChecks,
+    "q23_grouping_sets" -> OlapCtes.groupingSets,
+    "pipe_weighted_sample" -> OlapCtes.weightedSample,
     "s_decay" -> EventCtes.decayScore,
     "q08_hll_distinct" -> SketchCtes.hllOrders,
     "q15_cms_heavy" -> SketchCtes.cmsTopParts,

@@ -178,6 +178,66 @@ object Olap {
       .filter(col("dist") <= EditMax)
   }
 
+  /** Declarative data-quality suite (the Deequ/expectations shape):
+    * each constraint is a violation COUNT folded into one
+    * partial-aggregable pass over the table — completeness (non-null),
+    * range, set-membership, and column-rule checks share a single
+    * scan+agg; uniqueness adds the one distinct it needs; referential
+    * integrity is a broadcast anti-join count. Output is one row per
+    * constraint with pass/fail — the report a pipeline gates a load
+    * on. At 100 TB the single-pass fold matters: N constraints cost
+    * one scan, not N. */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tpch.table(spark, dir, "orders")
+      .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+    // one scan, four violation counters
+    val fold = o.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_null_cust"),
+      sum(when(col("cents") <= 0L, 1L).otherwise(0L)).as("v_price_range"),
+      sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L))
+        .as("v_status_domain"))
+    val uniq = o.agg((count(lit(1)) -
+      count_distinct(col("o_orderkey"))).as("v_dup_key"))
+    // referential: every o_custkey must exist in customer (broadcast
+    // anti-join — the dim side is the small one)
+    val custs = Tpch.table(spark, dir, "customer").select(col("c_custkey"))
+    val orphan = o.select(col("o_custkey"))
+      .join(broadcast(custs), col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v_orphan_cust"))
+    val wide = fold.crossJoin(broadcast(uniq)).crossJoin(broadcast(orphan))
+    val checks = Seq(
+      ("completeness_custkey", "v_null_cust"),
+      ("range_totalprice_positive", "v_price_range"),
+      ("domain_orderstatus", "v_status_domain"),
+      ("unique_orderkey", "v_dup_key"),
+      ("referential_custkey", "v_orphan_cust"))
+    checks.map { case (name, c) =>
+      wide.select(lit(name).as("constraint"), col("n_rows"),
+        col(c).as("n_violations"),
+        when(col(c) === 0L, 1L).otherwise(0L).as("pass"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Explicit GROUPING SETS — the third member of the multi-level
+    * aggregation family next to `q09_rollup` and `q13_cube`: arbitrary
+    * level sets ((flag), (status), ()) in ONE Expand+partial-agg pass,
+    * with grouping_id disambiguating levels (a NULL key could be
+    * data). */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val v = s"li_gs_${System.identityHashCode(spark)}"
+    Tpch.table(spark, dir, "lineitem").createOrReplaceTempView(v)
+    spark.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         |    AS total_cents
+         |FROM $v
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+        .stripMargin)
+  }
+
   val SkewTopK = 10
 
   /** Join-key skew profiler — the diagnostic you run BEFORE deciding

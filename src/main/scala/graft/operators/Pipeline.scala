@@ -252,6 +252,32 @@ object Pipeline {
   val BalanceCap = 100L
   val BalanceP = 1000000007L
 
+  /** [[weightedSample]]: P(keep) = min(1, n_chars / WeightCap). */
+  val WeightCap = 500L
+
+  /** Importance-weighted Bernoulli sampling — the data-mixing
+    * primitive that favors longer/higher-value documents without a
+    * sort: keep doc ⟺ mix(doc_id) mod Cap < weight. The decision is a
+    * pure integer function of the row, so it is partition-invariant,
+    * reproducible, and needs NO global pass (contrast `pipe_mixture`'s
+    * exact per-source budgets); expected kept mass is Σ w/Cap. The
+    * report carries exact totals + a selection checksum, so the hash
+    * gate pins exactly WHICH docs a re-run keeps. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.sources.Tpch.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("keep",
+        when(pmod(Sketch.mix(pmod(col("doc_id") * 97L, lit(Sketch.HashMod))),
+          lit(WeightCap)) < col("n_chars"), 1L).otherwise(0L))
+    d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("keep").as("n_kept"),
+      sum("n_chars").as("chars_total"),
+      sum(col("keep") * col("n_chars")).as("chars_kept"),
+      pmod(sum(col("keep") * pmod(col("doc_id") * 31L, lit(BalanceP))),
+        lit(BalanceP)).as("kept_sum"))
+  }
+
   /** Class-balanced resampling: cap every label at [[BalanceCap]]
     * examples, chosen by deterministic hash order (so the undersample
     * is reproducible and shard-stable — re-running on re-partitioned

@@ -72,6 +72,64 @@ object OlapCtes {
        |JOIN pfx pb ON l.b = pb.doc_id
        |WHERE levenshtein(pa.p, pb.p) <= ${Olap.EditMax}""".stripMargin
 
+  /** twin of Olap.groupingSets: same level sets and grouping id. */
+  val groupingSets: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS total_cents
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+
+  /** twin of Pipeline.weightedSample: identical mix-hash keep rule and
+    * checksum. */
+  val weightedSample: String = {
+    import graft.operators.Pipeline.{BalanceP, WeightCap}
+    import graft.operators.Sketch.{HashMod, MixMult}
+    s"""WITH d0 AS (SELECT doc_id, source, n_chars,
+       |  (doc_id * 97) % $HashMod AS h FROM documents),
+       |d1 AS (SELECT * REPLACE (xor(h, h >> 16) AS h) FROM d0),
+       |d2 AS (SELECT * REPLACE ((h * $MixMult) % $HashMod AS h) FROM d1),
+       |d3 AS (SELECT * REPLACE (xor(h, h >> 16) AS h) FROM d2),
+       |d4 AS (SELECT * REPLACE ((h * $MixMult) % $HashMod AS h) FROM d3),
+       |d AS (SELECT doc_id, source, n_chars,
+       |  CASE WHEN (xor(h, h >> 16) % $WeightCap) < n_chars
+       |       THEN 1 ELSE 0 END AS keep FROM d4)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(keep) AS BIGINT) AS n_kept,
+       |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+       |  CAST(sum(keep * n_chars) AS BIGINT) AS chars_kept,
+       |  CAST(CAST(sum(keep * ((doc_id * 31) % $BalanceP)) AS HUGEINT)
+       |    % $BalanceP AS BIGINT) AS kept_sum
+       |FROM d GROUP BY source""".stripMargin
+  }
+
+  /** twin of Olap.dqChecks: same constraint fold, long-format output. */
+  val dqChecks: String =
+    s"""WITH o AS (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders),
+       |f AS (SELECT count(*) AS n_rows,
+       |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null_cust,
+       |  CAST(sum(CASE WHEN cents <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price_range,
+       |  CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS v_status_domain,
+       |  count(*) - CAST(count(DISTINCT o_orderkey) AS BIGINT) AS v_dup_key,
+       |  (SELECT count(*) FROM o
+       |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS v_orphan_cust
+       |  FROM o)
+       |SELECT 'completeness_custkey' AS constraint, n_rows,
+       |  v_null_cust AS n_violations,
+       |  CAST(CASE WHEN v_null_cust = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass FROM f
+       |UNION ALL SELECT 'range_totalprice_positive', n_rows, v_price_range,
+       |  CAST(CASE WHEN v_price_range = 0 THEN 1 ELSE 0 END AS BIGINT) FROM f
+       |UNION ALL SELECT 'domain_orderstatus', n_rows, v_status_domain,
+       |  CAST(CASE WHEN v_status_domain = 0 THEN 1 ELSE 0 END AS BIGINT) FROM f
+       |UNION ALL SELECT 'unique_orderkey', n_rows, v_dup_key,
+       |  CAST(CASE WHEN v_dup_key = 0 THEN 1 ELSE 0 END AS BIGINT) FROM f
+       |UNION ALL SELECT 'referential_custkey', n_rows, v_orphan_cust,
+       |  CAST(CASE WHEN v_orphan_cust = 0 THEN 1 ELSE 0 END AS BIGINT) FROM f""".stripMargin
+
   /** twin of Olap.skewReport: per-key counts, head by (count desc,
     * key), totals alongside. */
   val skewReport: String =

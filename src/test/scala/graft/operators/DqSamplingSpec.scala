@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Data-quality suite, weighted sampling, grouping sets invariants. */
+class DqSamplingSpec extends SparkTestBase {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dq checks: five constraints, clean corpus passes all") {
+    val rows = Olap.dqChecks(spark, dir).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_violations") >= 0L)
+      assert(r.getAs[Long]("pass") ===
+        (if (r.getAs[Long]("n_violations") == 0L) 1L else 0L))
+    }
+    // the generated corpus is referentially clean by construction
+    assert(rows.forall(_.getAs[Long]("pass") === 1L))
+  }
+
+  test("weighted sample: kept mass tracks the weight rule") {
+    val rows = Pipeline.weightedSample(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, k) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))
+      assert(k <= n)
+      // E[keep] = mean(n_chars)/Cap; kept docs skew longer
+      val meanAll = r.getAs[Long]("chars_total").toDouble / n
+      if (k > 0) {
+        val meanKept = r.getAs[Long]("chars_kept").toDouble / k
+        assert(meanKept >= meanAll,
+          s"weighted rule must favor longer docs: $r")
+      }
+    }
+  }
+
+  test("grouping sets: per-level totals all equal the table total") {
+    val rows = Olap.groupingSets(spark, dir).collect()
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    assert(byGid.keySet === Set(1L, 2L, 3L)) // (flag), (status), ()
+    val totals = byGid.view.mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    assert(totals.values.toSet.size === 1,
+      s"every grouping level must partition all rows: $totals")
+  }
+}
