@@ -97,6 +97,23 @@ object TextOps {
           .when(col("s_fr") > col("s_en"), "fr")
           .otherwise("en").as("pred"))
 
+  /** Classifier evaluation — the confusion matrix of [[langId]]'s
+    * prediction against the corpus's ground-truth `lang` column, with
+    * per-truth-class support and hits. Every model-driven gate in a
+    * training pipeline (language, quality, toxicity) needs exactly
+    * this harness before its threshold is trusted; the matrix is one
+    * partial-aggregable groupBy over the scored stream. Accuracy is
+    * derivable (Σ diag / Σ all) — the matrix itself is the
+    * all-integer, engine-exact artifact. */
+  def langEval(spark: SparkSession, dir: String): DataFrame = {
+    val pred = langId(spark, dir).select(col("doc_id"), col("pred"))
+    docs(spark, dir).select(col("doc_id"), col("lang"))
+      .join(pred, "doc_id")
+      .groupBy("lang", "pred")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lang") === col("pred"), 1L).otherwise(0L)).as("n_correct"))
+  }
+
   /** Corpus vocabulary: top-k tokens by document frequency-weighted
     * count — the vocabulary-building pass of a tokenizer pipeline.
     * groupBy token (map-side combinable) + distributed top-k

@@ -864,6 +864,17 @@ object TextCtes {
        |FROM t GROUP BY 1, 2""".stripMargin
   }
 
+  /** twin of TextOps.langEval: confusion matrix of the langId chain
+    * against the ground-truth lang column. */
+  val langEval: String =
+    s"""WITH $langCtes,
+       |j AS (SELECT d.lang, l.pred FROM documents d
+       |  JOIN lpred l ON d.doc_id = l.doc_id)
+       |SELECT lang, pred, count(*) AS n,
+       |  CAST(sum(CASE WHEN lang = pred THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_correct
+       |FROM j GROUP BY 1, 2""".stripMargin
+
   /** twin of Similarity.hardNegatives: brute-force kernel with the
     * label-inequality filter; labels joined back onto the ranked
     * output. */
