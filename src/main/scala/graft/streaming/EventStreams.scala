@@ -467,6 +467,46 @@ object EventStreams {
       }
   }
 
+  /** Running per-user totals on the NEW arbitrary-state API
+    * (`transformWithState`, Spark 4): the [[runningTotals]] semantics
+    * re-expressed as a [[TotalsProcessor]] with an explicit
+    * [[org.apache.spark.sql.streaming.ValueState]]. The new API is
+    * where stateful Spark is heading — typed state handles, per-state
+    * TTL, timers — and it requires the RocksDB state store (disk-backed
+    * state = the 100 TB keyed-state story; the HDFS-backed default
+    * holds every key in executor heap). TransformWithStateSpec proves
+    * it equal to the batch aggregate across restarts. */
+  case class UserTotal(user_id: Long, n_events: Long, total_cents: Long)
+
+  class TotalsProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long), UserTotal] {
+    @transient private var totals:
+      org.apache.spark.sql.streaming.ValueState[UserTotal] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotal]("totals",
+        org.apache.spark.sql.Encoders.product[UserTotal],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTotal] = {
+      val prev = if (totals.exists()) totals.get() else UserTotal(key, 0L, 0L)
+      val cur = rows.foldLeft(prev) { (acc, r) =>
+        UserTotal(key, acc.n_events + 1, acc.total_cents + r._2)
+      }
+      totals.update(cur)
+      Iterator.single(cur)
+    }
+  }
+
+  def runningTotalsTws(ev: DataFrame): Dataset[UserTotal] = {
+    import ev.sparkSession.implicits._
+    ev.select(col("user_id"), col("cents")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   /** Streaming exactly-once dedup: drop re-delivered events by
     * event_id inside the watermark horizon — the at-least-once →
     * exactly-once repair every CDC/log consumer runs first. State is
