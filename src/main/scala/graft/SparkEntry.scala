@@ -318,6 +318,8 @@ object SparkEntry {
     "q21_skew_report" -> ((s, dir) => graft.operators.Olap.skewReport(s, dir)),
     "q22_dq_checks" -> ((s, dir) => graft.operators.Olap.dqChecks(s, dir)),
     "q23_grouping_sets" -> ((s, dir) => graft.operators.Olap.groupingSets(s, dir)),
+    "q24_zorder" -> ((s, dir) => graft.operators.Olap.zorderReport(s, dir)),
+    "q25_corr" -> ((s, dir) => graft.operators.Olap.orderCorr(s, dir)),
     "pipe_weighted_sample" -> ((s, dir) => graft.operators.Pipeline.weightedSample(s, dir)),
     "s_scd2" -> ((s, dir) =>
       graft.streaming.EventStreams.scd2(graft.streaming.EventStreams.events(s, dir))),
@@ -675,6 +677,8 @@ object SparkEntry {
     "q21_skew_report" -> OlapCtes.skewReport,
     "q22_dq_checks" -> OlapCtes.dqChecks,
     "q23_grouping_sets" -> OlapCtes.groupingSets,
+    "q24_zorder" -> OlapCtes.zorderReport,
+    "q25_corr" -> OlapCtes.orderCorr,
     "pipe_weighted_sample" -> OlapCtes.weightedSample,
     "s_decay" -> EventCtes.decayScore,
     "q08_hll_distinct" -> SketchCtes.hllOrders,

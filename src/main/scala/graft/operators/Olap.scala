@@ -238,6 +238,73 @@ object Olap {
         .stripMargin)
   }
 
+  /** Bits per dimension for [[zorderReport]]'s interleave. */
+  val ZBits = 16
+
+  /** SQL for the Morton (Z-order) interleave of two [[ZBits]]-bit
+    * values — plain shifts/masks/adds, so the IDENTICAL text runs as a
+    * Spark expression and inside the DuckDB twin. */
+  def zInterleaveSql(a: String, b: String): String =
+    (0 until ZBits).map { i =>
+      s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
+  /** Z-ORDER clustering report — the lakehouse data-skipping
+    * technique (Delta/Iceberg `ZORDER BY`): interleaving the bits of
+    * (customer, order-day) gives a single sort key under which BOTH
+    * dimensions stay range-clustered, so per-file min/max stats prune
+    * scans on EITHER predicate. The report is what you'd inspect
+    * before adopting it: per z-range bucket (a stand-in for a file),
+    * the min/max envelope of each dimension — narrow envelopes =
+    * effective pruning. Everything is integer bit arithmetic from one
+    * shared SQL text; at 100 TB the z-value is a cheap extra sort key
+    * at write time, not a new shuffle shape. Dimensions mask to the
+    * low 16 bits (documented: beyond 2¹⁶ distinct values you bucket
+    * first, as the real systems do). */
+  def zorderReport(spark: SparkSession, dir: String): DataFrame = {
+    val z = zInterleaveSql(s"(o_custkey & ${(1 << ZBits) - 1})",
+      s"(CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div ${86400L * 1000000L} AS BIGINT) & ${(1 << ZBits) - 1})")
+    Tpch.table(spark, dir, "orders")
+      .withColumn("day", expr(s"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div ${86400L * 1000000L}"))
+      .withColumn("z", expr(z))
+      .withColumn("bucket", expr("z >> 20"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"),
+        min("day").as("min_day"), max("day").as("max_day"))
+  }
+
+  /** One-pass Pearson correlation of order value vs line count per
+    * order — the column-statistics capability (what ANALYZE-style
+    * stats and feature-engineering sanity checks need): exact integer
+    * moments (n, Σx, Σy, Σx², Σy², Σxy) from a single partial-agg
+    * pass, then ONE fixed-order double expression. Spark's built-in
+    * `corr` is a streaming float accumulation whose result depends on
+    * partition order — unusable against a cross-engine oracle; the
+    * integer-moment form is exact at any parallelism. */
+  def orderCorr(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tpch.table(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("k"))
+      .agg(count(lit(1)).as("x"))
+    val o = Tpch.table(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT) div 100").as("y"))
+    val m = li.join(o, "k").agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    m.select(col("n"), col("sx"), col("sy"),
+      // r = (n·Σxy − ΣxΣy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)); squares
+      // promoted to double BEFORE multiplying — the integer products
+      // overflow BIGINT at scale on both engines
+      ((col("n").cast("double") * col("sxy") -
+          col("sx").cast("double") * col("sy")) /
+        (sqrt(col("n").cast("double") * col("sxx") -
+          col("sx").cast("double") * col("sx")) *
+         sqrt(col("n").cast("double") * col("syy") -
+           col("sy").cast("double") * col("sy")))).as("corr"))
+  }
+
   val SkewTopK = 10
 
   /** Join-key skew profiler — the diagnostic you run BEFORE deciding

@@ -72,6 +72,37 @@ object OlapCtes {
        |JOIN pfx pb ON l.b = pb.doc_id
        |WHERE levenshtein(pa.p, pb.p) <= ${Olap.EditMax}""".stripMargin
 
+  /** twin of Olap.zorderReport: the Morton interleave is the SAME
+    * generated SQL text Spark evaluates. */
+  val zorderReport: String = {
+    val z = Olap.zInterleaveSql(s"(o_custkey & ${(1 << Olap.ZBits) - 1})",
+      s"(CAST(epoch_us(o_orderdate) // ${86400L * 1000000L} AS BIGINT) & ${(1 << Olap.ZBits) - 1})")
+    s"""WITH o AS (SELECT *, epoch_us(o_orderdate) // ${86400L * 1000000L} AS day,
+       |  $z AS z FROM orders)
+       |SELECT z >> 20 AS bucket, count(*) AS n,
+       |  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+       |  min(day) AS min_day, max(day) AS max_day
+       |FROM o GROUP BY 1""".stripMargin
+  }
+
+  /** twin of Olap.orderCorr: identical integer moments and the same
+    * fixed-order double expression. */
+  val orderCorr: String =
+    """WITH li AS (SELECT l_orderkey AS k, count(*) AS x
+      |  FROM lineitem GROUP BY 1),
+      |o AS (SELECT o_orderkey AS k,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS y FROM orders),
+      |m AS (SELECT count(*) AS n,
+      |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |  CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+      |  CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM li JOIN o USING (k))
+      |SELECT n, sx, sy,
+      |  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+      |  (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+      |   sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS corr
+      |FROM m""".stripMargin
+
   /** twin of Olap.groupingSets: same level sets and grouping id. */
   val groupingSets: String =
     """SELECT l_returnflag, l_linestatus,

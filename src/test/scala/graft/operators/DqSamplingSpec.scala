@@ -52,6 +52,29 @@ class DqSamplingSpec extends SparkTestBase {
     }
   }
 
+  test("zorder: buckets partition the table with sane envelopes") {
+    val rows = Olap.zorderReport(spark, dir).collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total === graft.sources.Tpch.table(spark, dir, "orders").count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_cust") <= r.getAs[Long]("max_cust"))
+      assert(r.getAs[Long]("min_day") <= r.getAs[Long]("max_day"))
+    }
+    // interleaving must actually subdivide: more than one z bucket
+    assert(rows.length > 1)
+  }
+
+  test("correlation: bounded and computed over every order") {
+    val r = Olap.orderCorr(spark, dir).collect().head
+    val corr = r.getAs[Double]("corr")
+    // the synthetic o_totalprice is drawn independently of the line
+    // rows, so near-zero is the truthful value — the spec pins only
+    // the Cauchy-Schwarz bound
+    assert(corr >= -1.0 && corr <= 1.0)
+    assert(r.getAs[Long]("n") ===
+      graft.sources.Tpch.table(spark, dir, "orders").count())
+  }
+
   test("grouping sets: per-level totals all equal the table total") {
     val rows = Olap.groupingSets(spark, dir).collect()
     val byGid = rows.groupBy(_.getAs[Long]("gid"))
