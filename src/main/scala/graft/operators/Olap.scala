@@ -289,7 +289,11 @@ object Olap {
     val o = Tpch.table(spark, dir, "orders")
       .select(col("o_orderkey").as("k"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT) div 100").as("y"))
-    val m = li.join(o, "k").agg(
+    // left join from orders: an order without lines contributes x = 0
+    // — dropping it would bias the statistic toward multi-line orders
+    val m = o.join(li, Seq("k"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+      .agg(
       count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
       sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
       sum(col("x") * col("y")).as("sxy"))

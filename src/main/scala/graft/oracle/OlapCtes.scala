@@ -92,11 +92,13 @@ object OlapCtes {
       |  FROM lineitem GROUP BY 1),
       |o AS (SELECT o_orderkey AS k,
       |  CAST(round(o_totalprice * 100) AS BIGINT) // 100 AS y FROM orders),
+      |j AS (SELECT coalesce(li.x, 0) AS x, o.y
+      |  FROM o LEFT JOIN li USING (k)),
       |m AS (SELECT count(*) AS n,
       |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
       |  CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
       |  CAST(sum(x * y) AS BIGINT) AS sxy
-      |  FROM li JOIN o USING (k))
+      |  FROM j)
       |SELECT n, sx, sy,
       |  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
       |  (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
