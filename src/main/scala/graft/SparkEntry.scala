@@ -459,6 +459,9 @@ object SparkEntry {
     // Gopher-style repetition quality gates
     "t_repetition" -> ((s, dir) => TextOps.repetition(s, dir)),
     "t_vocab_topk" -> ((s, dir) => TextOps.vocabTopK(s, dir)),
+    "t_lm_score" -> ((s, dir) => TextOps.lmScore(s, dir)),
+    "t_bpe_pairs" -> ((s, dir) => TextOps.bpePairs(s, dir)),
+    "g_link_prediction" -> ((s, dir) => GraphOps.linkPrediction(s, dir)),
     "ann_topk" -> ((s, dir) => Similarity.annBruteForce(s, dir)),
     "ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
     "ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
@@ -852,6 +855,18 @@ object SparkEntry {
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "t_repetition" -> TextCtes.repetition,
     "t_vocab_topk" -> TextCtes.vocabTopK,
+    "t_lm_score" -> TextCtes.lmScore,
+    "t_bpe_pairs" -> TextCtes.bpePairs,
+    "g_link_prediction" ->
+      s"""WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+        |pd AS (SELECT p, CAST(count(*) AS BIGINT) AS pd FROM sp GROUP BY p
+        |  HAVING count(*) <= ${graft.operators.GraphOps.SimDfCap}),
+        |c AS (SELECT s, p, pd FROM sp JOIN pd USING (p))
+        |SELECT a.s AS a, b.s AS b, CAST(count(*) AS BIGINT) AS cn,
+        |  CAST(sum(${graft.operators.GraphOps.RaScale} // a.pd) AS BIGINT) AS ra_micro
+        |FROM c a JOIN c b ON a.p = b.p AND a.s < b.s
+        |GROUP BY 1, 2
+        |ORDER BY ra_micro DESC, a, b LIMIT ${graft.operators.GraphOps.RaTopK}""".stripMargin,
     "ann_topk" -> TextCtes.annBruteForce,
     "ann_lsh" -> TextCtes.annLsh,
     "ann_ivf" -> TextCtes.annIvf,

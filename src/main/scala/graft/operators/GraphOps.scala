@@ -248,6 +248,38 @@ object GraphOps {
     out
   }
 
+  /** Link-prediction geometry: common-neighbor weights travel as
+    * `RaScale div deg(w)` — the Resource-Allocation index (Zhou et al.
+    * 2009, the integer-exact member of the Adamic-Adar family: AA's
+    * 1/log deg would put a float log inside an engine-order-dependent
+    * sum; RA's 1/deg scales to an exact integer). */
+  val RaScale = 1000000L
+  val RaTopK = 20
+
+  /** Link prediction over the supplier–part bipartite graph: for each
+    * supplier pair, the common-neighbor count and the Resource-
+    * Allocation score Σ_w RaScale div deg(w) over shared parts w —
+    * rarer shared parts weigh more, exactly Adamic-Adar's intuition.
+    * Same df-capped inverted-index shape as [[supplierSimilarity]]
+    * (a commodity part shared by everyone predicts nothing and would
+    * otherwise cost a quadratic pair expansion); the weight rides the
+    * part→supplier postings so scoring adds NO join beyond the pair
+    * self-join. Top-k by (score desc, pair) is TakeOrdered. */
+  def linkPrediction(spark: SparkSession, dir: String): DataFrame = {
+    val sp = graft.sources.Tpch.table(spark, dir, "lineitem")
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
+    val pd = sp.groupBy("p").agg(count(lit(1)).as("pd"))
+      .filter(col("pd") <= SimDfCap)
+    val capped = sp.join(pd, "p")
+    capped.select(col("s").as("a"), col("p"), col("pd"))
+      .join(capped.select(col("s").as("b"), col("p")), "p")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"),
+        sum(expr(s"$RaScale div pd")).as("ra_micro"))
+      .orderBy(col("ra_micro").desc, col("a"), col("b")).limit(RaTopK)
+  }
+
   /** Rank base the ORACLE twin packs (deg, id) into one BIGINT with:
     * deg·RankBase + id. Sound at oracle scales (ids < 7·10^12, degrees
     * ≪ 10^5 at sf ≤ 0.1); the Spark side orients by a (deg, id) struct

@@ -403,4 +403,76 @@ object TextOps {
            |  CAST(0 AS BIGINT), (acc, x) -> (acc + x) % $ChunkP)""".stripMargin))
       .select("doc_id", "n_tokens", "n_chunks", "last_len", "chunk_sum")
   }
+
+  /** Probability scale for [[lmScore]]: conditional probabilities travel
+    * as `(LmScale · c(bigram)) div c(prev)` — scaled integers, so the
+    * per-doc sum is order-independent and hash-comparable across
+    * engines (a float log-prob sum could never be: engine summation
+    * order differs and ln() is not bit-identical across libms). */
+  val LmScale = 1000000L
+
+  /** Bigram language-model scoring — the perplexity-proxy quality
+    * filter (CCNet-style "score each page under a corpus LM and keep
+    * the head") re-expressed integer-exact. The LM is the corpus's own
+    * bigram MLE: P(w₂|w₁) ≈ c(w₁w₂)/c(w₁), both counts global. Each
+    * document reports its bigram count, the scaled-integer sum of its
+    * conditional probabilities, and the per-bigram mean — rare/unseen
+    * continuations pull the mean down exactly like low log-prob does,
+    * without any float in the pipeline.
+    *
+    * Plan shape (the standard distributed-LM-training shape): unigram
+    * and bigram count tables are partial-aggregable groupBys over the
+    * token stream; scoring re-joins the position stream to the two
+    * count tables on their hash keys. At 100 TB both count tables are
+    * Zipf-headed — AQE's skew-join split handles the hot head, and the
+    * tables themselves stay ≪ corpus size (vocabulary², sparse). */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    val t = tokenTable(spark, dir)
+    // every token position (unigram stream): global c(w)
+    val uni = t.select(explode(col("t")).as("tok"))
+      .select(expr(fpSql("tok")).as("pfp"))
+      .groupBy("pfp").agg(count(lit(1)).as("cu"))
+    // every bigram position: (doc, prev-token hash, bigram hash)
+    val pos = t.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(t) - 2),
+          |  j -> struct(element_at(t, j + 1) AS p,
+          |              concat_ws(' ', element_at(t, j + 1), element_at(t, j + 2)) AS g))"""
+          .stripMargin)).as("bg"))
+      .select(col("doc_id"),
+        expr(fpSql("bg.p")).as("pfp"), expr(fpSql("bg.g")).as("gfp"))
+    val bi = pos.groupBy("pfp", "gfp").agg(count(lit(1)).as("cb"))
+    pos
+      .join(bi, Seq("pfp", "gfp"))
+      .join(uni, "pfp")
+      .select(col("doc_id"), expr(s"($LmScale * cb) div cu").as("p_micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("p_micro").as("score_micro"))
+      .withColumn("avg_micro", expr("score_micro div n_bigrams"))
+  }
+
+  /** Top-pair count for [[bpePairs]]. */
+  val BpePairK = 30
+
+  /** BPE merge-candidate table — the inner loop of byte-pair-encoding
+    * tokenizer training (Sennrich et al. 2016): count every adjacent
+    * symbol pair inside every word occurrence, rank by frequency; the
+    * argmax is the next merge. This is iteration 0 over the raw
+    * character alphabet — the one pass that is genuinely corpus-sized
+    * (later iterations run over the tiny word-frequency table). One
+    * explode → partial-aggregable groupBy → distributed top-k
+    * (TakeOrderedAndProject): linear, map-side combined, no shuffle of
+    * the pair stream beyond the count exchange. Deterministic
+    * (count desc, pair) order; pairs are distinct post-groupBy so the
+    * limit boundary is total. */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(toks(lower(col("text")))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(BpePairK)
 }

@@ -1006,4 +1006,38 @@ object TextCtes {
        |    (acc, x) -> (acc + x) % $ChunkP) AS BIGINT) AS chunk_sum
        |FROM c""".stripMargin
   }
+
+  /** twin of TextOps.lmScore: bigram MLE with scaled-integer
+    * conditional probabilities — zipped unnests stand in for Spark's
+    * struct explode; `//` matches Spark's `div` on positive BIGINTs. */
+  val lmScore: String = {
+    val scale = graft.operators.TextOps.LmScale
+    s"""WITH t AS (SELECT doc_id, ${toks("text")} AS t FROM documents),
+       |uni AS (SELECT ${fp("tok")} AS pfp, CAST(count(*) AS BIGINT) AS cu
+       |  FROM (SELECT unnest(t) AS tok FROM t) GROUP BY 1),
+       |pos AS (SELECT doc_id, ${fp("p")} AS pfp, ${fp("g")} AS gfp FROM (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(t)), i -> t[CAST(i AS INT)])) AS p,
+       |    unnest(list_transform(range(1, len(t)),
+       |      i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1])) AS g
+       |  FROM t WHERE len(t) >= 2)),
+       |bi AS (SELECT pfp, gfp, CAST(count(*) AS BIGINT) AS cb FROM pos GROUP BY 1, 2),
+       |scored AS (SELECT doc_id, ($scale * cb) // cu AS p_micro
+       |  FROM pos JOIN bi USING (pfp, gfp) JOIN uni USING (pfp))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(p_micro) AS BIGINT) AS score_micro,
+       |  CAST(sum(p_micro) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_micro
+       |FROM scored GROUP BY doc_id""".stripMargin
+  }
+
+  /** twin of TextOps.bpePairs: within-token adjacent character pairs,
+    * count-ranked — range(1, len) is end-exclusive, matching Spark's
+    * sequence(1, len-1). */
+  val bpePairs: String =
+    s"""SELECT pair, CAST(count(*) AS BIGINT) AS n FROM (
+       |  SELECT unnest(list_transform(range(1, length(tok)),
+       |    i -> substr(tok, CAST(i AS INT), 2))) AS pair
+       |  FROM (SELECT unnest(${toks("lower(text)")}) AS tok FROM documents)
+       |  WHERE length(tok) >= 2)
+       |GROUP BY pair ORDER BY n DESC, pair LIMIT ${graft.operators.TextOps.BpePairK}""".stripMargin
 }
