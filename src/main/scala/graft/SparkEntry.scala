@@ -51,6 +51,8 @@ object SparkEntry {
     quiet(Dedup.minhashLsh(s, dir).count())
     quiet(Dedup.prefixJaccard(s, dir).count())
     quiet(TextOps.tokenTable(s, dir).count())
+    quiet(TextOps.lmScore(s, dir).count())
+    quiet(GraphOps.linkPrediction(s, dir).count())
     quiet(Similarity.warm(s, dir))
     quiet(graft.operators.Bucketing.warm(s, dir))
     quiet(graft.operators.BucketedStores.warm(s, dir))

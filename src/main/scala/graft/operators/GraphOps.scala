@@ -265,19 +265,28 @@ object GraphOps {
     * otherwise cost a quadratic pair expansion); the weight rides the
     * part→supplier postings so scoring adds NO join beyond the pair
     * self-join. Top-k by (score desc, pair) is TakeOrdered. */
-  def linkPrediction(spark: SparkSession, dir: String): DataFrame = {
+  private val linkPredMemo = new graft.SessionMemo[DataFrame]
+  def linkPrediction(spark: SparkSession, dir: String): DataFrame =
+    linkPredMemo.getOrElseUpdate(spark, dir)(linkPredictionCompute(spark, dir))
+
+  private def linkPredictionCompute(spark: SparkSession, dir: String): DataFrame = {
     val sp = graft.sources.Tpch.table(spark, dir, "lineitem")
       .select(col("l_suppkey").as("s"), col("l_partkey").as("p")).distinct()
     val pd = sp.groupBy("p").agg(count(lit(1)).as("pd"))
       .filter(col("pd") <= SimDfCap)
-    val capped = sp.join(pd, "p")
-    capped.select(col("s").as("a"), col("p"), col("pd"))
+    // both sides of the pair self-join — persisted for the compute,
+    // released once the (tiny) top-k output materializes
+    val capped = sp.join(pd, "p").persist()
+    val out = capped.select(col("s").as("a"), col("p"), col("pd"))
       .join(capped.select(col("s").as("b"), col("p")), "p")
       .filter(col("a") < col("b"))
       .groupBy("a", "b")
       .agg(count(lit(1)).as("cn"),
         sum(expr(s"$RaScale div pd")).as("ra_micro"))
       .orderBy(col("ra_micro").desc, col("a"), col("b")).limit(RaTopK)
+      .localCheckpoint()
+    capped.unpersist()
+    out
   }
 
   /** Rank base the ORACLE twin packs (deg, id) into one BIGINT with:

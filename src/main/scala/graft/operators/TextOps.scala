@@ -426,14 +426,21 @@ object TextOps {
     * count tables on their hash keys. At 100 TB both count tables are
     * Zipf-headed — AQE's skew-join split handles the hot head, and the
     * tables themselves stay ≪ corpus size (vocabulary², sparse). */
-  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+  private val lmMemo = new graft.SessionMemo[DataFrame]
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    lmMemo.getOrElseUpdate(spark, dir)(lmScoreCompute(spark, dir))
+
+  private def lmScoreCompute(spark: SparkSession, dir: String): DataFrame = {
     ensureRegistered(spark)
     val t = tokenTable(spark, dir)
     // every token position (unigram stream): global c(w)
     val uni = t.select(explode(col("t")).as("tok"))
       .select(expr(fpSql("tok")).as("pfp"))
       .groupBy("pfp").agg(count(lit(1)).as("cu"))
-    // every bigram position: (doc, prev-token hash, bigram hash)
+    // every bigram position: (doc, prev-token hash, bigram hash) —
+    // referenced by BOTH the bigram-count aggregation and the scoring
+    // join, so persisted for the compute and released once the output
+    // is materialized (the multi-reference recompute trap)
     val pos = t.filter(size(col("t")) >= 2)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, size(t) - 2),
@@ -442,14 +449,19 @@ object TextOps {
           .stripMargin)).as("bg"))
       .select(col("doc_id"),
         expr(fpSql("bg.p")).as("pfp"), expr(fpSql("bg.g")).as("gfp"))
+      .persist()
     val bi = pos.groupBy("pfp", "gfp").agg(count(lit(1)).as("cb"))
-    pos
+    val out = pos
       .join(bi, Seq("pfp", "gfp"))
       .join(uni, "pfp")
       .select(col("doc_id"), expr(s"($LmScale * cb) div cu").as("p_micro"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("p_micro").as("score_micro"))
       .withColumn("avg_micro", expr("score_micro div n_bigrams"))
+      .persist()
+    out.count()
+    pos.unpersist()
+    out
   }
 
   /** Top-pair count for [[bpePairs]]. */
