@@ -463,6 +463,7 @@ object SparkEntry {
     "t_vocab_topk" -> ((s, dir) => TextOps.vocabTopK(s, dir)),
     "t_lm_score" -> ((s, dir) => TextOps.lmScore(s, dir)),
     "t_bpe_pairs" -> ((s, dir) => TextOps.bpePairs(s, dir)),
+    "t_hash_features" -> ((s, dir) => TextOps.hashFeatures(s, dir)),
     "g_link_prediction" -> ((s, dir) => GraphOps.linkPrediction(s, dir)),
     "ann_topk" -> ((s, dir) => Similarity.annBruteForce(s, dir)),
     "ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
@@ -859,6 +860,7 @@ object SparkEntry {
     "t_vocab_topk" -> TextCtes.vocabTopK,
     "t_lm_score" -> TextCtes.lmScore,
     "t_bpe_pairs" -> TextCtes.bpePairs,
+    "t_hash_features" -> TextCtes.hashFeatures,
     "g_link_prediction" ->
       s"""WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
         |pd AS (SELECT p, CAST(count(*) AS BIGINT) AS pd FROM sp GROUP BY p

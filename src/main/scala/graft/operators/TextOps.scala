@@ -487,4 +487,26 @@ object TextOps {
         .as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair")).limit(BpePairK)
+
+  /** Feature dimension for [[hashFeatures]] — small so the oracle's
+    * list compare stays readable; the operator is dimension-oblivious. */
+  val HashDim = 16
+
+  /** Feature-hashing vectorizer (the Weinberger et al. 2009 "hashing
+    * trick", fastText's input layer): each document becomes a dense
+    * [[HashDim]]-bucket token-count vector, bucket = polyhash(token)
+    * mod D. This is how quality/toxicity/language classifiers are
+    * featurized over a 100 TB corpus: no vocabulary pass, no
+    * dictionary to ship — the feature map is a pure function of the
+    * token. The whole operator is ONE codegen'd projection over the
+    * token table (the inner loop is a per-doc array fold), so the plan
+    * has zero exchanges — featurization at any scale is map-only. */
+  def hashFeatures(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    tokenTable(spark, dir).select(col("doc_id"), expr(
+      s"""transform(sequence(0, ${HashDim - 1}),
+         |  d -> CAST(size(filter(transform(t, x -> ${fpSql("x")} % $HashDim),
+         |                        h -> h = d)) AS BIGINT))""".stripMargin)
+      .as("features"))
+  }
 }

@@ -1040,4 +1040,14 @@ object TextCtes {
        |  FROM (SELECT unnest(${toks("lower(text)")}) AS tok FROM documents)
        |  WHERE length(tok) >= 2)
        |GROUP BY pair ORDER BY n DESC, pair LIMIT ${graft.operators.TextOps.BpePairK}""".stripMargin
+
+  /** twin of TextOps.hashFeatures: dense hashed token-count vector via
+    * the same polyhash-mod-D bucket function. */
+  val hashFeatures: String = {
+    val d = graft.operators.TextOps.HashDim
+    s"""SELECT doc_id, list_transform(range(0, $d),
+       |  d -> CAST(len(list_filter(list_transform(t, x -> ${fp("x")} % $d),
+       |                            h -> h = d)) AS BIGINT)) AS features
+       |FROM (SELECT doc_id, ${toks("text")} AS t FROM documents)""".stripMargin
+  }
 }

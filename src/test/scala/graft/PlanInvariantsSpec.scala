@@ -150,6 +150,12 @@ class PlanInvariantsSpec extends SparkTestBase {
     caches.foreach(_.unpersist())
   }
 
+  test("t_bpe_pairs is per-partition top-k over a partial count — no global sort") {
+    val p = plan("t_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial"), p) // map-side combined pair counts
+  }
+
   test("q09_rollup is one Expand + one aggregate exchange, not a scan per level") {
     val p = plan("q09_rollup")
     assert(p.linesIterator.count(_.contains("Expand")) === 1, p)

@@ -75,6 +75,29 @@ class LmBpeLinkSpec extends SparkTestBase {
     assert(ras.zip(ras.tail).forall { case (a, b) => a >= b })
   }
 
+  test("hashFeatures: vector sums to token count, dims fixed, plan shuffle-free") {
+    val rows = TextOps.hashFeatures(spark, dir)
+      .join(TextOps.tokenTable(spark, dir), "doc_id")
+      .select(col("doc_id"), col("features"), size(col("t")).as("n"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val f = r.getAs[scala.collection.Seq[Long]]("features")
+      assert(f.length === TextOps.HashDim)
+      assert(f.sum === r.getAs[Int]("n").toLong, s"bucket counts lost tokens: $r")
+      assert(f.forall(_ >= 0L))
+    }
+    val p = TextOps.hashFeatures(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p) // featurization must stay map-only
+  }
+
+  test("lmScore and linkPrediction are memoized per (session, dir)") {
+    assert(TextOps.lmScore(spark, dir) eq TextOps.lmScore(spark, dir))
+    assert(GraphOps.linkPrediction(spark, dir) eq
+      GraphOps.linkPrediction(spark, dir))
+  }
+
   test("linkPrediction: a pair's cn equals its recomputed shared-part count") {
     val top = GraphOps.linkPrediction(spark, dir).collect().head
     val (a, b) = (top.getAs[Long]("a"), top.getAs[Long]("b"))
