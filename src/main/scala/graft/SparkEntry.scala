@@ -377,6 +377,9 @@ object SparkEntry {
     // three-stage funnel with strict event-time ordering
     "s_funnel" -> ((s, dir) =>
       graft.streaming.EventStreams.funnel(graft.streaming.EventStreams.events(s, dir))),
+    // last-touch revenue attribution (IGNORE NULLS carry-forward window)
+    "s_attribution" -> ((s, dir) =>
+      graft.streaming.EventStreams.attribution(graft.streaming.EventStreams.events(s, dir))),
     // as-of join (sorted-union-window composition)
     "s_asof_join" -> ((s, dir) =>
       graft.operators.AsOfJoin.purchaseLastClick(s, dir)),
@@ -470,12 +473,14 @@ object SparkEntry {
     "ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
     "ann_ivf_kmeans" -> ((s, dir) => Similarity.annIvfTrained(s, dir)),
     // recall@K of every approximate ANN variant vs brute-force truth
+    "ann_pq" -> ((s, dir) => Similarity.annPq(s, dir)),
     "ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
     "dd_embedding" -> ((s, dir) => Similarity.embeddingDup(s, dir)),
     // SemDeDup: k-means clusters, near-dup pairs only within clusters
     "dd_semantic" -> ((s, dir) => Similarity.semDedup(s, dir)),
     // per-dimension embedding stats (drift monitoring)
     "emb_dim_stats" -> ((s, dir) => Similarity.dimStats(s, dir)),
+    "emb_int8_quantize" -> ((s, dir) => Similarity.int8Quantize(s, dir)),
     // multimodal demux: magic-byte sniff next to the bytes
     "mm_modality_route" -> ((s, dir) => Media.modalityRoute(s, dir)),
     "mm_media_features" -> ((s, dir) => Media.mediaFeatures(s, dir)),
@@ -697,6 +702,7 @@ object SparkEntry {
     "s_pivot_types" -> OlapCtes.pivotEvents,
     "s_gap_fill" -> OlapCtes.gapFillHourly,
     "s_retention" -> EventCtes.retention,
+    "s_attribution" -> EventCtes.attribution,
     "s_funnel" ->
       """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),
@@ -875,10 +881,12 @@ object SparkEntry {
     "ann_lsh" -> TextCtes.annLsh,
     "ann_ivf" -> TextCtes.annIvf,
     "ann_ivf_kmeans" -> TextCtes.annIvfTrained,
+    "ann_pq" -> TextCtes.annPq,
     "ann_recall" -> TextCtes.annRecall,
     "dd_embedding" -> TextCtes.embeddingDup,
     "dd_semantic" -> TextCtes.semDedup,
     "emb_dim_stats" -> TextCtes.dimStats,
+    "emb_int8_quantize" -> TextCtes.int8Quantize,
     "mm_modality_route" -> TextCtes.modalityRoute,
     "mm_media_features" -> TextCtes.mediaFeatures,
     "mm_frame_sample" -> TextCtes.frameSample,

@@ -270,6 +270,8 @@ object Similarity {
           .select(lit("ivf").as("variant"), col("qid"), col("nid")))
         .unionAll(annIvfTrained(spark, dir)
           .select(lit("ivf_kmeans").as("variant"), col("qid"), col("nid")))
+        .unionAll(annPq(spark, dir)
+          .select(lit("pq").as("variant"), col("qid"), col("nid")))
     val t = truth.agg(count(lit(1)).as("n_truth"))
     approx.join(truth, Seq("qid", "nid"))
       .groupBy("variant").agg(count(lit(1)).as("n_hits"))
@@ -414,4 +416,90 @@ object Similarity {
       .groupBy("dim")
       .agg(count(lit(1)).as("n"), sum("x").as("sum_q"),
         min("x").as("min_q"), max("x").as("max_q"))
+
+  /** Symmetric per-dimension int8 quantization with an exact error
+    * report — the serving-side compression step (an int8 corpus is 4×
+    * smaller than fp32 and SIMD-scans 4× faster; every production ANN
+    * store quantizes). Codes and errors stay in exact integer space:
+    * with per-dim `amax = max|x|`, `code = ((x+amax)·255 + amax) div
+    * (2·amax)` ∈ [0,255] (numerator non-negative, so Spark's
+    * truncating `div` and DuckDB's flooring `//` agree), and the
+    * 255-scaled reconstruction error `|255·(x+amax) − code·2·amax|` is
+    * an exact BIGINT bounded by amax (half a quantization step). Plan:
+    * one posexplode, a 64-row amax aggregate broadcast back, one
+    * partial-agg groupBy — linear, two narrow shuffles of 64 rows. */
+  def int8Quantize(spark: SparkSession, dir: String): DataFrame = {
+    val el = quantizedCached(spark, dir)
+      .select(posexplode(col("q")).as(Seq("i0", "x")))
+      .select((col("i0") + 1).cast("long").as("dim"), col("x"))
+    val amax = el.groupBy("dim").agg(max(abs(col("x"))).as("amax"))
+      .filter(col("amax") > 0)
+    el.join(broadcast(amax), "dim")
+      .withColumn("code", expr("((x + amax) * 255 + amax) div (2 * amax)"))
+      .withColumn("err255", abs(expr("(x + amax) * 255 - code * 2 * amax")))
+      .groupBy("dim", "amax")
+      .agg(count(lit(1)).as("n"), max("err255").as("max_err255"),
+        sum("err255").as("sum_err255"),
+        countDistinct("code").as("n_codes"))
+  }
+
+  val PqSub = 4       // subspaces (64 dims → 4 × 16)
+  val PqSubDim = 16
+  val PqCodeMod = 20  // vec_id % PqCodeMod == 0 → codeword set
+
+  /** Product-quantization ANN (Jégou et al. 2011) — THE memory-bound
+    * web-scale design: each vector is M codes (here 4 bytes) instead
+    * of d floats, and queries scan codes with an M-entry table lookup
+    * per candidate instead of a d-term dot product. Deterministic
+    * codebooks (seed subset per subspace, nearest by exact integer
+    * L2²: `sn + cn − 2·dot`), asymmetric scoring (ADC): approx
+    * dot(q,x) = Σ_m lut[m, code_m(x)], ranked against the
+    * reconstructed norm — every intermediate an exact BIGINT, so
+    * encoding and ranking are engine-invariant.
+    *
+    * Scale shape: encoding is the broadcast-codebook assignment kernel
+    * (N·M·|codebook| codegen dots, no shuffle of the corpus); scoring
+    * joins the M-row-per-vector code table against a broadcast LUT and
+    * partial-aggregates — the corpus is touched once, nothing ever
+    * pairs corpus×corpus. */
+  def annPq(spark: SparkSession, dir: String): DataFrame =
+    pqMemo.getOrElseUpdate(spark, dir)(annPqCompute(spark, dir).persist())
+
+  private val pqMemo = new graft.SessionMemo[DataFrame]
+
+  private def annPqCompute(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantizedCached(spark, dir)
+    // long-form subvectors: (vec_id, full norm, m, sub, sub-norm)
+    val subs = e.select(col("vec_id"), col("nrm"), posexplode(expr(
+        s"transform(sequence(0, ${PqSub - 1}), m -> slice(q, m * $PqSubDim + 1, $PqSubDim))"))
+        .as(Seq("m", "sub")))
+      .withColumn("sn", expr("graft_dot(sub, sub)"))
+    val codebook = subs.filter(col("vec_id") % PqCodeMod === 0)
+      .select(col("m"), col("vec_id").as("cid"), col("sub").as("csub"),
+        col("sn").as("cn"))
+    // encode: nearest codeword per (vector, subspace) by exact L2²
+    val wEnc = Window.partitionBy("vec_id", "m")
+      .orderBy(col("d2").asc, col("cid"))
+    val codes = subs.join(broadcast(codebook), "m")
+      .withColumn("d2",
+        col("sn") + col("cn") - lit(2) * expr("graft_dot(sub, csub)"))
+      .withColumn("r", row_number().over(wEnc))
+      .filter(col("r") === 1)
+      .select(col("vec_id").as("nid"), col("m"), col("cid"), col("cn"))
+    // ADC lookup table: query subvector · every codeword, per subspace
+    val lut = subs.filter(col("vec_id") % QueryMod === 0)
+      .join(broadcast(codebook), "m")
+      .select(col("vec_id").as("qid"), col("nrm").as("qn"), col("m"),
+        col("cid"), expr("graft_dot(sub, csub)").as("part"))
+    val scored = codes.join(broadcast(lut), Seq("m", "cid"))
+      .filter(col("qid") =!= col("nid"))
+      .groupBy("qid", "qn", "nid")
+      .agg(sum("part").as("adc"), sum("cn").as("rn"))
+      .filter(col("rn") > 0)
+      .withColumn("cos", col("adc") / (sqrt(col("qn")) * sqrt(col("rn"))))
+    val wRank = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+  }
 }

@@ -35,6 +35,23 @@ object EventCtes {
        |FROM r WHERE prev_type IS NOT NULL
        |GROUP BY 1, 2""".stripMargin
 
+  /** twin of EventStreams.attribution: last preceding non-purchase
+    * touch per purchase via IGNORE NULLS window, `direct` fallback */
+  val attribution: String =
+    s"""WITH $ev,
+       |r AS (
+       |  SELECT event_type, cents,
+       |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+       |        IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS last_touch
+       |  FROM ev)
+       |SELECT coalesce(last_touch, 'direct') AS channel,
+       |  count(*) AS n_purchases, CAST(sum(cents) AS BIGINT) AS cents_total
+       |FROM r WHERE event_type = 'purchase'
+       |GROUP BY 1""".stripMargin
+
   /** twin of EventStreams.propStats: JSON field extraction + per-type
     * aggregate */
   val propStats: String =

@@ -551,6 +551,74 @@ object TextCtes {
        |SELECT qid, rnk AS rank, nid, cos FROM ranked WHERE rnk <= 5""".stripMargin
   }
 
+  /** twin of Similarity.annPq: subspace split, nearest-codeword encode
+    * by exact integer L2² (sn + cn − 2·dot), ADC scoring against the
+    * reconstructed norm. Corpus restricted to `valid` exactly like the
+    * Spark side's quantized table. */
+  val annPq: String = {
+    val (sub, mod, q, k) = (graft.operators.Similarity.PqSubDim,
+      graft.operators.Similarity.PqCodeMod,
+      graft.operators.Similarity.QueryMod, graft.operators.Similarity.K)
+    s"""WITH $embBase,
+       |sel AS (
+       |  SELECT el.vec_id, CAST((el.i - 1) // $sub AS BIGINT) AS m,
+       |    (el.i - 1) % $sub AS j, el.x
+       |  FROM el JOIN valid USING (vec_id)),
+       |ssn AS (SELECT vec_id, m, CAST(sum(x * x) AS BIGINT) AS sn
+       |  FROM sel GROUP BY 1, 2),
+       |cdots AS (
+       |  SELECT s.vec_id, s.m, c.vec_id AS cid,
+       |    CAST(sum(s.x * c.x) AS BIGINT) AS dot
+       |  FROM sel s JOIN sel c ON s.m = c.m AND s.j = c.j
+       |  WHERE c.vec_id % $mod = 0
+       |  GROUP BY 1, 2, 3),
+       |enc AS (
+       |  SELECT vec_id AS nid, m, cid, cn FROM (
+       |    SELECT d.vec_id, d.m, d.cid, cv.sn AS cn,
+       |      row_number() OVER (PARTITION BY d.vec_id, d.m
+       |        ORDER BY sv.sn + cv.sn - 2 * d.dot ASC, d.cid) AS r
+       |    FROM cdots d
+       |    JOIN ssn sv ON sv.vec_id = d.vec_id AND sv.m = d.m
+       |    JOIN ssn cv ON cv.vec_id = d.cid AND cv.m = d.m)
+       |  WHERE r = 1),
+       |lut AS (
+       |  SELECT vec_id AS qid, m, cid, dot AS part
+       |  FROM cdots WHERE vec_id % $q = 0),
+       |scored AS (
+       |  SELECT l.qid, e.nid, CAST(sum(l.part) AS BIGINT) AS adc,
+       |    CAST(sum(e.cn) AS BIGINT) AS rn
+       |  FROM enc e JOIN lut l ON l.m = e.m AND l.cid = e.cid
+       |  WHERE l.qid <> e.nid
+       |  GROUP BY 1, 2 HAVING sum(e.cn) > 0),
+       |cosd AS (
+       |  SELECT s.qid, s.nid, s.adc / (sqrt(v.nrm) * sqrt(s.rn)) AS cos
+       |  FROM scored s JOIN valid v ON v.vec_id = s.qid)
+       |SELECT qid, rnk AS rank, nid, cos FROM (
+       |  SELECT qid, nid, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+       |  FROM cosd)
+       |WHERE rnk <= $k""".stripMargin
+  }
+
+  /** twin of Similarity.int8Quantize: same exact-integer code and
+    * 255-scaled error arithmetic (`//` floors, but the numerator is
+    * non-negative so it matches Spark's truncating `div`). */
+  val int8Quantize: String =
+    s"""WITH $embBase,
+       |dl AS (SELECT el.i AS dim, el.x FROM el JOIN valid USING (vec_id)),
+       |am AS (SELECT dim, max(abs(x)) AS amax FROM dl GROUP BY dim
+       |  HAVING max(abs(x)) > 0),
+       |c AS (
+       |  SELECT d.dim, a.amax, d.x,
+       |    ((d.x + a.amax) * 255 + a.amax) // (2 * a.amax) AS code
+       |  FROM dl d JOIN am a ON d.dim = a.dim)
+       |SELECT CAST(dim AS BIGINT) AS dim, amax, count(*) AS n,
+       |  max(abs((x + amax) * 255 - code * 2 * amax)) AS max_err255,
+       |  CAST(sum(abs((x + amax) * 255 - code * 2 * amax)) AS BIGINT)
+       |    AS sum_err255,
+       |  CAST(count(DISTINCT code) AS BIGINT) AS n_codes
+       |FROM c GROUP BY 1, 2""".stripMargin
+
   /** twin of Similarity.annRecall: recall@K of each approximate
     * variant vs the brute-force truth (nested-WITH subqueries reuse
     * the variant SQL verbatim, so the probe can never drift from the
@@ -560,7 +628,8 @@ object TextCtes {
        |ap AS (
        |  SELECT 'lsh' AS variant, qid, nid FROM ($annLsh)
        |  UNION ALL SELECT 'ivf', qid, nid FROM ($annIvf)
-       |  UNION ALL SELECT 'ivf_kmeans', qid, nid FROM ($annIvfTrained)),
+       |  UNION ALL SELECT 'ivf_kmeans', qid, nid FROM ($annIvfTrained)
+       |  UNION ALL SELECT 'pq', qid, nid FROM ($annPq)),
        |t AS (SELECT count(*) AS n_truth FROM truth)
        |SELECT ap.variant, count(*) AS n_hits,
        |  CAST(t.n_truth AS BIGINT) AS n_truth,

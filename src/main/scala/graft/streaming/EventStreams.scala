@@ -294,6 +294,28 @@ object EventStreams {
         count(col("t3")).as("n_purchased_after"))
   }
 
+  /** Last-touch revenue attribution — the marketing-analytics staple:
+    * every purchase's cents are credited to the nearest PRECEDING
+    * non-purchase event (the "touch") of the same user; purchases with
+    * no prior touch credit the `direct` channel. One pass: a per-user
+    * ordered window carries the last touch forward (`last` with
+    * ignoreNulls over rows (-∞, -1)), so no self-join of purchases
+    * against touches — at 100 TB this is one shuffle on user_id and a
+    * sorted within-partition sweep, identical in shape to
+    * [[sessionize]]. Ordering ties break on event_id, matching every
+    * other event-order contract in this file. */
+  def attribution(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("touch",
+        when(col("event_type") =!= "purchase", col("event_type")))
+      .withColumn("last_touch", last("touch", ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("last_touch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum("cents").as("cents_total"))
+  }
+
   final case class TransEv(user_id: Long, ts: java.sql.Timestamp,
     event_id: Long, event_type: String)
   final case class TransLast(tsMs: Long, id: Long, tpe: String)
