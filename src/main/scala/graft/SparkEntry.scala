@@ -344,6 +344,8 @@ object SparkEntry {
     // whole-graph analytic: fixed-point PageRank (GraphX surface,
     // DataFrame-first, integer-exact)
     "it_pagerank" -> ((s, dir) => graft.operators.PageRank.topRanks(s, dir)),
+    // HITS hubs & authorities (divisor-normalized integer fixed point)
+    "it_hits" -> ((s, dir) => graft.operators.Hits.topAuthorities(s, dir)),
     // Cypher-style diamond motif: same-nation customer/supplier orders
     "g_motif_same_nation" -> ((s, dir) => GraphOps.sameNationTrade(s, dir)),
     // ---- streaming/CDC batch twins (SURVEY §2.5, §3.3) ----
@@ -481,6 +483,8 @@ object SparkEntry {
     // per-dimension embedding stats (drift monitoring)
     "emb_dim_stats" -> ((s, dir) => Similarity.dimStats(s, dir)),
     "emb_int8_quantize" -> ((s, dir) => Similarity.int8Quantize(s, dir)),
+    // exact d×d co-moment (gram) matrix — PCA/whitening/drift input
+    "emb_gram" -> ((s, dir) => Similarity.gramMatrix(s, dir)),
     // multimodal demux: magic-byte sniff next to the bytes
     "mm_modality_route" -> ((s, dir) => Media.modalityRoute(s, dir)),
     "mm_media_features" -> ((s, dir) => Media.mediaFeatures(s, dir)),
@@ -794,6 +798,7 @@ object SparkEntry {
         |  max(CASE WHEN rn = 1 THEN event_id END) AS last_event_id
         |FROM r GROUP BY user_id""".stripMargin,
     "it_pagerank" -> graft.oracle.PageRankCtes.topRanks,
+    "it_hits" -> graft.oracle.HitsCtes.topAuthorities,
     "s_hourly_agg" -> EventCtes.hourlyAgg,
     "s_windowed_distinct" -> SketchCtes.windowedDistinct,
     "s_trending" -> EventCtes.trending,
@@ -886,6 +891,7 @@ object SparkEntry {
     "dd_embedding" -> TextCtes.embeddingDup,
     "dd_semantic" -> TextCtes.semDedup,
     "emb_dim_stats" -> TextCtes.dimStats,
+    "emb_gram" -> TextCtes.gramMatrix,
     "emb_int8_quantize" -> TextCtes.int8Quantize,
     "mm_modality_route" -> TextCtes.modalityRoute,
     "mm_media_features" -> TextCtes.mediaFeatures,

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.TpchGraph
+
+/** HITS (Kleinberg hubs & authorities) over the property graph — the
+  * second classic link-analysis fixed point next to [[PageRank]]
+  * (reference scope: whole-graph analytics over the store,
+  * `ConsistencyCheck`-era Neo4j exposes the graph for exactly this
+  * kind of offline ranking; cf. reference traversal surface in
+  * `kernel/src/main/java/org/neo4j/graphdb/Traverser.java`).
+  *
+  *   a(v) ← Σ_{u→v} h(u)      (authority: endorsed by good hubs)
+  *   h(u) ← Σ_{u→v} a(v)      (hub: endorses good authorities)
+  *
+  * Classic HITS normalizes by the L2 norm — a float whose summation
+  * order Spark and DuckDB would disagree on. Instead each half-step
+  * divides by the OVERFLOW-FREE integer divisor `max div Scale + 1`,
+  * which rescales the winner to ≈[[Scale]] without ever multiplying a
+  * raw sum (contrast a `raw × Scale div max` form, which overflows
+  * BIGINT once `raw·Scale > 2⁶³`): scores stay exact BIGINTs, the
+  * ranking is invariant to iteration order, partitioning, and engine,
+  * and the DuckDB oracle unrolls the same rounds bit-for-bit.
+  *
+  * Scale shape per round: two rank⋈edge joins + two partial-agg
+  * shuffles over a persisted edge table (same as one PageRank round
+  * twice), each scalar max a 1-row agg broadcast back via cross join.
+  * The rank side carries a broadcast hint only while provably small
+  * (same guard as [[PageRank]]); lazy localCheckpoint truncates the
+  * per-round Catalyst plan so round k+1 plans against a constant-size
+  * LogicalRDD.
+  */
+object Hits {
+  val Iters = 3
+  val Scale = 1000000L // winner rescaled to ~1e6 after each half-step
+  val TopK = 20
+
+  def topAuthorities(spark: SparkSession, dir: String): DataFrame = {
+    val edges = TpchGraph.relsLite(spark, dir).select("src", "dst").persist()
+    val base = TpchGraph.nodes(spark, dir).select(col("id").as("node"))
+      .localCheckpoint(true)
+    val nNodes = base.count()
+    val maxRows = Iterative.broadcastMaxRows(spark)
+
+    // one half-step: inflow = Σ over edges of the partner score, then
+    // divisor-normalize; nodes with no inflow drop to 0 via the left join
+    def halfStep(score: DataFrame, scoreCol: String, joinOn: String,
+        groupOn: String, outCol: String): DataFrame = {
+      val raw = edges
+        .join(Iterative.hinted(
+          score.select(col("node").as(joinOn), col(scoreCol).as("s")),
+          nNodes, maxRows), joinOn)
+        .groupBy(col(groupOn).as("node"))
+        .agg(sum("s").as("raw"))
+      val d = raw.agg(
+        expr(s"coalesce(max(raw), CAST(0 AS BIGINT)) div $Scale + 1").as("d"))
+      base
+        .join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(d))
+        .select(col("node"),
+          expr("coalesce(raw, CAST(0 AS BIGINT)) div d").as(outCol))
+    }
+
+    var h = base.withColumn("hub", lit(Scale))
+    var a: DataFrame = null
+    for (_ <- 0 until Iters) {
+      // authorities from hubs: edge u→v sends h(u) to v
+      a = halfStep(h, "hub", "src", "dst", "auth").localCheckpoint(false)
+      // hubs from authorities: edge u→v sends a(v) back to u
+      h = halfStep(a, "auth", "dst", "src", "hub").localCheckpoint(false)
+    }
+    edges.unpersist()
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("auth").desc, col("node"))
+    a.join(h, "node")
+      .orderBy(col("auth").desc, col("node")).limit(TopK)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("node"), col("auth"), col("hub"))
+  }
+}

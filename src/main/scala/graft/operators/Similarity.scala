@@ -443,6 +443,40 @@ object Similarity {
         countDistinct("code").as("n_codes"))
   }
 
+  /** Exact upper-triangle co-moment (gram) matrix over the quantized
+    * embedding corpus — the d×d input every PCA / whitening /
+    * covariance-drift job starts from. All second moments stay BIGINT
+    * (quantized elements), so the matrix is engine-invariant; the
+    * consumer forms covariance as (n·sxy − sum_i·sum_j)/n² in whatever
+    * precision it wants.
+    *
+    * Scale shape: each row expands map-side to its d(d+1)/2
+    * (i, j, x_i·x_j) terms inside one codegen'd transform — the corpus
+    * is never joined against anything — and the only shuffle is the
+    * partial-agg groupBy whose reduce side is d(d+1)/2 = 2,080 rows.
+    * Per-dim sums ride in on a 64-row broadcast. At 100 TB this is the
+    * canonical one-pass gram: linear scan, constant-size state. */
+  def gramMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantizedCached(spark, dir)
+    val terms = e.select(explode(expr(
+      """flatten(transform(sequence(1, size(q)), i ->
+        |  transform(sequence(i, size(q)), j ->
+        |    struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |      element_at(q, i) * element_at(q, j) AS xy))))""".stripMargin))
+        .as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.xy").as("xy"))
+    val gram = terms.groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum("xy").as("sxy"))
+    val dims = e.select(posexplode(col("q")).as(Seq("i0", "x")))
+      .groupBy((col("i0") + 1).cast("long").as("d"))
+      .agg(sum("x").as("s"))
+    gram
+      .join(broadcast(dims.select(col("d").as("i"), col("s").as("sum_i"))), "i")
+      .join(broadcast(dims.select(col("d").as("j"), col("s").as("sum_j"))), "j")
+      .select(col("i"), col("j"), col("n"), col("sxy"),
+        col("sum_i"), col("sum_j"))
+  }
+
   val PqSub = 4       // subspaces (64 dims → 4 × 16)
   val PqSubDim = 16
   val PqCodeMod = 20  // vec_id % PqCodeMod == 0 → codeword set

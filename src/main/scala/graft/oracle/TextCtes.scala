@@ -619,6 +619,22 @@ object TextCtes {
        |  CAST(count(DISTINCT code) AS BIGINT) AS n_codes
        |FROM c GROUP BY 1, 2""".stripMargin
 
+  /** twin of Similarity.gramMatrix: upper-triangle exact co-moment
+    * matrix with per-dim sums, restricted to `valid` vectors exactly
+    * like the Spark side's quantized table. */
+  val gramMatrix: String =
+    s"""WITH $embBase,
+       |v AS (SELECT el.vec_id, el.i, el.x FROM el JOIN valid USING (vec_id)),
+       |g AS (
+       |  SELECT a.i AS i, b.i AS j, count(*) AS n,
+       |    CAST(sum(a.x * b.x) AS BIGINT) AS sxy
+       |  FROM v a JOIN v b ON a.vec_id = b.vec_id AND b.i >= a.i
+       |  GROUP BY 1, 2),
+       |d AS (SELECT i, CAST(sum(x) AS BIGINT) AS s FROM v GROUP BY i)
+       |SELECT CAST(g.i AS BIGINT) AS i, CAST(g.j AS BIGINT) AS j, g.n,
+       |  g.sxy, di.s AS sum_i, dj.s AS sum_j
+       |FROM g JOIN d di ON di.i = g.i JOIN d dj ON dj.i = g.j""".stripMargin
+
   /** twin of Similarity.annRecall: recall@K of each approximate
     * variant vs the brute-force truth (nested-WITH subqueries reuse
     * the variant SQL verbatim, so the probe can never drift from the
