@@ -346,6 +346,9 @@ object SparkEntry {
     "it_pagerank" -> ((s, dir) => graft.operators.PageRank.topRanks(s, dir)),
     // HITS hubs & authorities (divisor-normalized integer fixed point)
     "it_hits" -> ((s, dir) => graft.operators.Hits.topAuthorities(s, dir)),
+    // sampled stress centrality: all-integer Brandes sibling (σ and
+    // continuation counts over the landmark shortest-path DAG)
+    "it_stress" -> ((s, dir) => graft.operators.Stress.topStress(s, dir)),
     // Cypher-style diamond motif: same-nation customer/supplier orders
     "g_motif_same_nation" -> ((s, dir) => GraphOps.sameNationTrade(s, dir)),
     // ---- streaming/CDC batch twins (SURVEY §2.5, §3.3) ----
@@ -466,6 +469,8 @@ object SparkEntry {
     // Gopher-style repetition quality gates
     "t_repetition" -> ((s, dir) => TextOps.repetition(s, dir)),
     "t_vocab_topk" -> ((s, dir) => TextOps.vocabTopK(s, dir)),
+    // skip-gram window co-occurrence: the word2vec/GloVe pre-pass
+    "t_cooccur" -> ((s, dir) => TextOps.cooccurTopK(s, dir)),
     "t_lm_score" -> ((s, dir) => TextOps.lmScore(s, dir)),
     "t_bpe_pairs" -> ((s, dir) => TextOps.bpePairs(s, dir)),
     "t_hash_features" -> ((s, dir) => TextOps.hashFeatures(s, dir)),
@@ -799,6 +804,7 @@ object SparkEntry {
         |FROM r GROUP BY user_id""".stripMargin,
     "it_pagerank" -> graft.oracle.PageRankCtes.topRanks,
     "it_hits" -> graft.oracle.HitsCtes.topAuthorities,
+    "it_stress" -> graft.oracle.StressCtes.topStress,
     "s_hourly_agg" -> EventCtes.hourlyAgg,
     "s_windowed_distinct" -> SketchCtes.windowedDistinct,
     "s_trending" -> EventCtes.trending,
@@ -869,6 +875,7 @@ object SparkEntry {
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "t_repetition" -> TextCtes.repetition,
     "t_vocab_topk" -> TextCtes.vocabTopK,
+    "t_cooccur" -> TextCtes.cooccurTopK,
     "t_lm_score" -> TextCtes.lmScore,
     "t_bpe_pairs" -> TextCtes.bpePairs,
     "t_hash_features" -> TextCtes.hashFeatures,

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.TpchGraph
+
+/** Sampled stress centrality (Shimbel 1953) — for each node, the
+  * number of shortest paths from the landmark set that pass THROUGH
+  * it. The all-integer sibling of Brandes betweenness: betweenness
+  * accumulates fractional pair dependencies σ_st(v)/σ_st, whose
+  * float summation order Spark and DuckDB would disagree on; stress
+  * keeps the raw path COUNTS, so every score is an exact BIGINT and
+  * the oracle compares bit-for-bit. (Reference scope: offline
+  * whole-graph ranking over the store, like [[PageRank]]/[[Hits]];
+  * traversal surface `kernel/src/main/java/org/neo4j/graphdb/
+  * TraversalDescription.java` walks one node at a time — here each
+  * BFS level is one exchange over all landmarks at once.)
+  *
+  * Two bounded passes over the shortest-path DAG, both keyed by
+  * (landmark r, node):
+  *   forward   σ_r(v) = Σ σ_r(u) over DAG edges u→v (per BFS level);
+  *   backward  c_r(v) = 1 + Σ c_r(w) over DAG edges v→w
+  *             (c counts shortest-path continuations from v, the empty
+  *             one included);
+  *   stress(v) = Σ_r σ_r(v)·(c_r(v) − 1)   for v not a landmark.
+  *
+  * Scale shape: state is |landmarks| × reached nodes — the standard
+  * sampled-centrality memory profile (landmarks a small constant, so
+  * linear in V). Each forward level is one join + partial-agg shuffle
+  * against the persisted distinct edge table plus an anti-join against
+  * the seen set; each backward level the same join keyed the other
+  * way. Levels localCheckpoint (lazy — the guard count materializes
+  * them), so the plan stays constant-size; the per-level broadcast
+  * hint rides the same row-count guard as [[Iterative]]. Depth is
+  * FIXED — the oracle unrolls the identical levels, so short-of-
+  * convergence results still compare exactly.
+  */
+object Stress {
+  val Depth = 5
+  val TopK = 20
+
+  def topStress(spark: SparkSession, dir: String): DataFrame = {
+    val maxRows = Iterative.broadcastMaxRows(spark)
+    val rels = TpchGraph.relsLite(spark, dir).select("src", "dst")
+    // path counting needs SIMPLE edges: the order→part multigraph
+    // (two lineitems, same part) must not double σ, so dedupe after
+    // symmetrizing; partition by src once — every forward level joins
+    // on it, so only the (small) frontier moves per round
+    val edges = rels
+      .unionAll(rels.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().repartition(col("src")).persist()
+    val sources = TpchGraph.nodes(spark, dir).filter(col("kind") === "region")
+      .select(col("id").as("r"))
+
+    // forward BFS: level k holds (r, node, sigma) for nodes FIRST
+    // reached at depth k; seen accumulates (r, node) for the anti-join
+    var level = sources
+      .select(col("r"), col("r").as("node"), lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    var seen = level.select("r", "node")
+    var levelRows = level.count()
+    val levels = Array.newBuilder[(DataFrame, Long)]
+    levels += ((level, levelRows))
+    for (_ <- 1 to Depth) {
+      val msgs = edges
+        .join(Iterative.hinted(
+          level.select(col("node").as("src"), col("r"), col("sigma")),
+          levelRows, maxRows), "src")
+        .select(col("r"), col("dst").as("node"), col("sigma"))
+      level = msgs
+        .join(seen, Seq("r", "node"), "left_anti")
+        .groupBy("r", "node").agg(sum("sigma").as("sigma"))
+        .localCheckpoint(false)
+      levelRows = level.count()
+      seen = seen.unionAll(level.select("r", "node")).localCheckpoint(false)
+      levels += ((level, levelRows))
+    }
+
+    // backward: continuation counts, deepest level up. c of level k
+    // consumes only level k+1's c (DAG edges go level→level+1).
+    val lv = levels.result()
+    var c = lv(Depth)._1.select(col("r"), col("node"), lit(1L).as("c"))
+    var contrib = lv(Depth)._1
+      .select(col("node"), (col("sigma") * lit(0L)).as("s")) // deepest: c−1 = 0
+    for (k <- (Depth - 1) to 0 by -1) {
+      val cs = edges
+        .join(Iterative.hinted(
+          c.select(col("node").as("dst"), col("r"), col("c")),
+          lv(k + 1)._2, maxRows), "dst")
+        .groupBy(col("r"), col("src").as("node")).agg(sum("c").as("cs"))
+      // cs's row bound is the level-(k+1) frontier's NEIGHBORHOOD, not
+      // either level — no forced hint; AQE map-side-joins it when
+      // runtime-small
+      c = lv(k)._1
+        .join(cs, Seq("r", "node"), "left")
+        .select(col("r"), col("node"),
+          (lit(1L) + coalesce(col("cs"), lit(0L))).as("c"),
+          col("sigma"))
+        .localCheckpoint(false)
+      if (k > 0) // landmarks themselves (k = 0) accrue no stress
+        contrib = contrib.unionAll(
+          c.select(col("node"), (col("sigma") * (col("c") - 1)).as("s")))
+      c = c.select("r", "node", "c")
+    }
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy(col("stress").desc, col("node"))
+    val out = contrib.groupBy("node").agg(sum("s").as("stress"))
+      .join(TpchGraph.nodes(spark, dir).select(col("id").as("node"), col("kind")),
+        "node")
+      .orderBy(col("stress").desc, col("node")).limit(TopK)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("node"), col("kind"), col("stress"))
+      .localCheckpoint()
+    edges.unpersist()
+    out
+  }
+}

@@ -126,6 +126,37 @@ object TextOps {
       .orderBy(col("n").desc, col("tok"))
       .limit(VocabK)
 
+  /** Skip-gram window co-occurrence counts — the word2vec/GloVe
+    * pre-pass: every ordered token pair (wᵢ, wⱼ) with j within
+    * [[CoWindow]] positions after i, counted corpus-wide, top
+    * [[CoK]] by (count desc, pair). The co-occurrence table IS the
+    * embedding-training signal; at corpus scale it is also the
+    * canonical "pairs explode" job.
+    *
+    * Scale shape: pairs are generated MAP-SIDE inside one codegen'd
+    * higher-order function over each doc's token array (the token
+    * table is never self-joined — a position-range self-join would
+    * shuffle the whole token table once per window slot); the only
+    * exchange is the partial-agg pair groupBy, whose reduce side is
+    * the distinct-pair vocabulary, followed by a distributed top-k
+    * (TakeOrderedAndProject). Window and doc length bound the blowup
+    * at [[CoWindow]]× tokens — linear in corpus size. */
+  val CoWindow = 3
+  val CoK = 50
+  def cooccurTopK(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(toks(lower(col("text"))).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, size(t) - 1), i ->
+           |  transform(sequence(i + 1, least(i + $CoWindow, size(t))), j ->
+           |    struct(element_at(t, i) AS a, element_at(t, j) AS b))))"""
+          .stripMargin)).as("s"))
+      .select(col("s.a").as("a"), col("s.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("a"), col("b"))
+      .limit(CoK)
+
   /** Out-of-vocabulary rate per document — the tokenizer-coverage
     * check run whenever a vocab is (re)built: tokens outside the
     * corpus top-[[VocabK]] vocabulary, counted per doc. The vocabulary

@@ -251,6 +251,22 @@ object TextCtes {
        |FROM (SELECT unnest(${toks("lower(text)")}) AS tok FROM documents)
        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin
 
+  /** twin of TextOps.cooccurTopK: same forward-window ordered pairs
+    * via nested list lambdas — DuckDB `range` is end-exclusive, so
+    * range(1, len) ≡ Spark sequence(1, len−1) and
+    * range(i+1, least(i+W, len)+1) ≡ sequence(i+1, least(i+W, len)). */
+  val cooccurTopK: String = {
+    val w = graft.operators.TextOps.CoWindow
+    s"""WITH d AS (SELECT ${toks("lower(text)")} AS t FROM documents),
+       |p AS (SELECT unnest(flatten(list_transform(range(1, len(t)),
+       |        i -> list_transform(range(i + 1, least(i + $w, len(t)) + 1),
+       |          j -> struct_pack(a := t[i], b := t[j]))))) AS s
+       |      FROM d WHERE len(t) >= 2)
+       |SELECT s.a AS a, s.b AS b, CAST(count(*) AS BIGINT) AS n
+       |FROM p GROUP BY 1, 2
+       |ORDER BY n DESC, a, b LIMIT ${graft.operators.TextOps.CoK}""".stripMargin
+  }
+
   /** twin of Dedup.crossSourcePairs: verified near-dup pairs mapped
     * back to sources (variant ids → original's source), unordered
     * source-pair counts */
