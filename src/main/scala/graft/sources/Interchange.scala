@@ -23,6 +23,14 @@ import org.apache.spark.sql.types.StructType
 object Interchange {
   private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
+  /** TIMESTAMP_NTZ (parquet timestamps without isAdjustedToUTC, the
+    * testdata's `ts` columns) is formatted by the SEPARATE
+    * `timestampNTZFormat` option — `timestampFormat` only governs
+    * TZ-aware values, and the NTZ default silently truncates to
+    * millis. Both are set symmetrically so either flavor survives at
+    * micros. */
+  private val TsNtzFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
   /** NULL sentinel distinct from the empty field: with Spark's default
     * (nullValue = emptyValue = the empty field) a non-null empty
     * string written by [[writeCsv]] reads back as NULL. Writing NULL
@@ -37,6 +45,7 @@ object Interchange {
       .option("nullValue", NullTok)
       .option("emptyValue", "\"\"")
       .option("timestampFormat", TsFmt)
+      .option("timestampNTZFormat", TsNtzFmt)
       .csv(path)
 
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
@@ -45,17 +54,20 @@ object Interchange {
       .option("nullValue", NullTok)
       .option("emptyValue", "")
       .option("timestampFormat", TsFmt)
+      .option("timestampNTZFormat", TsNtzFmt)
       .schema(schema)
       .csv(path)
 
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite")
       .option("timestampFormat", TsFmt)
+      .option("timestampNTZFormat", TsNtzFmt)
       .json(path)
 
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read
       .option("timestampFormat", TsFmt)
+      .option("timestampNTZFormat", TsNtzFmt)
       .schema(schema)
       .json(path)
 

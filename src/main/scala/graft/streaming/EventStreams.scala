@@ -42,8 +42,15 @@ object EventStreams {
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = Tpch.table(spark, dir, "events")
     val withTs = raw.schema("ts").dataType match {
+      // TIMESTAMP(NANOS) parquet read as long under nanosAsLong
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // timestamp[us] without isAdjustedToUTC reads as TIMESTAMP_NTZ,
+      // which watermarks/unix_micros reject; the session runs in UTC so
+      // the cast is wall-clock preserving and matches the nanos path
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
     withTs.withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
