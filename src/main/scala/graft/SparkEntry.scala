@@ -314,6 +314,7 @@ object SparkEntry {
     "pipe_balance" -> ((s, dir) => graft.operators.Pipeline.balanceClasses(s, dir)),
     "t_bm25" -> ((s, dir) => graft.operators.TextOps.bm25TopDocs(s, dir)),
     "t_lang_eval" -> ((s, dir) => graft.operators.TextOps.langEval(s, dir)),
+    "t_auc_eval" -> ((s, dir) => graft.operators.TextOps.aucEval(s, dir)),
     "dd_prefix_join" -> ((s, dir) => Dedup.prefixJaccard(s, dir)),
     "s_ltv" -> ((s, dir) =>
       graft.streaming.EventStreams.cohortLtv(graft.streaming.EventStreams.events(s, dir))),
@@ -689,6 +690,7 @@ object SparkEntry {
     "pipe_balance" -> TextCtes.balanceClasses,
     "t_bm25" -> TextCtes.bm25TopDocs,
     "t_lang_eval" -> TextCtes.langEval,
+    "t_auc_eval" -> TextCtes.aucEval,
     // oracle is the PLAIN inverted-index Jaccard: hash equality proves
     // the prefix pruning lossless (cf. dd_incremental)
     "dd_prefix_join" -> TextCtes.ngramJaccard,

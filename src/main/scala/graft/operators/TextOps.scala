@@ -114,6 +114,59 @@ object TextOps {
         sum(when(col("lang") === col("pred"), 1L).otherwise(0L)).as("n_correct"))
   }
 
+  /** Integer scale for the AUC score ratio — s_en·Scale div n_tokens
+    * stays in exact long arithmetic on both engines, and the coarse
+    * quantization produces real ties so the tie-corrected rank math is
+    * actually exercised. */
+  val AucScale = 1000000L
+
+  /** Exact binary ROC-AUC of the English-stopword-density score
+    * against the corpus's `lang = 'en'` ground truth — the
+    * threshold-free companion to [[langEval]]'s confusion matrix
+    * (every score-gated filter in a training pipeline needs its AUC
+    * before a threshold is chosen).
+    *
+    * Computed by the Mann-Whitney rank-sum identity with full tie
+    * correction, but in the SCALABLE group-by-score form: docs
+    * aggregate to one row per distinct score (partial-aggregable
+    * shuffle), a running window over the tiny distinct-score table
+    * supplies negatives-strictly-below, and
+    * U₂ = Σ_s (2·negBelow(s) + negAt(s))·posAt(s) — integer-exact,
+    * twice the usual U so tied half-credits stay integral. The global
+    * window orders ≤|distinct scores| rows (≤ AucScale by
+    * construction), never the corpus — per-row global ranks would be a
+    * single-partition sort of the whole table.
+    * AUC = U₂ / (2·P·N), reported with the integer numerator and
+    * denominator alongside the rounded ratio. */
+  def aucEval(spark: SparkSession, dir: String): DataFrame =
+    aucFromScored(docs(spark, dir)
+      .withColumn("t", toks(lower(col("text"))))
+      .withColumn("s_en",
+        expr("size(filter(t, x -> x IN ('the','a','of','and','is')))").cast("long"))
+      .select(
+        expr(s"(s_en * $AucScale) div size(t)").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos")))
+
+  /** rank-sum core over a `(score: long, pos: 0/1 long)` table —
+    * factored for hand-table specs against the all-pairs definition */
+  private[graft] def aucFromScored(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = scored.groupBy("score").agg(
+      sum("pos").as("p"),
+      (count(lit(1)) - sum("pos")).as("n"))
+    val w = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withBelow = byScore.withColumn("neg_below",
+      coalesce(sum("n").over(w), lit(0L)))
+    withBelow.agg(
+        sum("p").as("n_pos"), sum("n").as("n_neg"),
+        sum((col("neg_below") * 2 + col("n")) * col("p")).as("auc_num"))
+      .select(col("n_pos"), col("n_neg"), col("auc_num"),
+        (col("n_pos") * col("n_neg") * 2).as("auc_den"),
+        round(col("auc_num") / (col("n_pos") * col("n_neg") * 2).cast("double"), 6)
+          .as("auc"))
+  }
+
   /** Corpus vocabulary: top-k tokens by document frequency-weighted
     * count — the vocabulary-building pass of a tokenizer pipeline.
     * groupBy token (map-side combinable) + distributed top-k

@@ -967,6 +967,26 @@ object TextCtes {
 
   /** twin of TextOps.langEval: confusion matrix of the langId chain
     * against the ground-truth lang column. */
+  /** twin of TextOps.aucEval: tie-corrected Mann-Whitney AUC in the
+    * group-by-score form, all-integer until the final rounded ratio */
+  val aucEval: String =
+    s"""WITH a0 AS (SELECT lang, ${toks("lower(text)")} AS t FROM documents),
+       |a1 AS (SELECT
+       |  (CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS BIGINT) * 1000000)
+       |    // CAST(len(t) AS BIGINT) AS score,
+       |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM a0),
+       |ag AS (SELECT score, CAST(sum(pos) AS BIGINT) AS p,
+       |  CAST(count(*) - sum(pos) AS BIGINT) AS n FROM a1 GROUP BY score),
+       |ab AS (SELECT p, n, CAST(coalesce(sum(n) OVER (ORDER BY score
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |  AS neg_below FROM ag)
+       |SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(n) AS BIGINT) AS n_neg,
+       |  CAST(sum((neg_below * 2 + n) * p) AS BIGINT) AS auc_num,
+       |  CAST(sum(p) * sum(n) * 2 AS BIGINT) AS auc_den,
+       |  round(CAST(sum((neg_below * 2 + n) * p) AS DOUBLE)
+       |    / CAST(sum(p) * sum(n) * 2 AS DOUBLE), 6) AS auc
+       |FROM ab""".stripMargin
+
   val langEval: String =
     s"""WITH $langCtes,
        |j AS (SELECT d.lang, l.pred FROM documents d
