@@ -488,6 +488,7 @@ object SparkEntry {
     "dd_semantic" -> ((s, dir) => Similarity.semDedup(s, dir)),
     // per-dimension embedding stats (drift monitoring)
     "emb_dim_stats" -> ((s, dir) => Similarity.dimStats(s, dir)),
+    "emb_whiten" -> ((s, dir) => Similarity.whitenNorms(s, dir)),
     "emb_int8_quantize" -> ((s, dir) => Similarity.int8Quantize(s, dir)),
     // exact d×d co-moment (gram) matrix — PCA/whitening/drift input
     "emb_gram" -> ((s, dir) => Similarity.gramMatrix(s, dir)),
@@ -900,6 +901,7 @@ object SparkEntry {
     "dd_embedding" -> TextCtes.embeddingDup,
     "dd_semantic" -> TextCtes.semDedup,
     "emb_dim_stats" -> TextCtes.dimStats,
+    "emb_whiten" -> TextCtes.whitenNorms,
     "emb_gram" -> TextCtes.gramMatrix,
     "emb_int8_quantize" -> TextCtes.int8Quantize,
     "mm_modality_route" -> TextCtes.modalityRoute,

@@ -417,6 +417,47 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum("x").as("sum_q"),
         min("x").as("min_q"), max("x").as("max_q"))
 
+  /** Per-dimension whitening (z-scoring) of the quantized embeddings,
+    * reported as each vector's whitened squared norm — the
+    * normalization step between encoder output and any
+    * distance-based consumer (a dimension with 100× the variance
+    * otherwise owns every cosine). Engine-exact shape: with per-dim
+    * integer stats S = Σx and V = n·Σx² − S², each term is
+    * z²ⱼ = (n·xⱼ − Sⱼ)²/Vⱼ — integers until one double multiply and
+    * divide, folded in ARRAY ORDER on both engines (a groupBy-sum of
+    * per-dim doubles would have engine-dependent addition order).
+    * Plan: one posexplode partial-agg pass for the 64-row stats, the
+    * stats pivoted to arrays and broadcast, one map-side zip — linear,
+    * no per-row shuffle. Envelope: V stays in BIGINT while
+    * n·Σx² < 2⁶³ (n ≲ 3e6 vectors at this quantization); past that the
+    * stats pass switches to per-partition Welford doubles and the
+    * oracle bit-exactness claim relaxes to a tolerance. */
+  def whitenNorms(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantizedCached(spark, dir)
+    val el = q.select(posexplode(col("q")).as(Seq("i0", "x")))
+      .select((col("i0") + 1).cast("long").as("dim"), col("x"))
+    val stats = el.groupBy("dim").agg(
+        count(lit(1)).as("n"), sum("x").as("s"),
+        sum(col("x") * col("x")).as("ss"))
+      .select(col("dim"), col("n"), col("s"),
+        (col("n") * col("ss") - col("s") * col("s")).as("v"))
+    val arrs = stats.agg(
+        sort_array(collect_list(struct(col("dim"), col("s")))).as("sRows"),
+        sort_array(collect_list(struct(col("dim"), col("v")))).as("vRows"),
+        max("n").as("n"))
+      .select(expr("transform(sRows, r -> r.s)").as("sArr"),
+        expr("transform(vRows, r -> r.v)").as("vArr"), col("n"))
+    val term =
+      "CAST(n * element_at(q, i) - element_at(sArr, i) AS DOUBLE)"
+    q.crossJoin(broadcast(arrs))
+      .select(col("vec_id"),
+        round(expr(
+          s"""aggregate(sequence(1, size(q)), CAST(0.0 AS DOUBLE),
+             |  (acc, i) -> acc + CASE WHEN element_at(vArr, i) > 0
+             |    THEN ($term * $term) / CAST(element_at(vArr, i) AS DOUBLE)
+             |    ELSE 0.0 END)""".stripMargin), 6).as("wnorm2"))
+  }
+
   /** Symmetric per-dimension int8 quantization with an exact error
     * report — the serving-side compression step (an int8 corpus is 4×
     * smaller than fp32 and SIMD-scans 4× faster; every production ANN

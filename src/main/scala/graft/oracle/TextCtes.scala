@@ -789,6 +789,27 @@ object TextCtes {
        |  CAST(sum(x) AS BIGINT) AS sum_q, min(x) AS min_q, max(x) AS max_q
        |FROM el GROUP BY i""".stripMargin
 
+  /** twin of Similarity.whitenNorms: per-dim integer stats over valid
+    * vectors, z² terms folded in array order (same left fold as the
+    * Spark `aggregate`) */
+  val whitenNorms: String =
+    s"""WITH $embBase,
+       |st AS (SELECT i AS dim, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS s,
+       |    CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS v
+       |  FROM el JOIN valid USING (vec_id) GROUP BY i),
+       |arrs AS (SELECT list(s ORDER BY dim) AS sa, list(v ORDER BY dim) AS va,
+       |    max(n) AS n FROM st),
+       |w AS (SELECT e.vec_id, e.q, a.sa, a.va, a.n
+       |  FROM e JOIN valid USING (vec_id) CROSS JOIN arrs a)
+       |SELECT vec_id, round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform(generate_series(1, len(q)), i ->
+       |    CASE WHEN va[i] > 0 THEN
+       |      (CAST(n * q[i] - sa[i] AS DOUBLE) * CAST(n * q[i] - sa[i] AS DOUBLE))
+       |        / CAST(va[i] AS DOUBLE)
+       |    ELSE 0.0 END)), (a, x) -> a + x), 6) AS wnorm2
+       |FROM w""".stripMargin
+
   /** twin of Dedup.substringDup: sliding SubstrK-token windows,
     * fingerprinted, df ≥ 2 across docs = duplicated substring */
   val substringDup: String = {
