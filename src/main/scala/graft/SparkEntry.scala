@@ -112,6 +112,50 @@ object SparkEntry {
         .groupBy(col("n_name").as("nation"))
         .agg(sum("rev_c").as("revenue_c"), count(lit(1)).as("n_items"))
     }),
+    // TPC-H Q3 shape: anti-correlated date predicates (ordered before
+    // the cutoff, shipped after it), revenue top-10 over the
+    // customer⋈orders⋈lineitem join — segment filter broadcast-pruned
+    // before the one real shuffle, top-k as TakeOrderedAndProject.
+    "q26_ship_priority" -> ((s, dir) => {
+      def t(n: String) = s.read.parquet(s"$dir/$n.parquet")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(0)).orderBy(col("revenue_c").desc, col("l_orderkey"))
+      t("lineitem").filter(expr("year(l_shipdate) >= 1998"))
+        .withColumn("rev_c",
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1.0 - l_discount) * 100) AS BIGINT)"))
+        .join(t("orders").filter(expr("year(o_orderdate) <= 1997")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t("customer").filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(sum("rev_c").as("revenue_c"))
+        .orderBy(col("revenue_c").desc, col("l_orderkey")).limit(10)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select("rank", "l_orderkey", "o_orderpriority", "revenue_c")
+    }),
+    // TPC-H Q7 shape: bidirectional nation-pair trade volume by ship
+    // year — both dims broadcast, the pair predicate prunes map-side,
+    // lineitem⋈orders is the only shuffle.
+    "q27_nation_volume" -> ((s, dir) => {
+      def t(n: String) = s.read.parquet(s"$dir/$n.parquet")
+      t("lineitem")
+        .filter(expr("year(l_shipdate) IN (1996, 1997)"))
+        .withColumn("rev_c",
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1.0 - l_discount) * 100) AS BIGINT)"))
+        .join(broadcast(t("supplier").filter(col("s_nationkey").isin(1, 2))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t("customer").filter(col("c_nationkey").isin(1, 2))),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") =!= col("s_nationkey"))
+        .select(
+          concat(lit("NATION_"), col("s_nationkey")).as("supp_nation"),
+          concat(lit("NATION_"), col("c_nationkey")).as("cust_nation"),
+          expr("year(l_shipdate)").cast("long").as("l_year"),
+          col("rev_c"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(sum("rev_c").as("volume_c"), count(lit(1)).as("n_items"))
+    }),
     // skew-safe two-phase aggregation (operators.Salt): exact equality
     // with the direct groupBy is the point — the oracle IS the direct
     // form
@@ -492,6 +536,7 @@ object SparkEntry {
     "emb_int8_quantize" -> ((s, dir) => Similarity.int8Quantize(s, dir)),
     // exact d×d co-moment (gram) matrix — PCA/whitening/drift input
     "emb_gram" -> ((s, dir) => Similarity.gramMatrix(s, dir)),
+    "emb_pca" -> ((s, dir) => Similarity.pcaProject(s, dir)),
     // multimodal demux: magic-byte sniff next to the bytes
     "mm_modality_route" -> ((s, dir) => Media.modalityRoute(s, dir)),
     "mm_media_features" -> ((s, dir) => Media.mediaFeatures(s, dir)),
@@ -549,6 +594,34 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
+    "q26_ship_priority" ->
+      """WITH r AS (
+        |  SELECT l_orderkey, o_orderpriority,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |             CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey AND year(o_orderdate) <= 1997
+        |  JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+        |  WHERE year(l_shipdate) >= 1998
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT l_orderkey, o_orderpriority, revenue_c,
+        |  row_number() OVER (ORDER BY revenue_c DESC, l_orderkey) AS rnk FROM r)
+        |SELECT rnk AS rank, l_orderkey, o_orderpriority, revenue_c
+        |FROM rk WHERE rnk <= 10""".stripMargin,
+    "q27_nation_volume" ->
+      """SELECT 'NATION_' || s_nationkey AS supp_nation,
+        |  'NATION_' || c_nationkey AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS volume_c,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey IN (1, 2)
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey IN (1, 2)
+        |  AND c_nationkey <> s_nationkey
+        |WHERE year(l_shipdate) IN (1996, 1997)
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q06_salted_agg" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
@@ -903,6 +976,7 @@ object SparkEntry {
     "emb_dim_stats" -> TextCtes.dimStats,
     "emb_whiten" -> TextCtes.whitenNorms,
     "emb_gram" -> TextCtes.gramMatrix,
+    "emb_pca" -> TextCtes.pcaProject,
     "emb_int8_quantize" -> TextCtes.int8Quantize,
     "mm_modality_route" -> TextCtes.modalityRoute,
     "mm_media_features" -> TextCtes.mediaFeatures,

@@ -518,6 +518,78 @@ object Similarity {
         col("sum_i"), col("sum_j"))
   }
 
+  val PcaIters = 8
+
+  /** Fixed-round power iteration on a dense symmetric matrix (1-based
+    * d×d in row 1..d, col 1..d), v₀ = all-ones, each round normalized
+    * by max|w|. The fold runs in COLUMN ORDER (j ascending) because
+    * the DuckDB twin replays the identical left fold — a dot product
+    * via unordered summation would not hash-match. Returns (v, λ)
+    * where λ is the final round's max|w| (the dominant-eigenvalue
+    * estimate). */
+  private[graft] def powerIterate(c: Array[Array[Double]], d: Int,
+                                  iters: Int): (Array[Double], Double) = {
+    var v = Array.fill(d)(1.0)
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      val w = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var acc = 0.0
+        var j = 0
+        while (j < d) { acc += c(i + 1)(j + 1) * v(j); j += 1 }
+        w(i) = acc
+        i += 1
+      }
+      lambda = w.map(math.abs).max
+      v = w.map(_ / lambda)
+    }
+    (v, lambda)
+  }
+
+  /** Top-principal-component projection of the quantized embeddings —
+    * the dimensionality-reduction head of an embedding pipeline
+    * (visualization, PCA-whitening, index pre-rotation), and the
+    * canonical train-small/apply-big shape: the d×d covariance
+    * aggregates in ONE linear pass ([[gramMatrix]] — the corpus is
+    * never joined), the [[PcaIters]]-round power iteration runs on the
+    * driver over the 64×64 artifact (O(d²·iters), corpus-independent —
+    * the same sanctioned small-model step as the IVF centroid loop),
+    * and the projection ships back as LITERAL arrays in one codegen'd
+    * map pass: zero joins, zero broadcast, zero extra shuffles.
+    *
+    * Engine-exactness: covariance numerator C = n·Σxy − Sx·Sy is exact
+    * BIGINT (same n·Σ envelope as [[whitenNorms]]); the power rounds
+    * and the projection fold are IEEE doubles applied in pinned order,
+    * so the DuckDB twin — which re-derives C and replays the SAME
+    * 8 unrolled rounds in SQL — reproduces every bit, including the
+    * eigenvector's sign. Output: (vec_id, proj, lambda_max). */
+  def pcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val rows = gramMatrix(spark, dir).collect()
+    val d = rows.iterator.map(_.getLong(1)).max.toInt
+    val n = rows.iterator.map(_.getLong(2)).max
+    val s = new Array[Long](d + 1)
+    val c = Array.ofDim[Double](d + 1, d + 1)
+    rows.foreach { r =>
+      val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
+      s(i) = r.getLong(4); s(j) = r.getLong(5)
+      val cv = (n * r.getLong(3) - r.getLong(4) * r.getLong(5)).toDouble
+      c(i)(j) = cv; c(j)(i) = cv
+    }
+    val (v, lambda) = powerIterate(c, d, PcaIters)
+    val vLit = array(v.map(lit(_)): _*)
+    val sLit = array((1 to d).map(j => lit(s(j))): _*)
+    quantizedCached(spark, dir).select(
+      col("vec_id"),
+      round(aggregate(
+        sequence(lit(1), size(col("q"))),
+        lit(0.0),
+        (acc, j) => acc +
+          (lit(n) * element_at(col("q"), j) - element_at(sLit, j)).cast("double") *
+            element_at(vLit, j)), 6).as("proj"),
+      round(lit(lambda), 3).as("lambda_max"))
+  }
+
   val PqSub = 4       // subspaces (64 dims → 4 × 16)
   val PqSubDim = 16
   val PqCodeMod = 20  // vec_id % PqCodeMod == 0 → codeword set

@@ -651,6 +651,48 @@ object TextCtes {
        |  g.sxy, di.s AS sum_i, dj.s AS sum_j
        |FROM g JOIN d di ON di.i = g.i JOIN d dj ON dj.i = g.j""".stripMargin
 
+  /** twin of Similarity.pcaProject: re-derives the exact covariance
+    * numerator and replays the SAME [[graft.operators.Similarity.PcaIters]]
+    * power rounds as unrolled CTEs — matvec and projection fold in
+    * pinned column order, so doubles (and the eigenvector sign) match
+    * the driver-side loop bit-for-bit. */
+  val pcaProject: String = {
+    val iters = graft.operators.Similarity.PcaIters
+    // every chain CTE is MATERIALIZED: DuckDB re-evaluates plain CTEs
+    // per reference, and w_k/m_k/v_k each reference the previous round
+    // twice — un-materialized, the 8 rounds re-run the whole prefix
+    // 2^8 times (measured: >120 s vs 0.1 s materialized)
+    val rounds = (1 to iters).map { k =>
+      val pv = if (k == 1) "v0" else s"v${k - 1}"
+      s"""w$k AS MATERIALIZED (SELECT cr.i, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(generate_series(1, len(cr.carr)), j -> cr.carr[j] * $pv.v[j])),
+         |  (a, x) -> a + x) AS w FROM cr CROSS JOIN $pv),
+         |m$k AS MATERIALIZED (SELECT max(abs(w)) AS m FROM w$k),
+         |v$k AS MATERIALIZED (SELECT list(w / m$k.m ORDER BY i) AS v FROM w$k CROSS JOIN m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $embBase,
+       |vv AS MATERIALIZED (SELECT el.vec_id, el.i, el.x FROM el JOIN valid USING (vec_id)),
+       |g AS MATERIALIZED (SELECT a.i AS i, b.i AS j, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(a.x * b.x) AS BIGINT) AS sxy
+       |  FROM vv a JOIN vv b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |dsum AS MATERIALIZED (SELECT i, CAST(sum(x) AS BIGINT) AS s FROM vv GROUP BY i),
+       |cm AS MATERIALIZED (SELECT g.i, g.j,
+       |    CAST(CAST(g.n * g.sxy AS BIGINT) - CAST(di.s * dj.s AS BIGINT) AS BIGINT) AS c
+       |  FROM g JOIN dsum di ON di.i = g.i JOIN dsum dj ON dj.i = g.j),
+       |cr AS MATERIALIZED (SELECT i, list(CAST(c AS DOUBLE) ORDER BY j) AS carr FROM cm GROUP BY i),
+       |nn AS MATERIALIZED (SELECT max(n) AS n FROM g),
+       |sarr AS MATERIALIZED (SELECT list(s ORDER BY i) AS sa FROM dsum),
+       |v0 AS MATERIALIZED (SELECT list_transform(carr, x -> 1.0) AS v FROM cr WHERE i = 1),
+       |$rounds
+       |SELECT e.vec_id, round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(generate_series(1, len(e.q)), j ->
+       |      CAST(nn.n * e.q[j] - sarr.sa[j] AS DOUBLE) * vf.v[j])),
+       |  (a, x) -> a + x), 6) AS proj,
+       |  round(m$iters.m, 3) AS lambda_max
+       |FROM e JOIN valid USING (vec_id)
+       |CROSS JOIN v$iters vf CROSS JOIN sarr CROSS JOIN nn CROSS JOIN m$iters""".stripMargin
+  }
+
   /** twin of Similarity.annRecall: recall@K of each approximate
     * variant vs the brute-force truth (nested-WITH subqueries reuse
     * the variant SQL verbatim, so the probe can never drift from the
