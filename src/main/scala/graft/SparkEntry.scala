@@ -537,6 +537,7 @@ object SparkEntry {
     // exact d×d co-moment (gram) matrix — PCA/whitening/drift input
     "emb_gram" -> ((s, dir) => Similarity.gramMatrix(s, dir)),
     "emb_pca" -> ((s, dir) => Similarity.pcaProject(s, dir)),
+    "g_basket_features" -> ((s, dir) => graft.operators.GraphOps.basketFeatures(s, dir)),
     // multimodal demux: magic-byte sniff next to the bytes
     "mm_modality_route" -> ((s, dir) => Media.modalityRoute(s, dir)),
     "mm_media_features" -> ((s, dir) => Media.mediaFeatures(s, dir)),
@@ -977,6 +978,7 @@ object SparkEntry {
     "emb_whiten" -> TextCtes.whitenNorms,
     "emb_gram" -> TextCtes.gramMatrix,
     "emb_pca" -> TextCtes.pcaProject,
+    "g_basket_features" -> TextCtes.basketFeatures,
     "emb_int8_quantize" -> TextCtes.int8Quantize,
     "mm_modality_route" -> TextCtes.modalityRoute,
     "mm_media_features" -> TextCtes.mediaFeatures,

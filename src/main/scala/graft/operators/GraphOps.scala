@@ -206,6 +206,35 @@ object GraphOps {
     pairs.orderBy(col("w").desc, col("a"), col("b")).limit(CopurchaseTopK)
   }
 
+  /** Basket feature aggregation — the GraphSAGE/recsys aggregation
+    * layer over the bipartite order↔part graph: each order's feature
+    * is the elementwise SUM of its catalog parts' embeddings (parts
+    * without an embedding simply don't contribute — partial feature
+    * coverage is the production norm). Reported engine-exactly as the
+    * featured-part count and the summed vector's integer squared norm.
+    *
+    * Scale shape: edges join features on the part key (one shuffle —
+    * co-partition or broadcast decided by AQE), dims explode MAP-SIDE,
+    * and two partial-aggregable groupBys ((order, dim) then order)
+    * absorb the fan-out — never a per-order collect, never a vector
+    * rebuilt row-side. norm² = Σ_j (Σ_u x_uj)² needs only the per-dim
+    * sums, so the aggregated vector itself never materializes. */
+  def basketFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.sources.Tpch.table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val feats = graft.operators.Similarity.quantizedCached(spark, dir)
+      .select(col("vec_id").as("pk"), col("q"))
+    val perDim = li.join(feats, "pk")
+      .select(col("ok"), posexplode(col("q")).as(Seq("i0", "x")))
+      .groupBy(col("ok"), col("i0"))
+      .agg(sum("x").as("s"), count(lit(1)).as("c"))
+    perDim.groupBy("ok")
+      .agg(max("c").as("n_feat"),
+        sum(col("s") * col("s")).as("norm2"))
+      .select(col("ok").as("l_orderkey"), col("n_feat"), col("norm2"))
+  }
+
   /** Node-similarity guards: parts supplied by more than [[SimDfCap]]
     * suppliers drop before pair expansion (the inverted-index df cap,
     * same role as the dedup shingle cap), Jaccard is computed over the

@@ -43,7 +43,7 @@ object Similarity {
     * its signature extension — one persisted copy per (session, dir)
     * instead of a fresh persist per call (evicted on session end). */
   private val quantMemo = new graft.SessionMemo[DataFrame]
-  private def quantizedCached(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def quantizedCached(spark: SparkSession, dir: String): DataFrame =
     quantMemo.getOrElseUpdate(spark, dir)(quantized(spark, dir).persist())
   private val bucketMemo = new graft.SessionMemo[DataFrame]
   private def bucketedCached(spark: SparkSession, dir: String): DataFrame =

@@ -651,6 +651,20 @@ object TextCtes {
        |  g.sxy, di.s AS sum_i, dj.s AS sum_j
        |FROM g JOIN d di ON di.i = g.i JOIN d dj ON dj.i = g.j""".stripMargin
 
+  /** twin of GraphOps.basketFeatures: per-order elementwise sum of
+    * featured parts' embeddings, reported as count + integer norm² */
+  val basketFeatures: String =
+    s"""WITH $embBase,
+       |li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |jx AS (SELECT li.ok, el.i, el.x FROM li
+       |  JOIN valid ON valid.vec_id = li.pk
+       |  JOIN el ON el.vec_id = li.pk),
+       |g AS (SELECT ok, i, CAST(sum(x) AS BIGINT) AS s, count(*) AS c
+       |  FROM jx GROUP BY 1, 2)
+       |SELECT ok AS l_orderkey, CAST(max(c) AS BIGINT) AS n_feat,
+       |  CAST(sum(s * s) AS BIGINT) AS norm2
+       |FROM g GROUP BY ok""".stripMargin
+
   /** twin of Similarity.pcaProject: re-derives the exact covariance
     * numerator and replays the SAME [[graft.operators.Similarity.PcaIters]]
     * power rounds as unrolled CTEs — matvec and projection fold in
