@@ -156,6 +156,18 @@ object SparkEntry {
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(sum("rev_c").as("volume_c"), count(lit(1)).as("n_items"))
     }),
+    // TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join with a
+    // non-equi conjunct (shipped after ordered) — the semi join never
+    // duplicates orders, so no distinct pass is needed.
+    "q28_priority_exists" -> ((s, dir) => {
+      def t(n: String) = s.read.parquet(s"$dir/$n.parquet")
+      t("orders").filter(expr("year(o_orderdate) = 1997"))
+        .join(t("lineitem"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+    }),
     // skew-safe two-phase aggregation (operators.Salt): exact equality
     // with the direct groupBy is the point — the oracle IS the direct
     // form
@@ -472,12 +484,14 @@ object SparkEntry {
     // ---- LLM-pipeline operators (north star) ----
     "t_token_count" -> ((s, dir) => TextOps.tokenCount(s, dir)),
     "t_quality" -> ((s, dir) => TextOps.quality(s, dir)),
+    "t_ttr" -> ((s, dir) => TextOps.typeTokenRatio(s, dir)),
     "t_lang_id" -> ((s, dir) => TextOps.langId(s, dir)),
     "t_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir)),
     "t_intra_dedup" -> ((s, dir) => TextOps.intraDedup(s, dir)),
     "t_simhash" -> ((s, dir) => TextOps.simhash(s, dir)),
     "dd_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "dd_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
+    "dd_containment" -> ((s, dir) => Dedup.containmentDup(s, dir)),
     "dd_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "dd_simhash_band" -> ((s, dir) => Dedup.simhashDup(s, dir)),
     "dd_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
@@ -623,6 +637,13 @@ object SparkEntry {
         |  AND c_nationkey <> s_nationkey
         |WHERE year(l_shipdate) IN (1996, 1997)
         |GROUP BY 1, 2, 3""".stripMargin,
+    "q28_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE year(o_orderdate) = 1997 AND EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
     "q06_salted_agg" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
@@ -914,12 +935,14 @@ object SparkEntry {
         |FROM events""".stripMargin,
     "t_token_count" -> TextCtes.tokenCount,
     "t_quality" -> TextCtes.quality,
+    "t_ttr" -> TextCtes.typeTokenRatio,
     "t_lang_id" -> TextCtes.langId,
     "t_fingerprint" -> TextCtes.fingerprint,
     "t_intra_dedup" -> TextCtes.intraDedup,
     "t_simhash" -> TextCtes.simhash,
     "dd_exact" -> TextCtes.dedupExact,
     "dd_ngram_jaccard" -> TextCtes.ngramJaccard,
+    "dd_containment" -> TextCtes.containmentDup,
     "dd_minhash_lsh" -> TextCtes.minhashLsh,
     "dd_simhash_band" -> TextCtes.simhashDup,
     "dd_clusters" -> TextCtes.dedupClusters,

@@ -119,6 +119,35 @@ object Dedup {
       verifiedPairs(nearShingles(spark, dir)).persist())
   }
 
+  /** Containment threshold: inter / min(|a|, |b|) — the asymmetric
+    * near-dup test Jaccard misses: a short document quoted wholesale
+    * inside a long one has tiny Jaccard but containment ≈ 1. */
+  val ContainTau = 0.8
+  private val containMemo = new graft.SessionMemo[DataFrame]
+
+  /** Shingle containment near-dup (quote/subset detection): same
+    * df-capped inverted index and pair expansion as [[ngramJaccard]] —
+    * the only change is the denominator, so the scale story (bounded
+    * Σdf² pair blowup, exact verify on survivors) is inherited
+    * unchanged. */
+  def containmentDup(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.ensureRegistered(spark)
+    containMemo.getOrElseUpdate(spark, dir) {
+      val sh = nearShingles(spark, dir)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      sh.select(col("doc_id").as("a"), col("sfp"))
+        .join(sh.select(col("doc_id").as("b"), col("sfp")), "sfp")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("a"), col("nsh").as("na")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("nsh").as("nb")), "b")
+        .withColumn("containment", col("inter") / least(col("na"), col("nb")))
+        .filter(col("containment") >= ContainTau)
+        .select(col("a"), col("b"), col("containment"))
+        .persist()
+    }
+  }
+
   /** Prefix-filtered set-similarity join (AllPairs/PPJoin family,
     * Bayardo et al. WWW'07): each document indexes only its PREFIX —
     * the |s| − ⌈τ|s|⌉ + 1 globally-rarest shingles (global order =

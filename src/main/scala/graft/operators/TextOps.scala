@@ -76,6 +76,19 @@ object TextOps {
           when(col("avg_len") >= 3.0 && col("avg_len") <= 8.0, 0.2).otherwise(0.0)
           ).as("quality"))
 
+  /** Type-token ratio — the lexical-diversity gate next to
+    * [[quality]]: templated/boilerplate text repeats its vocabulary,
+    * so a low TTR flags it even when length and stopword ratios look
+    * healthy. Distinct counts are order-independent, so the ratio is
+    * engine-exact; one codegen projection, no shuffle. */
+  def typeTokenRatio(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("t", toks(col("text")))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_types"))
+      .withColumn("ttr", col("n_types") / col("n_tokens"))
+
   /** Language-ID via n-gram/stopword heuristic: per-language marker-word
     * hit counts + a CJK character class, argmax with a fixed tie-break
     * order. (The corpus' `lang` column is a random label over a shared

@@ -142,6 +142,30 @@ object TextCtes {
        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
        |$jaccSelect""".stripMargin
 
+  /** twin of Dedup.containmentDup: same inverted index, asymmetric
+    * denominator */
+  val containmentDup: String =
+    s"""WITH $shingleCtes,
+       |pairs AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+       |  FROM sh a JOIN sh b USING (sfp)
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT p.a, p.b,
+       |  p.inter / CAST(least(sa.nsh, sb.nsh) AS DOUBLE) AS containment
+       |FROM pairs p
+       |JOIN sizes sa ON p.a = sa.doc_id
+       |JOIN sizes sb ON p.b = sb.doc_id
+       |WHERE p.inter / CAST(least(sa.nsh, sb.nsh) AS DOUBLE) >= ${graft.operators.Dedup.ContainTau}""".stripMargin
+
+  /** twin of TextOps.typeTokenRatio */
+  val typeTokenRatio: String =
+    s"""SELECT doc_id,
+       |  CAST(len(${toks("text")}) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(${toks("text")})) AS BIGINT) AS n_types,
+       |  len(list_distinct(${toks("text")}))
+       |    / CAST(len(${toks("text")}) AS DOUBLE) AS ttr
+       |FROM documents""".stripMargin
+
   val minhashLsh: String =
     s"""WITH $shingleCtes,
        |mh AS (
