@@ -371,6 +371,8 @@ object SparkEntry {
     "t_bm25" -> ((s, dir) => graft.operators.TextOps.bm25TopDocs(s, dir)),
     "t_lang_eval" -> ((s, dir) => graft.operators.TextOps.langEval(s, dir)),
     "t_auc_eval" -> ((s, dir) => graft.operators.TextOps.aucEval(s, dir)),
+    "t_pr_curve" -> ((s, dir) => graft.operators.TextOps.prCurve(s, dir)),
+    "t_calibration" -> ((s, dir) => graft.operators.TextOps.calibration(s, dir)),
     "dd_prefix_join" -> ((s, dir) => Dedup.prefixJaccard(s, dir)),
     "s_ltv" -> ((s, dir) =>
       graft.streaming.EventStreams.cohortLtv(graft.streaming.EventStreams.events(s, dir))),
@@ -787,6 +789,8 @@ object SparkEntry {
     "t_bm25" -> TextCtes.bm25TopDocs,
     "t_lang_eval" -> TextCtes.langEval,
     "t_auc_eval" -> TextCtes.aucEval,
+    "t_pr_curve" -> TextCtes.prCurve,
+    "t_calibration" -> TextCtes.calibration,
     // oracle is the PLAIN inverted-index Jaccard: hash equality proves
     // the prefix pruning lossless (cf. dd_incremental)
     "dd_prefix_join" -> TextCtes.ngramJaccard,

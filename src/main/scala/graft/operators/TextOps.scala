@@ -151,14 +151,62 @@ object TextOps {
     * single-partition sort of the whole table.
     * AUC = U₂ / (2·P·N), reported with the integer numerator and
     * denominator alongside the rounded ratio. */
-  def aucEval(spark: SparkSession, dir: String): DataFrame =
-    aucFromScored(docs(spark, dir)
+  /** `(score, pos)` per doc — the shared scored stream behind
+    * [[aucEval]], [[prCurve]] and [[calibration]]: English-stopword
+    * density quantized to an exact integer, `lang = 'en'` as the
+    * binary truth. */
+  private def enScored(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
       .withColumn("t", toks(lower(col("text"))))
       .withColumn("s_en",
         expr("size(filter(t, x -> x IN ('the','a','of','and','is')))").cast("long"))
       .select(
         expr(s"(s_en * $AucScale) div size(t)").as("score"),
-        when(col("lang") === "en", 1L).otherwise(0L).as("pos")))
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+
+  def aucEval(spark: SparkSession, dir: String): DataFrame =
+    aucFromScored(enScored(spark, dir))
+
+  /** Precision/recall curve at EVERY decision threshold — the artifact
+    * a threshold choice is actually made from ([[aucEval]] summarizes
+    * it to one number). Same scalable identity as the AUC: reduce to
+    * one row per distinct score, running TP/FP sums come from a window
+    * over that tiny table ordered score-descending (classify-positive
+    * means score ≥ threshold), totals ride a broadcast. All counts are
+    * exact integers; precision/recall are single divisions. */
+  def prCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = enScored(spark, dir).groupBy("score").agg(
+      sum("pos").as("p"),
+      (count(lit(1)) - sum("pos")).as("n"))
+    val totals = byScore.agg(sum("p").as("p_total"))
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byScore
+      .withColumn("tp", sum("p").over(w))
+      .withColumn("fp", sum("n").over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("score").as("thr"), col("tp"), col("fp"),
+        (col("p_total") - col("tp")).as("fn"),
+        round(col("tp") / (col("tp") + col("fp")).cast("double"), 6).as("precision"),
+        round(col("tp") / col("p_total").cast("double"), 6).as("recall"))
+  }
+
+  /** Calibration (reliability) bins: decile buckets of the integer
+    * score vs the observed positive rate — the companion audit to
+    * [[prCurve]] (a well-ranked score can still be miscalibrated).
+    * One partial-aggregable groupBy over ≤10 bins. */
+  val CalibBins = 10
+  def calibration(spark: SparkSession, dir: String): DataFrame = {
+    val width = AucScale / CalibBins
+    enScored(spark, dir)
+      .select(expr(s"least(score div $width, ${CalibBins - 1})")
+        .cast("long").as("bin"), col("pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("n_pos") / col("n").cast("double"), 6).as("pos_rate"))
+  }
 
   /** rank-sum core over a `(score: long, pos: 0/1 long)` table —
     * factored for hand-table specs against the all-pairs definition */

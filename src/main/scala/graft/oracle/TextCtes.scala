@@ -1068,14 +1068,19 @@ object TextCtes {
 
   /** twin of TextOps.langEval: confusion matrix of the langId chain
     * against the ground-truth lang column. */
-  /** twin of TextOps.aucEval: tie-corrected Mann-Whitney AUC in the
-    * group-by-score form, all-integer until the final rounded ratio */
-  val aucEval: String =
-    s"""WITH a0 AS (SELECT lang, ${toks("lower(text)")} AS t FROM documents),
+  /** shared scored stream: (score, pos) then grouped per distinct
+    * score — base of the AUC / PR-curve / calibration twins */
+  private val enScoredCtes: String =
+    s"""a0 AS (SELECT lang, ${toks("lower(text)")} AS t FROM documents),
        |a1 AS (SELECT
        |  (CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS BIGINT) * 1000000)
        |    // CAST(len(t) AS BIGINT) AS score,
-       |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM a0),
+       |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM a0)""".stripMargin
+
+  /** twin of TextOps.aucEval: tie-corrected Mann-Whitney AUC in the
+    * group-by-score form, all-integer until the final rounded ratio */
+  val aucEval: String =
+    s"""WITH $enScoredCtes,
        |ag AS (SELECT score, CAST(sum(pos) AS BIGINT) AS p,
        |  CAST(count(*) - sum(pos) AS BIGINT) AS n FROM a1 GROUP BY score),
        |ab AS (SELECT p, n, CAST(coalesce(sum(n) OVER (ORDER BY score
@@ -1087,6 +1092,34 @@ object TextCtes {
        |  round(CAST(sum((neg_below * 2 + n) * p) AS DOUBLE)
        |    / CAST(sum(p) * sum(n) * 2 AS DOUBLE), 6) AS auc
        |FROM ab""".stripMargin
+
+  /** twin of TextOps.prCurve */
+  val prCurve: String =
+    s"""WITH $enScoredCtes,
+       |ag AS (SELECT score, CAST(sum(pos) AS BIGINT) AS p,
+       |  CAST(count(*) - sum(pos) AS BIGINT) AS n FROM a1 GROUP BY score),
+       |rs AS (SELECT score,
+       |  CAST(sum(p) OVER (ORDER BY score DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+       |  CAST(sum(n) OVER (ORDER BY score DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+       |  FROM ag),
+       |tot AS (SELECT CAST(sum(p) AS BIGINT) AS p_total FROM ag)
+       |SELECT score AS thr, tp, fp, p_total - tp AS fn,
+       |  round(tp / CAST(tp + fp AS DOUBLE), 6) AS precision,
+       |  round(tp / CAST(p_total AS DOUBLE), 6) AS recall
+       |FROM rs CROSS JOIN tot""".stripMargin
+
+  /** twin of TextOps.calibration */
+  val calibration: String = {
+    val width = graft.operators.TextOps.AucScale / graft.operators.TextOps.CalibBins
+    val top = graft.operators.TextOps.CalibBins - 1
+    s"""WITH $enScoredCtes
+       |SELECT least(score // $width, $top) AS bin,
+       |  count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos,
+       |  round(sum(pos) / CAST(count(*) AS DOUBLE), 6) AS pos_rate
+       |FROM a1 GROUP BY 1""".stripMargin
+  }
 
   val langEval: String =
     s"""WITH $langCtes,

@@ -54,6 +54,29 @@ class EvalAucSpec extends SparkTestBase {
     assert(auc === 0.5)
   }
 
+  test("PR curve: recall is monotone in threshold and ends at 1") {
+    import org.apache.spark.sql.functions._
+    val pr = TextOps.prCurve(spark, "/root/testdata/sf0.001")
+      .orderBy(col("thr").desc).collect()
+    assert(pr.nonEmpty)
+    val recalls = pr.map(_.getDouble(5))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a })
+    assert(recalls.last === 1.0) // lowest threshold classifies all positive
+    // counts are consistent at every threshold: tp + fn = P
+    val p = pr.head.getLong(1) + pr.head.getLong(3)
+    assert(pr.forall(r => r.getLong(1) + r.getLong(3) === p))
+  }
+
+  test("calibration bins partition the corpus") {
+    import org.apache.spark.sql.functions._
+    val cal = TextOps.calibration(spark, "/root/testdata/sf0.001")
+    val total = cal.agg(sum("n")).head().getLong(0)
+    val docs = TextOps.docs(spark, "/root/testdata/sf0.001").count()
+    assert(total === docs)
+    assert(cal.filter(col("bin") < 0 || col("bin") >= TextOps.CalibBins).count() === 0L)
+    assert(cal.filter(col("n_pos") > col("n")).count() === 0L)
+  }
+
   test("corpus aucEval emits one sane row") {
     val r = TextOps.aucEval(spark, "/root/testdata/sf0.001").head()
     val (np, nn, num, den, auc) =
