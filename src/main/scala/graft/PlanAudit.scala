@@ -26,7 +26,7 @@ object PlanAudit {
       println(s"== $name")
       plan.linesIterator
         .filter(l => interesting.exists(l.contains))
-        .map(_.trim.take(160))
+        .map(_.trim.take(300))
         .take(12)
         .foreach(l => println(s"   $l"))
     }
@@ -49,7 +49,14 @@ object PlanAudit {
       // bloom bit-set probe, LPA vote rounds
       "dd_decontaminate", "t_pii", "pipe_pack", "pipe_mixture",
       "t_oov", "pipe_full", "q15_cms_heavy", "q16_bloom_filter",
-      "it_lpa").foreach(audit)
+      "it_lpa",
+      // r5 session-2 additions: stats-then-broadcast-map whitening,
+      // literal-array PCA projection (zero joins), basket feature
+      // aggregation (two partial-agg groupBys), distinct-score eval
+      // windows, containment index join, classic semi/top-k joins
+      "emb_whiten", "emb_pca", "g_basket_features", "t_auc_eval",
+      "t_pr_curve", "dd_containment", "q26_ship_priority",
+      "q27_nation_volume", "q28_priority_exists").foreach(audit)
     // driver t1 smoke simulation: entry must return rows on sf0.001
     println(s"== entry smoke: ${SparkEntry.entry(spark).count()} rows")
     spark.stop()

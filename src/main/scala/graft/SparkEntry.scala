@@ -100,7 +100,8 @@ object SparkEntry {
       t("lineitem")
         .withColumn("rev_c",
           expr("CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1.0 - l_discount) * 100) AS BIGINT)"))
-        .join(t("orders").filter(expr("year(o_orderdate) = 1996")),
+        .join(t("orders").filter(expr(
+          "o_orderdate >= TIMESTAMP_NTZ '1996-01-01' AND o_orderdate < TIMESTAMP_NTZ '1997-01-01'")),
           col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(t("customer")), col("o_custkey") === col("c_custkey"))
         .join(broadcast(t("supplier")),
@@ -120,10 +121,10 @@ object SparkEntry {
       def t(n: String) = s.read.parquet(s"$dir/$n.parquet")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(lit(0)).orderBy(col("revenue_c").desc, col("l_orderkey"))
-      t("lineitem").filter(expr("year(l_shipdate) >= 1998"))
+      t("lineitem").filter(expr("l_shipdate >= TIMESTAMP_NTZ '1998-01-01'"))
         .withColumn("rev_c",
           expr("CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1.0 - l_discount) * 100) AS BIGINT)"))
-        .join(t("orders").filter(expr("year(o_orderdate) <= 1997")),
+        .join(t("orders").filter(expr("o_orderdate < TIMESTAMP_NTZ '1998-01-01'")),
           col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(t("customer").filter(col("c_mktsegment") === "BUILDING")),
           col("o_custkey") === col("c_custkey"))
@@ -139,7 +140,8 @@ object SparkEntry {
     "q27_nation_volume" -> ((s, dir) => {
       def t(n: String) = s.read.parquet(s"$dir/$n.parquet")
       t("lineitem")
-        .filter(expr("year(l_shipdate) IN (1996, 1997)"))
+        .filter(expr(
+          "l_shipdate >= TIMESTAMP_NTZ '1996-01-01' AND l_shipdate < TIMESTAMP_NTZ '1998-01-01'"))
         .withColumn("rev_c",
           expr("CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1.0 - l_discount) * 100) AS BIGINT)"))
         .join(broadcast(t("supplier").filter(col("s_nationkey").isin(1, 2))),
@@ -161,7 +163,8 @@ object SparkEntry {
     // duplicates orders, so no distinct pass is needed.
     "q28_priority_exists" -> ((s, dir) => {
       def t(n: String) = s.read.parquet(s"$dir/$n.parquet")
-      t("orders").filter(expr("year(o_orderdate) = 1997"))
+      t("orders").filter(expr(
+        "o_orderdate >= TIMESTAMP_NTZ '1997-01-01' AND o_orderdate < TIMESTAMP_NTZ '1998-01-01'"))
         .join(t("lineitem"),
           col("l_orderkey") === col("o_orderkey") &&
             col("l_shipdate") > col("o_orderdate"), "left_semi")
