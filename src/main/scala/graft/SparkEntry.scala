@@ -490,6 +490,7 @@ object SparkEntry {
     "t_token_count" -> ((s, dir) => TextOps.tokenCount(s, dir)),
     "t_quality" -> ((s, dir) => TextOps.quality(s, dir)),
     "t_ttr" -> ((s, dir) => TextOps.typeTokenRatio(s, dir)),
+    "t_source_quality" -> ((s, dir) => TextOps.sourceQuality(s, dir)),
     "t_lang_id" -> ((s, dir) => TextOps.langId(s, dir)),
     "t_fingerprint" -> ((s, dir) => TextOps.fingerprint(s, dir)),
     "t_intra_dedup" -> ((s, dir) => TextOps.intraDedup(s, dir)),
@@ -943,6 +944,7 @@ object SparkEntry {
     "t_token_count" -> TextCtes.tokenCount,
     "t_quality" -> TextCtes.quality,
     "t_ttr" -> TextCtes.typeTokenRatio,
+    "t_source_quality" -> TextCtes.sourceQuality,
     "t_lang_id" -> TextCtes.langId,
     "t_fingerprint" -> TextCtes.fingerprint,
     "t_intra_dedup" -> TextCtes.intraDedup,

@@ -228,6 +228,29 @@ object TextOps {
           .as("auc"))
   }
 
+  /** Per-source quality dashboard — the corpus-composition report a
+    * data pipeline publishes per domain/crawl: doc and token counts,
+    * aggregate stopword density, mean length. Ratios are single
+    * divisions over per-source INTEGER sums (a mean-of-per-doc-doubles
+    * would depend on engine summation order); one partial-aggregable
+    * groupBy over |sources| groups. */
+  def sourceQuality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("t", toks(col("text")))
+      .select(col("source"),
+        length(col("text")).cast("long").as("nc"),
+        size(col("t")).cast("long").as("nt"),
+        expr("size(filter(t, x -> x IN ('the','a','of','and','is','to','in')))")
+          .cast("long").as("ns"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nc").as("n_chars"),
+        sum("nt").as("n_tokens"),
+        sum("ns").as("n_stop"))
+      .select(col("source"), col("n_docs"), col("n_chars"), col("n_tokens"),
+        round(col("n_stop") / col("n_tokens").cast("double"), 6).as("stop_density"),
+        round(col("n_chars") / col("n_docs").cast("double"), 6).as("mean_chars"))
+
   /** Corpus vocabulary: top-k tokens by document frequency-weighted
     * count — the vocabulary-building pass of a tokenizer pipeline.
     * groupBy token (map-side combinable) + distributed top-k

@@ -157,6 +157,21 @@ object TextCtes {
        |JOIN sizes sb ON p.b = sb.doc_id
        |WHERE p.inter / CAST(least(sa.nsh, sb.nsh) AS DOUBLE) >= ${graft.operators.Dedup.ContainTau}""".stripMargin
 
+  /** twin of TextOps.sourceQuality: integer sums per source, ratios as
+    * single divisions */
+  val sourceQuality: String =
+    s"""WITH sq AS (SELECT source, CAST(length(text) AS BIGINT) AS nc,
+       |  CAST(len(${toks("text")}) AS BIGINT) AS nt,
+       |  CAST(len(list_filter(${toks("text")},
+       |    x -> x IN ('the','a','of','and','is','to','in'))) AS BIGINT) AS ns
+       |FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(nc) AS BIGINT) AS n_chars,
+       |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |  round(sum(ns) / CAST(sum(nt) AS DOUBLE), 6) AS stop_density,
+       |  round(sum(nc) / CAST(count(*) AS DOUBLE), 6) AS mean_chars
+       |FROM sq GROUP BY source""".stripMargin
+
   /** twin of TextOps.typeTokenRatio */
   val typeTokenRatio: String =
     s"""SELECT doc_id,
