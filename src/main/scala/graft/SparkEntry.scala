@@ -355,6 +355,7 @@ object SparkEntry {
     "it_triangles" -> ((s, dir) => graft.operators.GraphOps.triangleCount(s, dir)),
     // bounded k-core peel (degree >= K survivor census per kind)
     "it_kcore" -> ((s, dir) => graft.operators.Iterative.kcore(s, dir)),
+    "it_coreness" -> ((s, dir) => graft.operators.Iterative.coreness(s, dir)),
     // HyperBall neighborhood function: per-node HLL registers merged along edges
     "it_hyperball" -> ((s, dir) => graft.operators.HyperBall.hyperball(s, dir)),
     "g_random_walks" -> ((s, dir) => graft.operators.Walks.walkVisits(s, dir)),
@@ -776,6 +777,7 @@ object SparkEntry {
     "it_sssp" -> IterCtes.sssp,
     "it_triangles" -> IterCtes.triangles,
     "it_kcore" -> IterCtes.kcore,
+    "it_coreness" -> IterCtes.coreness,
     "it_hyperball" -> IterCtes.hyperball,
     "g_random_walks" -> IterCtes.randomWalks,
     "it_ktruss" -> IterCtes.ktruss,

@@ -335,6 +335,59 @@ object Iterative {
     deg.filter(col("deg") >= 1).select(col("node").as("id"))
   }
 
+  /** Full core decomposition depth: coreness is reported for
+    * k = 1..[[CorenessMaxK]], each level peeling [[KcoreIters]]
+    * bounded rounds from the PREVIOUS level's surviving subgraph (the
+    * standard cascade — the (k−1)-core contains the k-core, so each
+    * level's input only shrinks). */
+  val CorenessMaxK = 4
+
+  /** Coreness per node kind — the full decomposition above the fixed-k
+    * [[kcore]]: coreness(v) = max k ≤ [[CorenessMaxK]] such that v
+    * survives the level-k peel, 0 for nodes outside the edge set.
+    * Level 1 is the IDENTITY on edge-endpoint nodes (a threshold-1
+    * peel only removes degree-0 nodes, which cannot appear in an edge
+    * list) — both engines take distinct endpoints directly instead of
+    * running three no-op rounds; levels 2..max run [[kcoreSurvivors]]
+    * on the cascaded edge set. Bounded rounds per level, replayed
+    * identically by the oracle, so short-of-convergence results still
+    * compare exactly. Scale: each level is the kcore shape (delta
+    * peel, per-round partial-agg shuffle) over a shrinking subgraph. */
+  def coreness(spark: SparkSession, dir: String): DataFrame = {
+    val g = TpchGraph(spark, dir)
+    val e0 = symmetrize(TpchGraph.relsLite(spark, dir))
+      .select("src", "dst").persist()
+    val cor = corenessOf(e0)
+    val out = g.nodes
+      .join(cor, Seq("id"), "left")
+      .select(col("kind"), coalesce(col("coreness"), lit(0L)).as("coreness"))
+      .groupBy("kind", "coreness").agg(count(lit(1)).as("n_nodes"))
+      .localCheckpoint()
+    e0.unpersist()
+    out
+  }
+
+  /** (id, coreness) for every endpoint of an already-symmetrized edge
+    * set — factored for hand-graph specs. */
+  private[graft] def corenessOf(e0: DataFrame): DataFrame = {
+    val s1 = e0.select(col("src").as("id")).distinct()
+    var levels = List((1, s1))
+    var edges = e0
+    for (k <- 2 to CorenessMaxK) {
+      val sk = kcoreSurvivors(edges, k, KcoreIters)
+        .localCheckpoint()
+      edges = edges
+        .join(sk.select(col("id").as("src")), "src")
+        .join(sk.select(col("id").as("dst")), "dst")
+        .select("src", "dst")
+      levels ::= ((k, sk))
+    }
+    levels.map { case (k, s) =>
+      s.select(col("id"), lit(k.toLong).as("k"))
+    }.reduce(_ unionAll _)
+      .groupBy("id").agg(max("k").as("coreness"))
+  }
+
   /** Luby MIS geometry: unique-ish integer priority (mixed hash of the
     * node packed with node mod 10⁷; a residual collision just makes
     * both colliders wait — deterministic on both engines) and bounded

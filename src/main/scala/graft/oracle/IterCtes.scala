@@ -110,6 +110,43 @@ object IterCtes {
        |GROUP BY n.kind""".stripMargin
   }
 
+  /** twin of [[graft.operators.Iterative.coreness]]: cascaded unrolled
+    * peel levels k = 2..max (level 1 is the identity on edge
+    * endpoints, replayed as a distinct), coreness = max surviving
+    * level, 0 for nodes outside the edge set. MATERIALIZED like the
+    * PCA rounds — each level references the previous twice. */
+  val coreness: String = {
+    val iters = graft.operators.Iterative.KcoreIters
+    val maxK = graft.operators.Iterative.CorenessMaxK
+    val rounds = (2 to maxK).flatMap { k =>
+      (1 to iters).map { i =>
+        val prev =
+          if (i == 1) { if (k == 2) "e0" else s"e${k - 1}_$iters" }
+          else s"e${k}_${i - 1}"
+        s"""k${k}_$i AS MATERIALIZED (SELECT src AS node FROM $prev GROUP BY src
+           |  HAVING count(*) >= $k),
+           |e${k}_$i AS MATERIALIZED (SELECT e.src, e.dst FROM $prev e
+           |  JOIN k${k}_$i a ON e.src = a.node
+           |  JOIN k${k}_$i b ON e.dst = b.node)""".stripMargin
+      }
+    }.mkString(",\n")
+    val survs = (2 to maxK)
+      .map(k => s"SELECT DISTINCT src AS id, $k AS k FROM e${k}_$iters")
+      .mkString("\nUNION ALL ")
+    s"""${Ctes.graph},
+       |e0 AS MATERIALIZED (SELECT src, dst FROM rels
+       |  UNION ALL SELECT dst, src FROM rels),
+       |$rounds,
+       |alltag AS (SELECT DISTINCT src AS id, 1 AS k FROM e0
+       |  UNION ALL $survs),
+       |cor AS (SELECT id, CAST(max(k) AS BIGINT) AS coreness
+       |  FROM alltag GROUP BY id)
+       |SELECT n.kind, coalesce(c.coreness, 0) AS coreness,
+       |  count(*) AS n_nodes
+       |FROM nodes n LEFT JOIN cor c USING (id)
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   /** twin of [[graft.operators.GraphOps.triangleCount]]: lineitem
     * co-occurrence edges, degree-ordered orientation, wedge + closing
     * join. */
