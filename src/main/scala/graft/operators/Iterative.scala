@@ -319,17 +319,28 @@ object Iterative {
     val edges = edges0.repartition(col("dst")).persist()
     var deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg")).localCheckpoint(true)
-    for (_ <- 0 until iters) {
+    var round = 0
+    var fixed = false
+    while (round < iters && !fixed) {
       val dropped = deg.filter(col("deg") < k).select("node")
       val droppedRows = dropped.count()
-      val loss = edges
-        .join(hinted(dropped.select(col("node").as("dst")), droppedRows, maxRows),
-          "dst")
-        .groupBy(col("src").as("node")).agg(count(lit(1)).as("loss"))
-      deg = deg.filter(col("deg") >= k)
-        .join(hinted(loss, droppedRows, maxRows), Seq("node"), "left")
-        .select(col("node"), (col("deg") - coalesce(col("loss"), lit(0L))).as("deg"))
-        .localCheckpoint(true)
+      if (droppedRows == 0) {
+        // fixpoint: degrees are unchanged, so no later round can drop
+        // either — skipping the remaining rounds is EXACTLY the
+        // unrolled result (the oracle's no-op rounds reproduce the
+        // same sets), just without their per-round jobs
+        fixed = true
+      } else {
+        val loss = edges
+          .join(hinted(dropped.select(col("node").as("dst")), droppedRows, maxRows),
+            "dst")
+          .groupBy(col("src").as("node")).agg(count(lit(1)).as("loss"))
+        deg = deg.filter(col("deg") >= k)
+          .join(hinted(loss, droppedRows, maxRows), Seq("node"), "left")
+          .select(col("node"), (col("deg") - coalesce(col("loss"), lit(0L))).as("deg"))
+          .localCheckpoint(true)
+      }
+      round += 1
     }
     edges.unpersist()
     deg.filter(col("deg") >= 1).select(col("node").as("id"))
@@ -368,24 +379,57 @@ object Iterative {
   }
 
   /** (id, coreness) for every endpoint of an already-symmetrized edge
-    * set — factored for hand-graph specs. */
+    * set — factored for hand-graph specs.
+    *
+    * FUSED cascade: one persisted edge table and one carried degree
+    * table serve every level — a dropped node sends its "minus one"
+    * messages exactly once (when it drops), so deg(v) always equals
+    * v's degree within the current surviving subgraph, across level
+    * boundaries too (the same delta ≡ recount induction the kcore
+    * oracle pins). A node dropped during the level-k peel has coreness
+    * k−1; final survivors cap at [[CorenessMaxK]]. Per-level
+    * re-derivation (re-partition, re-persist, degree recount, cascade
+    * edge filter) is gone — the rounds' message joins are the only
+    * recurring cost. Early exit at a level fixpoint is exact: once no
+    * node drops, degrees are stable and the remaining bounded rounds
+    * are no-ops. */
   private[graft] def corenessOf(e0: DataFrame): DataFrame = {
-    val s1 = e0.select(col("src").as("id")).distinct()
-    var levels = List((1, s1))
-    var edges = e0
+    val spark = e0.sparkSession
+    val maxRows = broadcastMaxRows(spark)
+    val edges = e0.repartition(col("dst")).persist()
+    var deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    var cores: List[DataFrame] = Nil
     for (k <- 2 to CorenessMaxK) {
-      val sk = kcoreSurvivors(edges, k, KcoreIters)
-        .localCheckpoint()
-      edges = edges
-        .join(sk.select(col("id").as("src")), "src")
-        .join(sk.select(col("id").as("dst")), "dst")
-        .select("src", "dst")
-      levels ::= ((k, sk))
+      var round = 0
+      var fixed = false
+      while (round < KcoreIters && !fixed) {
+        val dropped = deg.filter(col("deg") < k).select("node")
+        val droppedRows = dropped.count()
+        if (droppedRows == 0) {
+          fixed = true
+        } else {
+          cores ::= dropped
+            .select(col("node").as("id"), lit((k - 1).toLong).as("coreness"))
+            .localCheckpoint(false)
+          val loss = edges
+            .join(hinted(dropped.select(col("node").as("dst")), droppedRows, maxRows),
+              "dst")
+            .groupBy(col("src").as("node")).agg(count(lit(1)).as("loss"))
+          deg = deg.filter(col("deg") >= k)
+            .join(hinted(loss, droppedRows, maxRows), Seq("node"), "left")
+            .select(col("node"),
+              (col("deg") - coalesce(col("loss"), lit(0L))).as("deg"))
+            .localCheckpoint(true)
+        }
+        round += 1
+      }
     }
-    levels.map { case (k, s) =>
-      s.select(col("id"), lit(k.toLong).as("k"))
-    }.reduce(_ unionAll _)
-      .groupBy("id").agg(max("k").as("coreness"))
+    val out = cores.foldLeft(
+      deg.select(col("node").as("id"), lit(CorenessMaxK.toLong).as("coreness")))(
+      _ unionAll _)
+    edges.unpersist()
+    out
   }
 
   /** Luby MIS geometry: unique-ish integer priority (mixed hash of the
