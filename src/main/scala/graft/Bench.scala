@@ -66,15 +66,20 @@ object Bench {
     val med = (ts: Seq[Double]) => ts(ts.size / 2)
     val total = results.values.map(med).sum
     val recsPerSec = if (total > 0) inputRows / total else 0.0
+    // The stdout line must stay under the driver's ~2.9 KB tail capture:
+    // r4/r5 both embedded the 156-entry per-query map (~3.1 KB) and the
+    // line was decapitated -> BENCH parsed:null, perf gate ungraded. The
+    // per-query medians now live ONLY in target/bench_detail.json
+    // ("queries_med"); stdout carries the <200-byte summary.
     val detail =
-      s"""{"queries_min":${fmt(_.head)},"queries_max":${fmt(_.last)},""" +
+      s"""{"queries_med":${fmt(med)},"queries_min":${fmt(_.head)},"queries_max":${fmt(_.last)},""" +
       s""""input_rows":$inputRows,"runs":$runs,"warmup_sec":${r3(warmupSec)},"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("target", "bench_detail.json")
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${fmt(med)},"records_per_s":${r3(recsPerSec)},"runs":$runs,"warmup_sec":${r3(warmupSec)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","records_per_s":${r3(recsPerSec)},"runs":$runs,"warmup_sec":${r3(warmupSec)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -424,9 +424,28 @@ object Iterative {
         }
         round += 1
       }
+      // Level-boundary zero sweep: a node whose degree hits exactly 0 in
+      // the level's LAST round (budget exhausted, not converged) has no
+      // surviving edges, so the oracle's distinct-src-of-final-edge-set
+      // excludes it from level k — coreness k−1, not k. Only reachable
+      // when the level did not converge (at a fixpoint no deg < k ≤ deg=0
+      // exists), so the extra count is paid on non-converged levels only.
+      if (!fixed) {
+        val zeroed = deg.filter(col("deg") <= 0).select("node")
+        if (zeroed.count() > 0) {
+          cores ::= zeroed
+            .select(col("node").as("id"), lit((k - 1).toLong).as("coreness"))
+            .localCheckpoint(false)
+          deg = deg.filter(col("deg") >= 1).localCheckpoint(true)
+        }
+      }
     }
+    // deg >= 1 guard mirrors the oracle's "appears as a src of a
+    // surviving edge" final-level semantics (defensive — the per-level
+    // sweep above should leave no zero-degree survivors).
     val out = cores.foldLeft(
-      deg.select(col("node").as("id"), lit(CorenessMaxK.toLong).as("coreness")))(
+      deg.filter(col("deg") >= 1)
+        .select(col("node").as("id"), lit(CorenessMaxK.toLong).as("coreness")))(
       _ unionAll _)
     edges.unpersist()
     out

@@ -158,6 +158,11 @@ object TextOps {
   private def enScored(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .withColumn("t", toks(lower(col("text"))))
+      // empty/untokenizable docs are unscoreable (NULL from the integer
+      // divide) and the two engines ORDER NULLs differently (Spark
+      // NULLS FIRST asc, DuckDB NULLS LAST) — drop them on BOTH sides
+      // rather than pin NULL ordering in every downstream window
+      .filter(size(col("t")) > 0)
       .withColumn("s_en",
         expr("size(filter(t, x -> x IN ('the','a','of','and','is')))").cast("long"))
       .select(
@@ -668,13 +673,19 @@ object TextOps {
     * dictionary to ship — the feature map is a pure function of the
     * token. The whole operator is ONE codegen'd projection over the
     * token table (the inner loop is a per-doc array fold), so the plan
-    * has zero exchanges — featurization at any scale is map-only. */
+    * has zero exchanges — featurization at any scale is map-only.
+    * Output is long-form `(doc_id, dim, n)` (one row per bucket) rather
+    * than an ARRAY column: the dense vector is a trivial groupBy-pivot
+    * away, and scalar columns keep the result comparable by any
+    * row-oriented harness (the r5 ARRAY output crashed the oracle
+    * comparator's sort). */
   def hashFeatures(spark: SparkSession, dir: String): DataFrame = {
     ensureRegistered(spark)
-    tokenTable(spark, dir).select(col("doc_id"), expr(
-      s"""transform(sequence(0, ${HashDim - 1}),
-         |  d -> CAST(size(filter(transform(t, x -> ${fpSql("x")} % $HashDim),
-         |                        h -> h = d)) AS BIGINT))""".stripMargin)
-      .as("features"))
+    tokenTable(spark, dir)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, ${HashDim - 1}),
+           |  d -> CAST(size(filter(transform(t, x -> ${fpSql("x")} % $HashDim),
+           |                        h -> h = d)) AS BIGINT))""".stripMargin)))
+      .select(col("doc_id"), col("pos").cast("long").as("dim"), col("col").as("n"))
   }
 }

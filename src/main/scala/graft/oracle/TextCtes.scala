@@ -1086,7 +1086,9 @@ object TextCtes {
   /** shared scored stream: (score, pos) then grouped per distinct
     * score — base of the AUC / PR-curve / calibration twins */
   private val enScoredCtes: String =
-    s"""a0 AS (SELECT lang, ${toks("lower(text)")} AS t FROM documents),
+    s"""a0 AS (SELECT lang, t FROM
+       |  (SELECT lang, ${toks("lower(text)")} AS t FROM documents)
+       |  WHERE len(t) > 0),
        |a1 AS (SELECT
        |  (CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS BIGINT) * 1000000)
        |    // CAST(len(t) AS BIGINT) AS score,
@@ -1311,13 +1313,16 @@ object TextCtes {
        |  WHERE length(tok) >= 2)
        |GROUP BY pair ORDER BY n DESC, pair LIMIT ${graft.operators.TextOps.BpePairK}""".stripMargin
 
-  /** twin of TextOps.hashFeatures: dense hashed token-count vector via
-    * the same polyhash-mod-D bucket function. */
+  /** twin of TextOps.hashFeatures: hashed token-count vector in
+    * long form `(doc_id, dim, n)` via the same polyhash-mod-D bucket
+    * function — scalar columns only, so the harness comparator can
+    * sort/hash the result. */
   val hashFeatures: String = {
     val d = graft.operators.TextOps.HashDim
-    s"""SELECT doc_id, list_transform(range(0, $d),
-       |  d -> CAST(len(list_filter(list_transform(t, x -> ${fp("x")} % $d),
-       |                            h -> h = d)) AS BIGINT)) AS features
-       |FROM (SELECT doc_id, ${toks("text")} AS t FROM documents)""".stripMargin
+    s"""SELECT doc_id, CAST(dims.dim AS BIGINT) AS dim,
+       |  CAST(len(list_filter(list_transform(t, x -> ${fp("x")} % $d),
+       |                       h -> h = dims.dim)) AS BIGINT) AS n
+       |FROM (SELECT doc_id, ${toks("text")} AS t FROM documents)
+       |CROSS JOIN (SELECT unnest(range(0, $d)) AS dim) dims""".stripMargin
   }
 }

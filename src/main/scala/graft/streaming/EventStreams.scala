@@ -46,9 +46,16 @@ object EventStreams {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       // timestamp[us] without isAdjustedToUTC reads as TIMESTAMP_NTZ,
-      // which watermarks/unix_micros reject; the session runs in UTC so
-      // the cast is wall-clock preserving and matches the nanos path
+      // which watermarks/unix_micros reject. The NTZ→TIMESTAMP cast is
+      // wall-clock preserving ONLY under session tz UTC — repo-owned
+      // sessions pin it, but SparkEntry also runs under the external
+      // driver's session, so force it here (runtime-settable conf;
+      // idempotent) rather than silently shift every event-time query
+      // under a non-UTC ambient tz. The corpus NTZ values are UTC wall
+      // clocks, matching the tz-naive DuckDB oracle.
       case _: org.apache.spark.sql.types.TimestampNTZType =>
+        if (spark.conf.get("spark.sql.session.timeZone") != "UTC")
+          spark.conf.set("spark.sql.session.timeZone", "UTC")
         raw.withColumn("ts",
           col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw

@@ -37,4 +37,16 @@ class CorenessSpec extends SparkTestBase {
     val cor = run(edges((1L, 2L), (2L, 3L), (3L, 4L)))
     assert(cor.values.toSet === Set(1L))
   }
+
+  test("9-node path: center reaching deg 0 in the level's last round is 1-core") {
+    // With KcoreIters = 4, the k=2 peel removes 4 nodes from each end and
+    // the center's degree hits exactly 0 in the final (non-converged)
+    // round. The oracle's distinct-src-of-final-edge-set semantics give
+    // it coreness 1, not 2 — the level-boundary zero sweep pins this.
+    assume(Iterative.KcoreIters == 4)
+    val cor = run(edges(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 7L), (7L, 8L), (8L, 9L)))
+    assert(cor.values.toSet === Set(1L))
+  }
 }
