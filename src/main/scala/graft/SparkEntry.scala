@@ -430,6 +430,9 @@ object SparkEntry {
     // semi-structured: JSON prop extraction inside codegen, then agg
     "s_props_json" -> ((s, dir) =>
       graft.streaming.EventStreams.propStats(graft.streaming.EventStreams.events(s, dir))),
+    // semi-structured: parse-once VARIANT column, N typed variant_gets
+    "s_props_variant" -> ((s, dir) =>
+      graft.streaming.EventStreams.propStatsVariant(graft.streaming.EventStreams.events(s, dir))),
     // BI pivot: static conditional aggregation over the type domain
     "s_pivot_types" -> ((s, dir) =>
       graft.operators.Olap.pivotEvents(graft.streaming.EventStreams.events(s, dir))),
@@ -584,6 +587,8 @@ object SparkEntry {
     // the complete release pipeline: quality ∧ lang ∧ dedup ∧
     // decontamination → deterministic split → per-(split,lang) totals
     "pipe_full" -> ((s, dir) => graft.operators.Pipeline.curateFull(s, dir)),
+    // per-doc drop-reason audit for the release pipeline
+    "pipe_lineage" -> ((s, dir) => graft.operators.Pipeline.curateLineage(s, dir)),
     // curation v2: repetition ∧ substring-dup ∧ budget, one plan
     "pipe_curation2" -> ((s, dir) => graft.operators.Pipeline.curateV2(s, dir)),
   )
@@ -934,6 +939,7 @@ object SparkEntry {
     "s_sessionize" -> EventCtes.sessionize,
     "s_transitions" -> EventCtes.transitions,
     "s_props_json" -> EventCtes.propStats,
+    "s_props_variant" -> EventCtes.propStatsVariant,
     "s_asof_join" -> EventCtes.asofJoin,
     "s_interval_join" -> EventCtes.intervalJoin,
     "cdc_incremental" -> EventCtes.userState,
@@ -1027,6 +1033,7 @@ object SparkEntry {
     "t_pii" -> TextCtes.piiStats,
     "t_oov" -> TextCtes.oovRate,
     "pipe_full" -> TextCtes.curateFull,
+    "pipe_lineage" -> TextCtes.curateLineage,
     "pipe_curation2" -> TextCtes.curationV2,
   )
 }

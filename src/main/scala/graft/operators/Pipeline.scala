@@ -105,6 +105,34 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
   }
 
+  /** Document-level lineage for [[curateFull]] — the audit artifact a
+    * production curation run ships next to the release: one row per
+    * document with its terminal state, first-failing-gate-wins in the
+    * pipeline's own order (quality → near-dup drop list →
+    * decontamination), survivors labelled with their split. Same
+    * gate operators, same plan shape: the two drop sides are small
+    * (near-dup losers, contaminated docs) and broadcast against ONE
+    * linear pass over the corpus — per-doc lineage costs no more than
+    * the aggregate report at any scale. */
+  def curateLineage(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextOps.quality(spark, dir).select(col("doc_id"), col("quality"))
+    val drops = Dedup.dedupClusters(spark, dir)
+      .filter(col("doc_id") < Dedup.IdOffset)
+      .select(col("doc_id"), lit(1L).as("is_dup"))
+    val cont = Dedup.decontaminate(spark, dir)
+      .select(col("doc_id"), lit(1L).as("is_cont"))
+    val bucket = pmod(pmod(col("doc_id") * SplitMult, lit(SampleMod)), lit(100L))
+    q.join(drops, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("quality") < QualityTau, "quality")
+          .when(col("is_dup").isNotNull, "near_dup")
+          .when(col("is_cont").isNotNull, "decontaminated")
+          .when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test")
+          .as("verdict"))
+  }
+
   /** Tokens per packed training sequence (context-window budget). */
   val SeqTokens = 512L
   /** Second multiplicative-hash constant (xxhash prime2) — the split

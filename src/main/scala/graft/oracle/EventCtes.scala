@@ -63,6 +63,23 @@ object EventCtes {
        |  min(k) AS min_k, max(k) AS max_k
        |FROM x GROUP BY event_type""".stripMargin
 
+  /** twin of EventStreams.propStatsVariant: typed bigint + string
+    * extraction of the same JSON field, decile-bucketed aggregate.
+    * The bucket is explicit floor-division (k − pmod)/10 — exactly
+    * divisible, so // truncation vs floor agree on both engines even
+    * for negative k. */
+  val propStatsVariant: String =
+    s"""WITH x AS (
+       |  SELECT event_type,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k,
+       |    json_extract_string(props, '$$.k') AS ks
+       |  FROM events)
+       |SELECT event_type,
+       |  (k - ((k % 10) + 10) % 10) // 10 AS k_bucket,
+       |  count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+       |  max(ks) AS max_k_str
+       |FROM x GROUP BY 1, 2""".stripMargin
+
   /** twin of EventStreams.retention: first-event cohort week × week
     * offset × distinct active users */
   val retention: String =

@@ -351,6 +351,25 @@ object TextCtes {
        |FROM base GROUP BY 1, 2""".stripMargin
   }
 
+  /** twin of Pipeline.curateLineage: per-doc terminal state,
+    * first-failing-gate-wins in pipeline order, survivors labelled
+    * with their split */
+  def curateLineage: String = {
+    import graft.operators.Pipeline.{QualityTau, SplitMult, SampleMod}
+    s"""WITH q AS (SELECT doc_id, quality FROM ($quality)),
+       |drops AS (SELECT doc_id FROM ($dedupClusters) WHERE doc_id < 100000),
+       |cont AS (SELECT doc_id FROM ($decontaminate)),
+       |base AS (SELECT doc_id, quality,
+       |    ((doc_id * $SplitMult) % $SampleMod) % 100 AS b FROM q)
+       |SELECT doc_id,
+       |  CASE WHEN quality < $QualityTau THEN 'quality'
+       |       WHEN doc_id IN (SELECT doc_id FROM drops) THEN 'near_dup'
+       |       WHEN doc_id IN (SELECT doc_id FROM cont) THEN 'decontaminated'
+       |       WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+       |       ELSE 'test' END AS verdict
+       |FROM base""".stripMargin
+  }
+
   /** twin of Dedup.dedupClusters: the ngram-Jaccard pairs as an edge
     * list, then IterCtes' unrolled min-propagation + canonicalization */
   val dedupClusters: String =

@@ -265,6 +265,26 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
         min("k").as("min_k"), max("k").as("max_k"))
 
+  /** Semi-structured props via Spark 4's VARIANT type — the
+    * heterogeneous-value property surface (SURVEY §1.6's tagged-union
+    * struct) done the engine-native way: `parse_json` ONCE into a
+    * binary variant, then N typed `variant_get` extractions off that
+    * single parse (here bigint and string views of the same field,
+    * bucketed). Versus per-field `get_json_object` re-parsing the text
+    * N times, the variant parse amortizes across extractions — the
+    * shape that matters when a 100 TB corpus carries wide
+    * semi-structured payloads. Whole thing is one codegen projection +
+    * one partial-agg groupBy. */
+  def propStatsVariant(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"), expr("parse_json(props)").as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("variant_get(v, '$.k', 'string')").as("ks"))
+      .groupBy(col("event_type"), (col("k") - pmod(col("k"), lit(10L)))
+        .divide(lit(10L)).cast("long").as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        max("ks").as("max_k_str"))
+
   /** Cohort retention: users grouped by the week of their first event,
     * then counted as active per (cohort, week offset) — the
     * product-analytics staple. Two partial-aggregable passes (first
