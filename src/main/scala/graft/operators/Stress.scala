@@ -42,14 +42,11 @@ object Stress {
 
   def topStress(spark: SparkSession, dir: String): DataFrame = {
     val maxRows = Iterative.broadcastMaxRows(spark)
-    val rels = TpchGraph.relsLite(spark, dir).select("src", "dst")
     // path counting needs SIMPLE edges: the order→part multigraph
-    // (two lineitems, same part) must not double σ, so dedupe after
-    // symmetrizing; partition by src once — every forward level joins
-    // on it, so only the (small) frontier moves per round
-    val edges = rels
-      .unionAll(rels.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().repartition(col("src")).persist()
+    // (two lineitems, same part) must not double σ — the session-
+    // memoized symmetric-distinct table, src-partitioned so every
+    // forward level joins with only the (small) frontier moving
+    val edges = Iterative.symAllSrcDistinct(spark, dir)
     val sources = TpchGraph.nodes(spark, dir).filter(col("kind") === "region")
       .select(col("id").as("r"))
 
@@ -113,7 +110,6 @@ object Stress {
       .withColumn("rank", row_number().over(w))
       .select(col("rank"), col("node"), col("kind"), col("stress"))
       .localCheckpoint()
-    edges.unpersist()
     out
   }
 }

@@ -75,17 +75,18 @@ class LmBpeLinkSpec extends SparkTestBase {
     assert(ras.zip(ras.tail).forall { case (a, b) => a >= b })
   }
 
-  test("hashFeatures: vector sums to token count, dims fixed, plan shuffle-free") {
+  test("hashFeatures: buckets sum to token count, dims fixed, plan shuffle-free") {
     val rows = TextOps.hashFeatures(spark, dir)
       .join(TextOps.tokenTable(spark, dir), "doc_id")
-      .select(col("doc_id"), col("features"), size(col("t")).as("n"))
+      .select(col("doc_id"), col("dim"), col("n"), size(col("t")).as("n_toks"))
       .collect()
     assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val f = r.getAs[scala.collection.Seq[Long]]("features")
-      assert(f.length === TextOps.HashDim)
-      assert(f.sum === r.getAs[Int]("n").toLong, s"bucket counts lost tokens: $r")
-      assert(f.forall(_ >= 0L))
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, g) =>
+      assert(g.map(_.getAs[Long]("dim")).sorted.toSeq ===
+        (0L until TextOps.HashDim.toLong).toSeq, s"doc $id dims")
+      assert(g.map(_.getAs[Long]("n")).sum ===
+        g.head.getAs[Int]("n_toks").toLong, s"doc $id lost tokens")
+      assert(g.forall(_.getAs[Long]("n") >= 0L))
     }
     val p = TextOps.hashFeatures(spark, dir)
       .queryExecution.executedPlan.toString

@@ -28,7 +28,6 @@ class MisHardNegLateSpec extends SparkTestBase {
         .select(col("dst").as("node")).distinct(),
       Seq("node"), "left_anti").count()
     assert(lonely === 0L, s"$lonely undecided nodes have no active neighbor")
-    edges.unpersist()
     ()
   }
 
