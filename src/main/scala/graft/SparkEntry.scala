@@ -349,6 +349,10 @@ object SparkEntry {
         Corruption.txDiffs(RecordStores.deriveCached(s, dir)))),
     // D1-D3 seeded generators (oracle regenerates from range())
     "gen_summary" -> ((s, _) => graft.operators.DataGen.summary(s, 10000L)),
+    // generated-workload record stores: per-store counts + the
+    // clean-store invariant (freshly generated ⇒ zero violations) —
+    // the small-n twin of the ScaleCheck 10M/30M/40M perf run
+    "gen_store_check" -> ((s, _) => graft.checker.ScaleCheck.profile(s, 2000L)),
     // iterative analytics: bounded min-propagation (traversal surface)
     "it_connected_components" -> ((s, dir) =>
       graft.operators.Iterative.connectedComponents(s, dir)),
@@ -787,6 +791,7 @@ object SparkEntry {
     "cc_summary" -> RecordCtes.ccSummary,
     "cc_diff_check" -> RecordCtes.ccDiffCheck,
     "gen_summary" -> GenCtes.summary,
+    "gen_store_check" -> GenCtes.storeCheck,
     "it_connected_components" -> IterCtes.connectedComponents,
     "it_lpa" -> IterCtes.labelPropagation,
     "it_bfs_depth" -> IterCtes.bfsDepth,

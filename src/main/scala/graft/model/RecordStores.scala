@@ -175,12 +175,13 @@ object RecordStores {
       val taps = scala.collection.mutable.ArrayBuffer[DataFrame]()
       val s = derive(spark, dir, tap = { d => val p = d.persist(); taps += p; p })
       slog("derive() plan built")
-      // taps arrive in derive() call order: rels-with-ids, incidence,
-      // propRows. incidence depends on rels; propRows is independent —
-      // fill the two chains concurrently, then materialize the five
-      // stores in parallel (all shared subtrees cached by then, so no
-      // branch races another's work).
-      val Seq(rels0, incPN, rows) = taps.toSeq
+      // taps arrive in derive() call order: rels-with-ids, propRows,
+      // incidence (the last tapped inside assemble()). incidence depends
+      // on rels; propRows is independent — fill the two chains
+      // concurrently, then materialize the five stores in parallel (all
+      // shared subtrees cached by then, so no branch races another's
+      // work).
+      val Seq(rels0, rows, incPN) = taps.toSeq
       Await.result(Future.sequence(Seq(
         Future { rels0.count(); slog("tap rels0 filled")
                  incPN.count(); slog("tap inc filled") },
@@ -277,10 +278,16 @@ object RecordStores {
 
   /** Incidence list with chain pointers: for each (node, rel) pair the
     * prev/next relationship in that node's chain (rel-id order). One
-    * window shuffle keyed by node — scales as a single exchange. */
+    * window shuffle keyed by node — scales as a single exchange.
+    *
+    * A loop relationship (src == dst) participates ONCE in its node's
+    * chain: melting it twice would put two identical (node, rel_id)
+    * window rows back-to-back and break pointer reciprocity. Its
+    * second-side pointers mirror the first side (see [[assemble]]). */
   def incidence(rels: DataFrame): DataFrame = {
     val inc = rels.select(col("src").as("node"), col("id").as("rel_id"), lit(0).as("side"))
-      .unionAll(rels.select(col("dst").as("node"), col("id").as("rel_id"), lit(1).as("side")))
+      .unionAll(rels.filter(col("src") =!= col("dst"))
+        .select(col("dst").as("node"), col("id").as("rel_id"), lit(1).as("side")))
     val w = Window.partitionBy("node").orderBy("rel_id")
     inc.select(col("node"), col("rel_id"), col("side"),
       lag("rel_id", 1, -1).over(w).as("prev"),
@@ -296,33 +303,58 @@ object RecordStores {
              tap: DataFrame => DataFrame = identity): Stores = {
     val rels0 = tap(TpchGraph.rels(spark, dir))
     val g = PropertyGraph(TpchGraph.nodes(spark, dir), rels0)
-    val incPN = tap(incidence(g.rels))
+    val rows = tap(propRows(spark, dir, g.rels))
+    assemble(spark, g.nodes,
+      g.rels.withColumn("type_id", typeIdExpr("type")), rows,
+      relTypes, propKeys, tap = tap)
+  }
 
+  /** Generic record-store assembly from ANY property graph:
+    * `nodes0(id, …)`, `rels1(id, src, dst, type_id, …)`, property
+    * `rows(owner, key_id, seq, ptype, value_ref, vlen, max_seq)` plus
+    * literal dictionaries. [[derive]] feeds it the TPC-H graph;
+    * [[graft.checker.ScaleCheck]] feeds it the reference's canonical
+    * generated perf workload (10M nodes / 30M rels / 40M props —
+    * enterprise-performance-tests/.../ConsistencyPerformanceCheck.java:76-86).
+    *
+    * `relNextProp` is the relationship store's property-chain head
+    * column: TPC-H rels all carry `weight`, chained at id*4; generated
+    * workloads carry node properties only (`-node_properties`), so their
+    * rel records point at NIL. */
+  def assemble(spark: SparkSession, nodes0: DataFrame, rels1: DataFrame,
+               rows: DataFrame,
+               relTypeDict: Seq[(Int, String)],
+               propKeyDict: Seq[(Int, String)],
+               relNextProp: org.apache.spark.sql.Column = col("id") * 4,
+               tap: DataFrame => DataFrame = identity): Stores = {
+    val incPN = tap(incidence(rels1))
+
+    // loops have no side-1 incidence row: their second-side pointers
+    // mirror the first side (one chain position, both record slots)
     val chain = incPN.groupBy("rel_id").agg(
       max(when(col("side") === 0, col("prev"))).as("first_prev"),
       max(when(col("side") === 0, col("next"))).as("first_next"),
-      max(when(col("side") === 1, col("prev"))).as("second_prev"),
-      max(when(col("side") === 1, col("next"))).as("second_next"))
+      coalesce(max(when(col("side") === 1, col("prev"))),
+        max(when(col("side") === 0, col("prev")))).as("second_prev"),
+      coalesce(max(when(col("side") === 1, col("next"))),
+        max(when(col("side") === 0, col("next")))).as("second_next"))
 
-    // every rel owns ≥1 property (weight), so its chain head is id*4 —
-    // the same arithmetic as nodes (PrimitiveRecordCheck walks both)
-    val relRecs = g.rels
-      .join(chain, g.rels("id") === chain("rel_id"))
-      .select(g.rels("id"), lit(true).as("in_use"),
-        typeIdExpr("type").as("type_id"),
+    // when rels own properties their chain head is id*4 — the same
+    // arithmetic as nodes (PrimitiveRecordCheck walks both)
+    val relRecs = rels1
+      .join(chain, rels1("id") === chain("rel_id"))
+      .select(rels1("id"), lit(true).as("in_use"), col("type_id"),
         col("src").as("first_node"), col("dst").as("second_node"),
         col("first_prev"), col("first_next"),
         col("second_prev"), col("second_next"),
-        (g.rels("id") * 4).as("next_prop"))
+        relNextProp.as("next_prop"))
 
     val minRel = incPN.groupBy("node").agg(min("rel_id").as("min_rel"))
-    val nodeRecs = g.nodes
-      .join(minRel, g.nodes("id") === minRel("node"), "left")
-      .select(g.nodes("id"), lit(true).as("in_use"),
+    val nodeRecs = nodes0
+      .join(minRel, nodes0("id") === minRel("node"), "left")
+      .select(nodes0("id"), lit(true).as("in_use"),
         coalesce(col("min_rel"), lit(-1L)).as("next_rel"),
-        (g.nodes("id") * 4).as("next_prop"))
-
-    val rows = tap(propRows(spark, dir, g.rels))
+        (nodes0("id") * 4).as("next_prop"))
 
     // property records: chunk into records of ≤4 blocks, doubly linked.
     // One record per 4 dense seqs — the rows with seq % 4 == 0 ARE the
@@ -365,13 +397,13 @@ object RecordStores {
     // the reference materializes these wholly, FullCheck.java:127-142;
     // here they are literal DFs that Catalyst broadcast-joins)
     import spark.implicits._
-    val relTypesDF = relTypes.map { case (i, _) => (i.toLong, true, i.toLong * 8) }
+    val relTypesDF = relTypeDict.map { case (i, _) => (i.toLong, true, i.toLong * 8) }
       .toDF("id", "in_use", "name_id")
-    val propKeysDF = propKeys.map { case (i, _) => (i.toLong, true, i.toLong * 8) }
+    val propKeysDF = propKeyDict.map { case (i, _) => (i.toLong, true, i.toLong * 8) }
       .toDF("id", "in_use", "name_id")
-    val typeNamesDF = relTypes.flatMap { case (i, n) => nameBlocks(i, n) }
+    val typeNamesDF = relTypeDict.flatMap { case (i, n) => nameBlocks(i, n) }
       .toDF("id", "in_use", "length", "next_block")
-    val keyNamesDF = propKeys.flatMap { case (i, n) => nameBlocks(i, n) }
+    val keyNamesDF = propKeyDict.flatMap { case (i, n) => nameBlocks(i, n) }
       .toDF("id", "in_use", "length", "next_block")
     // the single NeoStore record: graph properties chain from id 0
     // (below every entity namespace, so owner arithmetic stays

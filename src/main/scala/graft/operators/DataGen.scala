@@ -77,14 +77,22 @@ object DataGen {
   }
 
   /** D2: per node, per spec entry, `count` typed edges to uniform
-    * pseudo-random targets. */
+    * pseudo-random targets. `id` is a collision-free arithmetic edge id
+    * (src × Σspec + per-spec offset + j): dense 0..relCount-1, assigned
+    * without any shuffle or driver allocation, so downstream record-store
+    * derivations ([[graft.checker.ScaleCheck]]) get stable rel ids at
+    * any scale. */
   def rels(spark: SparkSession, nodeCount: Long, relSpec: String): DataFrame = {
     val specs = parseSpec(relSpec)
+    val total = specs.map(_.count).sum
+    val offsets = specs.map(_.count).scanLeft(0)(_ + _)
     val perType = specs.zipWithIndex.map { case (Spec(t, n), si) =>
       spark.range(nodeCount)
         .select(col("id").as("src"),
           explode(sequence(lit(0), lit(n - 1))).as("j"))
-        .select(col("src"),
+        .select(
+          (col("src") * total + offsets(si) + col("j")).as("id"),
+          col("src"),
           expr(s"${prngSql(s"src * 17 + j", 1000L + si)} % $nodeCount").as("dst"),
           lit(t).as("type"))
     }

@@ -28,4 +28,24 @@ object GenCtes {
        |UNION ALL SELECT 'rels_BAR', count(*), count(DISTINCT dst),
        |  CAST(sum(dst) AS BIGINT) FROM bar""".stripMargin
   }
+
+  /** Twin of [[graft.checker.ScaleCheck.profile]] at n=2000: every
+    * record-store count recomputed in closed form from the same PRNG
+    * (string chains are ceil(len/16) blocks, arrays 50 bytes → 4
+    * blocks, +1 property record / +2 blocks for the NeoStore chain),
+    * and the clean-store invariant — a freshly generated store checks
+    * VIOLATION-FREE — pinned as a hash-compared zero. */
+  val storeCheck: String = {
+    val n2 = 2000L
+    val strLen = s"50 + ${prngSql("id", 100)} % 71"
+    s"""WITH n AS (SELECT id, $strLen AS slen FROM range($n2) t(id)),
+       |r AS (SELECT id, j FROM range($n2) t(id), (VALUES (0), (1), (2)) AS jt(j))
+       |SELECT 'nodes' AS store, CAST(count(*) AS BIGINT) AS n FROM n
+       |UNION ALL SELECT 'rels', CAST(count(*) AS BIGINT) FROM r
+       |UNION ALL SELECT 'props', CAST(count(*) + 1 AS BIGINT) FROM n
+       |UNION ALL SELECT 'blocks', CAST(4 * count(*) + 2 AS BIGINT) FROM n
+       |UNION ALL SELECT 'strings', CAST(sum((slen + 15) // 16) AS BIGINT) FROM n
+       |UNION ALL SELECT 'arrays', CAST(4 * count(*) AS BIGINT) FROM n
+       |UNION ALL SELECT 'violations', CAST(0 AS BIGINT)""".stripMargin
+  }
 }
