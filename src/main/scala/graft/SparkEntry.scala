@@ -68,6 +68,12 @@ object SparkEntry {
     // first — the r5 max/median outliers on it_harmonic/g_random_walks
     quiet(graft.operators.HyperBall.hyperball(s, dir).count())
     quiet(graft.operators.Walks.walkVisits(s, dir).count())
+    // round-6: generated-store memo (gen_store_check) and the two
+    // remaining first-run memo fills the r6 bench surfaced as
+    // max/median outliers (g_node_similarity 213×, dd_incremental 60×)
+    quiet(graft.checker.ScaleCheck.storesCached(s, 2000L))
+    quiet(GraphOps.supplierSimilarity(s, dir).count())
+    quiet(Dedup.incrementalPairs(s, dir).count())
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -88,13 +88,32 @@ object ScaleCheck {
       relTypeDict, propKeyDict, relNextProp = lit(-1L), tap = tap)
   }
 
+  /** Session-memoized, checkpoint-truncated stores for the small-n
+    * oracle query: profile()'s 7 count branches plus the ~20 check
+    * branches would otherwise re-derive (and re-ANALYZE) the whole
+    * assembly once per union branch — measured 8.7 s at n=2000 where
+    * the data itself is trivial. Same pattern as
+    * RecordStores.deriveCached; eager localCheckpoint is fine at this
+    * size. */
+  private val memo = new graft.SessionMemo[Stores]
+  def storesCached(spark: SparkSession, n: Long): Stores =
+    memo.getOrElseUpdate(spark, s"gen-$n") {
+      val s = stores(spark, n)
+      s.copy(nodes = s.nodes.localCheckpoint(true),
+        rels = s.rels.localCheckpoint(true),
+        props = s.props.localCheckpoint(true),
+        blocks = s.blocks.localCheckpoint(true),
+        dyns = s.dyns.localCheckpoint(true),
+        arrays = s.arrays.localCheckpoint(true))
+    }
+
   /** Oracle-checkable surface at a fixed small n: per-store record
     * counts plus the total violation count (a freshly generated store
     * MUST check clean — the invariant the reference's perf run rides
     * on). The DuckDB twin recomputes every count in closed form from
     * the same PRNG SQL ([[graft.oracle.GenCtes.storeCheck]]). */
   def profile(spark: SparkSession, n: Long): DataFrame = {
-    val s = stores(spark, n)
+    val s = storesCached(spark, n)
     def c(nm: String, df: DataFrame) =
       df.agg(count(lit(1)).cast("long").as("n"))
         .select(lit(nm).as("store"), col("n"))
