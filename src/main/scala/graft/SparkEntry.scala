@@ -189,6 +189,116 @@ object SparkEntry {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_orders"))
     }),
+    // TPC-H Q17 shape: correlated scalar subquery (qty < 0.2·avg qty
+    // for the part) decorrelated into a per-part aggregate re-joined on
+    // partkey — the aggregate and the probe share one hash
+    // partitioning, so the "subquery" costs a single shuffle. The avg
+    // comparison cross-multiplies (qty·5·cnt < sum_qty) instead of
+    // dividing, keeping both engines integer-exact.
+    "q29_small_qty" -> ((s, dir) => {
+      def t(n: String) = s.read.parquet(s"$dir/$n.parquet")
+      val pa = t("lineitem").groupBy("l_partkey")
+        .agg(sum("l_quantity").as("sq"), count(lit(1)).as("cnt"))
+      t("lineitem")
+        .withColumn("price_c", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .join(pa, Seq("l_partkey"))
+        .filter(col("l_quantity") * lit(5) * col("cnt") < col("sq"))
+        .join(broadcast(t("part").select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_small"), sum("price_c").as("loss_c"))
+    }),
+    // TPC-H Q18 shape: HAVING-filtered grouping (orders whose total
+    // quantity clears a threshold) probed back into orders⋈customer.
+    // The surviving group keys are a few hundred rows, so they ride a
+    // broadcast — the big lineitem table is touched exactly once.
+    "q30_big_orders" -> ((s, dir) => {
+      def t(n: String) = s.read.parquet(s"$dir/$n.parquet")
+      val big = t("lineitem").groupBy("l_orderkey")
+        .agg(sum("l_quantity").cast("long").as("total_qty"))
+        .filter(col("total_qty") > 250)
+      val bigOrders = t("orders")
+        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      t("customer")
+        .join(broadcast(bigOrders), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"),
+          col("total_qty"))
+    }),
+    // TPC-H Q21 shape: double correlation — EXISTS (another supplier
+    // shares the order) ∧ NOT EXISTS (another LATE supplier shares the
+    // order) — decorrelated to one left-semi plus one left-anti
+    // self-join of the distinct (order, supplier) incidence tables,
+    // both with a different-supplier conjunct. "Late" = shipped more
+    // than a year after the order date (this corpus has no
+    // commit/receipt dates).
+    "q31_wait_suppliers" -> ((s, dir) => {
+      def t(n: String) = s.read.parquet(s"$dir/$n.parquet")
+      val late = t("lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(t("orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(expr("l_shipdate > o_orderdate + INTERVAL 365 DAYS"))
+        .select("l_orderkey", "l_suppkey").distinct()
+      val allPairs = t("lineitem").select("l_orderkey", "l_suppkey").distinct()
+      val otherSupp = allPairs
+        .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val otherLate = late
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+      late
+        .join(otherSupp,
+          col("l_orderkey") === col("o2") && col("s2") =!= col("l_suppkey"),
+          "left_semi")
+        .join(otherLate,
+          col("l_orderkey") === col("o3") && col("s3") =!= col("l_suppkey"),
+          "left_anti")
+        .join(broadcast(t("supplier").select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(count(lit(1)).as("numwait"))
+    }),
+    // TPC-H Q22 shape: scalar-average subquery + NOT EXISTS — customers
+    // above the positive-balance average with no recent orders. The
+    // 1-row average rides a broadcast crossJoin (compared by integer
+    // cross-multiplication, no division), the NOT EXISTS is a left-anti
+    // against the recent-order keys.
+    "q32_cold_customers" -> ((s, dir) => {
+      def t(n: String) = s.read.parquet(s"$dir/$n.parquet")
+      val cust = t("customer")
+        .withColumn("bal_c", expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+      val avgRow = cust.filter(col("bal_c") > 0)
+        .agg(sum("bal_c").as("sum_bal"), count(lit(1)).as("n_bal"))
+      val recent = t("orders")
+        .filter(expr("o_orderdate >= TIMESTAMP_NTZ '1999-01-01'"))
+        .select("o_custkey")
+      cust.crossJoin(broadcast(avgRow))
+        .filter(col("bal_c") * col("n_bal") > col("sum_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cold"), sum("bal_c").as("bal_sum_c"))
+        .select(col("c_nationkey").cast("long").as("nationkey"),
+          col("n_cold"), col("bal_sum_c"))
+    }),
+    // window-function family completeness: ntile quartiles +
+    // percent_rank + cume_dist in one partitioned ordered pass over the
+    // customer balance distribution, summarized per (segment,
+    // quartile). Group stats use min/max of the window outputs (order-
+    // independent) — never a float SUM, which no two engines add in the
+    // same order.
+    "q33_ntile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("bal_c"), col("c_custkey"))
+      s.read.parquet(s"$dir/customer.parquet")
+        .withColumn("bal_c", expr("CAST(round(c_acctbal * 100) AS BIGINT)"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(count(lit(1)).as("n"),
+          min("bal_c").as("min_bal"), max("bal_c").as("max_bal"),
+          min("pr").as("min_pr"), max("pr").as("max_pr"),
+          max("cd").as("max_cd"))
+    }),
     // skew-safe two-phase aggregation (operators.Salt): exact equality
     // with the direct groupBy is the point — the oracle IS the direct
     // form
@@ -395,6 +505,8 @@ object SparkEntry {
     "ann_hard_negatives" -> ((s, dir) => graft.operators.Similarity.hardNegatives(s, dir)),
     "pipe_balance" -> ((s, dir) => graft.operators.Pipeline.balanceClasses(s, dir)),
     "t_bm25" -> ((s, dir) => graft.operators.TextOps.bm25TopDocs(s, dir)),
+    "t_rrf" -> ((s, dir) => graft.operators.TextOps.rrfFusion(s, dir)),
+    "t_tfidf" -> ((s, dir) => graft.operators.TextOps.tfidfKeywords(s, dir)),
     "t_lang_eval" -> ((s, dir) => graft.operators.TextOps.langEval(s, dir)),
     "t_auc_eval" -> ((s, dir) => graft.operators.TextOps.aucEval(s, dir)),
     "t_pr_curve" -> ((s, dir) => graft.operators.TextOps.prCurve(s, dir)),
@@ -678,6 +790,59 @@ object SparkEntry {
         |  SELECT 1 FROM lineitem
         |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority""".stripMargin,
+    "q29_small_qty" ->
+      """WITH pa AS (SELECT l_partkey, sum(l_quantity) AS sq, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p_brand, count(*) AS n_small,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS loss_c
+        |FROM lineitem l
+        |JOIN pa ON l.l_partkey = pa.l_partkey
+        |JOIN part ON l.l_partkey = p_partkey
+        |WHERE l.l_quantity * 5 * cnt < sq
+        |GROUP BY p_brand""".stripMargin,
+    "q30_big_orders" ->
+      """WITH big AS (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING CAST(sum(l_quantity) AS BIGINT) > 250)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c, total_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q31_wait_suppliers" ->
+      """WITH late AS (SELECT DISTINCT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_shipdate > o_orderdate + INTERVAL 365 DAY),
+        |allp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM late l JOIN supplier ON l.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM allp a
+        |    WHERE a.l_orderkey = l.l_orderkey AND a.l_suppkey <> l.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l2
+        |    WHERE l2.l_orderkey = l.l_orderkey AND l2.l_suppkey <> l.l_suppkey)
+        |GROUP BY 1, 2""".stripMargin,
+    "q32_cold_customers" ->
+      """WITH c AS (SELECT *, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer),
+        |a AS (SELECT CAST(sum(bal_c) AS BIGINT) AS sum_bal, count(*) AS n_bal
+        |  FROM c WHERE bal_c > 0)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS n_cold,
+        |  CAST(sum(bal_c) AS BIGINT) AS bal_sum_c
+        |FROM c CROSS JOIN a
+        |WHERE bal_c * n_bal > sum_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY 1""".stripMargin,
+    "q33_ntile" ->
+      """WITH c AS (SELECT c_mktsegment, c_custkey,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer),
+        |w AS (SELECT c_mktsegment, bal_c,
+        |  CAST(ntile(4) OVER win AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER win, 6) AS pr,
+        |  round(cume_dist() OVER win, 6) AS cd
+        |  FROM c WINDOW win AS (PARTITION BY c_mktsegment ORDER BY bal_c, c_custkey))
+        |SELECT c_mktsegment, quartile, count(*) AS n,
+        |  min(bal_c) AS min_bal, max(bal_c) AS max_bal,
+        |  min(pr) AS min_pr, max(pr) AS max_pr, max(cd) AS max_cd
+        |FROM w GROUP BY 1, 2""".stripMargin,
     "q06_salted_agg" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
@@ -821,6 +986,8 @@ object SparkEntry {
     "ann_hard_negatives" -> TextCtes.hardNegatives,
     "pipe_balance" -> TextCtes.balanceClasses,
     "t_bm25" -> TextCtes.bm25TopDocs,
+    "t_rrf" -> TextCtes.rrfFusion,
+    "t_tfidf" -> TextCtes.tfidfKeywords,
     "t_lang_eval" -> TextCtes.langEval,
     "t_auc_eval" -> TextCtes.aucEval,
     "t_pr_curve" -> TextCtes.prCurve,

@@ -506,7 +506,12 @@ object TextOps {
     * the token stream; the query set (10 terms) broadcasts against the
     * postings, so the index side never reshuffles per query — the
     * standard "query joins the inverted index" retrieval plan. */
-  def bm25TopDocs(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared retrieval index: (postings, df, doclen, corpus,
+    * queries) — built once per call site; every piece is a
+    * partial-aggregable pass over the token stream, and queries/df are
+    * small enough to broadcast against the postings. */
+  private def bmIndex(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     ensureRegistered(spark)
     val toks = tokenTable(spark, dir)
@@ -528,6 +533,12 @@ object TextOps {
       .withColumn("rn", row_number().over(w).cast("long"))
       .select(expr("(rn - 1) div 2").as("qid"),
         expr(fpSql("tok")).as("tfp"))
+    (postings, df, doclen, corpus, queries)
+  }
+
+  def bm25TopDocs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (postings, df, doclen, corpus, queries) = bmIndex(spark, dir)
     val idf = Sketch.bitLenPub(expr("n_docs div df"))
     val scored = postings
       .join(broadcast(queries), "tfp")
@@ -543,6 +554,80 @@ object TextOps {
     scored.withColumn("rank", row_number().over(wq).cast("long"))
       .filter(col("rank") <= BmTopK)
       .select("qid", "rank", "doc_id", "score")
+  }
+
+  /** Reciprocal-rank-fusion geometry for [[rrfFusion]]: the standard
+    * K=60 damping (Cormack et al.), contributions carried as the
+    * integer `Scale div (K + rank)` so the fused score is
+    * hash-comparable across engines. */
+  val RrfK = 60L
+  val RrfScale = 1000000L
+  val RrfTopK = 10
+
+  /** Hybrid retrieval with reciprocal-rank fusion — the standard way a
+    * production retrieval stack combines a lexical ranker with a second
+    * signal. Arm A is [[bm25TopDocs]]; arm B ranks the same AND-matched
+    * docs by raw term-frequency product (min·max of the two tfs — a
+    * deterministic "semantic-ish" second scorer with different tie
+    * behavior than BM25). Each arm contributes `Scale div (K + rank)`;
+    * docs found by both arms sum both contributions, and the fused
+    * order is (rrf desc, doc_id).
+    *
+    * Plan shape: both arms are probes of the SAME broadcast query set
+    * against the same postings pass — the index is touched twice but
+    * never reshuffled per query, and fusion itself aggregates ≤
+    * 2·topK·queries rows. At 100 TB the arms are independent index
+    * probes you'd run anyway; RRF adds one tiny groupBy. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (postings, _, _, _, queries) = bmIndex(spark, dir)
+    val armA = bm25TopDocs(spark, dir).select("qid", "doc_id", "rank")
+    val matched = postings
+      .join(broadcast(queries), "tfp")
+      .groupBy("qid", "doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        (min("tf") * max("tf")).as("tf_prod"))
+      .filter(col("n_terms") === 2L)
+    val wq = Window.partitionBy("qid")
+      .orderBy(col("tf_prod").desc, col("doc_id"))
+    val armB = matched
+      .withColumn("rank", row_number().over(wq).cast("long"))
+      .filter(col("rank") <= RrfTopK)
+      .select("qid", "doc_id", "rank")
+    val contrib = armA.unionByName(armB)
+      .select(col("qid"), col("doc_id"),
+        expr(s"$RrfScale div ($RrfK + rank)").as("c"))
+    val wf = Window.partitionBy("qid").orderBy(col("rrf").desc, col("doc_id"))
+    contrib.groupBy("qid", "doc_id")
+      .agg(sum("c").as("rrf"), count(lit(1)).as("n_arms"))
+      .withColumn("rank", row_number().over(wf).cast("long"))
+      .filter(col("rank") <= RrfTopK)
+      .select("qid", "rank", "doc_id", "rrf", "n_arms")
+  }
+
+  /** Top-terms-per-doc geometry for [[tfidfKeywords]]. */
+  val TfidfTopK = 5
+
+  /** TF-IDF keyword extraction — the per-document top-[[TfidfTopK]]
+    * terms by `tf · bitlen(N div df)` (the same integer idf as BM25, so
+    * ranking is engine-exact). The per-doc top-k is a window
+    * partitioned by doc_id over the postings — fully distributed, and
+    * the only shuffle beyond the postings pass is the rank partition,
+    * which rides the (doc_id, tfp) grouping already present. Ties break
+    * (score desc, tfp asc). */
+  def tfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (postings, df, _, corpus, _) = bmIndex(spark, dir)
+    val idf = Sketch.bitLenPub(expr("n_docs div df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("tfp"))
+    postings
+      .join(broadcast(df), "tfp")
+      .crossJoin(broadcast(corpus))
+      .withColumn("score", (col("tf") * idf).cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TfidfTopK)
+      .select("doc_id", "rank", "tfp", "score")
   }
 
   /** Chunk geometry for [[chunkStats]]: [[ChunkW]]-token windows every

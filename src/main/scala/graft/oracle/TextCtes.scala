@@ -1217,14 +1217,11 @@ object TextCtes {
        |FROM r GROUP BY label""".stripMargin
   }
 
-  /** twin of TextOps.bm25TopDocs: same integer idf (bit-length
-    * cascade), saturating tf, AND gate, and (score desc, doc) rank. */
-  val bm25TopDocs: String = {
-    import graft.operators.TextOps.{BmK1, BmQueries, BmScale, BmTopK}
-    val bitCase = (32 to 1 by -1)
-      .map(b => s"WHEN (c.n_docs // df.df) >= ${1L << (b - 1)} THEN $b")
-      .mkString(" ")
-    s"""WITH t AS (SELECT doc_id, unnest(${toks("text")}) AS tok FROM documents),
+  /** shared retrieval-index CTEs (twin of TextOps.bmIndex): token
+    * stream, postings, df, doclen, corpus, deterministic query set. */
+  private val bmIndexCtes: String = {
+    import graft.operators.TextOps.BmQueries
+    s"""t AS (SELECT doc_id, unnest(${toks("text")}) AS tok FROM documents),
        |postings AS (SELECT doc_id, ${fp("tok")} AS tfp, count(*) AS tf
        |  FROM t GROUP BY 1, 2),
        |df AS (SELECT tfp, count(*) AS df FROM postings GROUP BY tfp),
@@ -1235,8 +1232,16 @@ object TextCtes {
        |  row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
        |  FROM t GROUP BY tok ORDER BY n DESC, tok LIMIT ${2 * BmQueries}),
        |queries AS (SELECT (rn - 1) // 2 AS qid, ${fp("tok")} AS tfp
-       |  FROM ranked_terms),
-       |scored0 AS (SELECT q.qid, p.doc_id,
+       |  FROM ranked_terms)""".stripMargin
+  }
+
+  /** BM25 scoring + per-query rank CTEs on top of [[bmIndexCtes]]. */
+  private val bmRankCtes: String = {
+    import graft.operators.TextOps.{BmK1, BmScale}
+    val bitCase = (32 to 1 by -1)
+      .map(b => s"WHEN (c.n_docs // df.df) >= ${1L << (b - 1)} THEN $b")
+      .mkString(" ")
+    s"""scored0 AS (SELECT q.qid, p.doc_id,
        |  (CASE $bitCase ELSE 0 END) *
        |    ((p.tf * ${BmK1 + 1} * $BmScale) //
        |     (p.tf + $BmK1 + ($BmK1 * l.len) // c.avglen)) AS term_score
@@ -1251,8 +1256,63 @@ object TextCtes {
        |rk AS (SELECT qid, doc_id, score,
        |  CAST(row_number() OVER (PARTITION BY qid
        |    ORDER BY score DESC, doc_id) AS BIGINT) AS rank
-       |  FROM agg WHERE n_terms = 2)
+       |  FROM agg WHERE n_terms = 2)""".stripMargin
+  }
+
+  /** twin of TextOps.bm25TopDocs: same integer idf (bit-length
+    * cascade), saturating tf, AND gate, and (score desc, doc) rank. */
+  val bm25TopDocs: String = {
+    import graft.operators.TextOps.BmTopK
+    s"""WITH $bmIndexCtes,
+       |$bmRankCtes
        |SELECT qid, rank, doc_id, score FROM rk WHERE rank <= $BmTopK""".stripMargin
+  }
+
+  /** twin of TextOps.rrfFusion: BM25 arm + tf-product arm, integer
+    * `Scale // (K + rank)` contributions, (rrf desc, doc) fused rank. */
+  val rrfFusion: String = {
+    import graft.operators.TextOps.{BmTopK, RrfK, RrfScale, RrfTopK}
+    s"""WITH $bmIndexCtes,
+       |$bmRankCtes,
+       |arm_a AS (SELECT qid, doc_id, rank FROM rk WHERE rank <= $BmTopK),
+       |matched AS (SELECT q.qid, p.doc_id, count(*) AS n_terms,
+       |  min(p.tf) * max(p.tf) AS tf_prod
+       |  FROM postings p JOIN queries q ON p.tfp = q.tfp
+       |  GROUP BY 1, 2 HAVING count(*) = 2),
+       |arm_b AS (SELECT qid, doc_id,
+       |  CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY tf_prod DESC, doc_id) AS BIGINT) AS rank
+       |  FROM matched QUALIFY rank <= $RrfTopK),
+       |contrib AS (
+       |  SELECT qid, doc_id, $RrfScale // ($RrfK + rank) AS c FROM arm_a
+       |  UNION ALL
+       |  SELECT qid, doc_id, $RrfScale // ($RrfK + rank) AS c FROM arm_b),
+       |fused AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS rrf,
+       |  count(*) AS n_arms FROM contrib GROUP BY 1, 2),
+       |frk AS (SELECT qid, doc_id, rrf, n_arms,
+       |  CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+       |  FROM fused)
+       |SELECT qid, rank, doc_id, rrf, n_arms FROM frk
+       |WHERE rank <= $RrfTopK""".stripMargin
+  }
+
+  /** twin of TextOps.tfidfKeywords: tf · bit-length idf, per-doc
+    * (score desc, tfp) rank. */
+  val tfidfKeywords: String = {
+    import graft.operators.TextOps.TfidfTopK
+    val bitCase = (32 to 1 by -1)
+      .map(b => s"WHEN (c.n_docs // df.df) >= ${1L << (b - 1)} THEN $b")
+      .mkString(" ")
+    s"""WITH $bmIndexCtes,
+       |scored AS (SELECT p.doc_id, p.tfp,
+       |  CAST(p.tf * (CASE $bitCase ELSE 0 END) AS BIGINT) AS score
+       |  FROM postings p JOIN df ON p.tfp = df.tfp CROSS JOIN corpus c),
+       |rk AS (SELECT doc_id, tfp, score,
+       |  CAST(row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, tfp) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT doc_id, rank, tfp, score FROM rk WHERE rank <= $TfidfTopK""".stripMargin
   }
 
   /** twin of TextOps.boilerplate: gram df over distinct (doc, gram),
