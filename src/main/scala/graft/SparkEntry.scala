@@ -487,6 +487,8 @@ object SparkEntry {
     "it_triangles" -> ((s, dir) => graft.operators.GraphOps.triangleCount(s, dir)),
     // bounded k-core peel (degree >= K survivor census per kind)
     "it_kcore" -> ((s, dir) => graft.operators.Iterative.kcore(s, dir)),
+    "it_msf" -> ((s, dir) => graft.operators.Msf.msf(s, dir)),
+    "it_scc" -> ((s, dir) => graft.operators.Scc.scc(s, dir)),
     "it_coreness" -> ((s, dir) => graft.operators.Iterative.coreness(s, dir)),
     // HyperBall neighborhood function: per-node HLL registers merged along edges
     "it_hyperball" -> ((s, dir) => graft.operators.HyperBall.hyperball(s, dir)),
@@ -970,6 +972,8 @@ object SparkEntry {
     "it_sssp" -> IterCtes.sssp,
     "it_triangles" -> IterCtes.triangles,
     "it_kcore" -> IterCtes.kcore,
+    "it_msf" -> IterCtes.msf,
+    "it_scc" -> IterCtes.scc,
     "it_coreness" -> IterCtes.coreness,
     "it_hyperball" -> IterCtes.hyperball,
     "g_random_walks" -> IterCtes.randomWalks,

@@ -440,4 +440,82 @@ object IterCtes {
        |FROM nodes),
        |${unrolled(BfsIters, 1L)}
        |SELECT label AS depth, count(*) AS n_nodes FROM l$BfsIters GROUP BY label""".stripMargin
+
+  /** twin of [[graft.operators.Scc.scc]]: because the engine runs its
+    * fixpoints to convergence, the SCC partition is exact and the twin
+    * may compute it ANY correct way — here reachability closure by
+    * path-doubling (2^12 ≥ any path length at oracle scale; closure
+    * materialization is feasible at sf0.01 only, which is exactly why
+    * the engine side uses FW-BW-Trim coloring instead), then
+    * scc(v) = min u with u→*v ∧ v→*u. */
+  val scc: String = {
+    import graft.operators.Scc.SccMod
+    val doublings = 12
+    val steps = (1 to doublings).map { j =>
+      s"""r$j AS MATERIALIZED (SELECT s, t FROM r${j - 1}
+         |  UNION SELECT x.s, y.t FROM r${j - 1} x
+         |  JOIN r${j - 1} y ON x.t = y.s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+       |  l_partkey AS pk FROM lineitem WHERE l_orderkey % $SccMod = 0),
+       |e AS (SELECT DISTINCT x.pk AS src, y.pk AS dst
+       |  FROM li x JOIN li y ON x.ok = y.ok AND y.ln = x.ln + 1),
+       |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |r0 AS (SELECT src AS s, dst AS t FROM e UNION SELECT node, node FROM n),
+       |$steps
+       |SELECT fwd.t AS node, min(fwd.s) AS scc_id
+       |FROM r$doublings fwd JOIN r$doublings bwd
+       |  ON fwd.s = bwd.t AND fwd.t = bwd.s
+       |GROUP BY fwd.t""".stripMargin
+  }
+
+  /** twin of [[graft.operators.Msf.msf]]: the same bounded Borůvka —
+    * per-component argmin edge (unique packed weights), 2-cycle break
+    * to the smaller id, [[graft.operators.Msf.MsfJumps]] unrolled
+    * pointer-doubling steps for the contraction, rounds chained as
+    * CTEs. Unique weights ⇒ the MSF is unique, so both engines must
+    * produce the identical edge set round for round. */
+  val msf: String = {
+    import graft.operators.Msf.{AScale, E10, MsfJumps, MsfRounds, WBase}
+    val rounds = (1 to MsfRounds).map { i =>
+      val jumps = (1 to MsfJumps).map { j =>
+        s"""p${i}_$j AS (SELECT x.c, y.p FROM p${i}_${j - 1} x
+           |  JOIN p${i}_${j - 1} y ON x.p = y.c)""".stripMargin
+      }.mkString(",\n")
+      s"""e$i AS (SELECT c1.label AS ca, c2.label AS cb, e.wu, e.a, e.b, e.w
+         |  FROM edges e JOIN comp${i - 1} c1 ON e.a = c1.node
+         |  JOIN comp${i - 1} c2 ON e.b = c2.node
+         |  WHERE c1.label <> c2.label),
+         |cand$i AS (SELECT ca AS c, cb AS d, wu, a, b, w FROM e$i
+         |  UNION ALL SELECT cb, ca, wu, a, b, w FROM e$i),
+         |ch$i AS MATERIALIZED (SELECT c, d, wu, a, b, w FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY c ORDER BY wu) AS rn
+         |  FROM cand$i) WHERE rn = 1),
+         |par$i AS (SELECT x.c,
+         |  CASE WHEN y.yd = x.c AND x.c < x.d THEN x.c ELSE x.d END AS p
+         |  FROM ch$i x LEFT JOIN (SELECT c AS yc, d AS yd FROM ch$i) y
+         |  ON x.d = y.yc),
+         |allc$i AS (SELECT DISTINCT label AS c FROM comp${i - 1}),
+         |p${i}_0 AS MATERIALIZED (SELECT a2.c, coalesce(par$i.p, a2.c) AS p
+         |  FROM allc$i a2 LEFT JOIN par$i ON a2.c = par$i.c),
+         |$jumps,
+         |comp$i AS MATERIALIZED (SELECT v.node, pj.p AS label
+         |  FROM comp${i - 1} v JOIN p${i}_$MsfJumps pj ON v.label = pj.c),
+         |mst$i AS (SELECT DISTINCT CAST($i AS BIGINT) AS round,
+         |  a AS src, b AS dst, w FROM ch$i)""".stripMargin
+    }.mkString(",\n")
+    val un = (1 to MsfRounds).map(i => s"SELECT * FROM mst$i")
+      .mkString(" UNION ALL ")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem),
+       |pe AS (SELECT x.pk AS a, y.pk AS b, count(*) AS w
+       |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk GROUP BY 1, 2),
+       |edges AS MATERIALIZED (SELECT a, b, w,
+       |  ($WBase - w) * $E10 + a * $AScale + b AS wu FROM pe),
+       |comp0 AS MATERIALIZED (SELECT node, node AS label FROM (
+       |  SELECT DISTINCT a AS node FROM edges
+       |  UNION SELECT DISTINCT b FROM edges)),
+       |$rounds
+       |SELECT round, src, dst, CAST(w AS BIGINT) AS w FROM ($un)""".stripMargin
+  }
 }
