@@ -72,12 +72,12 @@ object Msf {
   def msfOf(spark: SparkSession, edges0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val edges = edges0
-      .select("a", "b", "w", "wu").localCheckpoint(true)
+      .select("a", "b", "w", "wu").transform(graft.plans.Lineage.pin)
     var comp = edges.select(col("a").as("node"))
       .union(edges.select(col("b")))
       .distinct()
       .select(col("node"), col("node").as("label"))
-      .localCheckpoint(true)
+      .transform(graft.plans.Lineage.pin)
     var mst: DataFrame = null
     var round = 1
     var done = false
@@ -96,7 +96,7 @@ object Msf {
       val wmin = Window.partitionBy("c").orderBy(col("wu"))
       val ch = cand.withColumn("rn", row_number().over(wmin))
         .filter(col("rn") === 1).drop("rn")
-        .localCheckpoint(true)
+        .transform(graft.plans.Lineage.pin)
       if (ch.isEmpty) { done = true }
       else {
         // 2-cycle break: mutual choices (provably the same edge under
@@ -111,21 +111,22 @@ object Msf {
         var p = allc.join(par.withColumnRenamed("c", "pc"),
             col("c") === col("pc"), "left")
           .select(col("c"), coalesce(col("p"), col("c")).as("p"))
-          .localCheckpoint(true)
-        // checkpoint every other doubling: chained self-joins square the
-        // optimizer's sizeInBytes estimate per step, and a 12-deep chain
-        // turns stats estimation into minutes of BigInteger arithmetic
+          .transform(graft.plans.Lineage.pin)
+        // pin every other doubling: chained self-joins square the
+        // optimizer's sizeInBytes estimate per step, and localCheckpoint
+        // alone carries the inflated estimate into the next round
+        // (see graft.plans.Lineage) — pin truncates lineage AND stats
         for (j <- 1 to MsfJumps) {
           p = jump(p)
-          if (j % 2 == 0 || j == MsfJumps) p = p.localCheckpoint(true)
+          if (j % 2 == 0 || j == MsfJumps) p = p.transform(graft.plans.Lineage.pin)
         }
         comp = comp.join(p, comp("label") === p("c"))
           .select(comp("node"), p("p").as("label"))
-          .localCheckpoint(true)
+          .transform(graft.plans.Lineage.pin)
         val chosen = ch.select(lit(round.toLong).as("round"),
           col("a").as("src"), col("b").as("dst"), col("w")).distinct()
         mst = if (mst == null) chosen else mst.unionByName(chosen)
-        mst = mst.localCheckpoint(true)
+        mst = mst.transform(graft.plans.Lineage.pin)
         round += 1
       }
     }

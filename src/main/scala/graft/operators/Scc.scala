@@ -55,16 +55,21 @@ object Scc {
 
   /** (node, scc_id) for every node with at least one edge; scc_id is
     * the minimum member id of the node's SCC. */
-  def scc(spark: SparkSession, dir: String): DataFrame = {
+  def scc(spark: SparkSession, dir: String): DataFrame =
+    sccOf(adjacencyEdges(spark, dir))
+
+  /** FW-BW-Trim over any directed edge set `(src, dst)`. */
+  def sccOf(edges0: DataFrame): DataFrame = {
     var iters = 0
-    var edges = adjacencyEdges(spark, dir).localCheckpoint(true)
+    var edges = edges0.select("src", "dst")
+      .transform(graft.plans.Lineage.pin)
     var alive = edges.select(col("src").as("node"))
       .union(edges.select(col("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.plans.Lineage.pin)
     var result: DataFrame = null
     def add(df: DataFrame): Unit = {
       result = if (result == null) df else result.unionByName(df)
-      result = result.localCheckpoint(true)
+      result = result.transform(graft.plans.Lineage.pin)
     }
     var outer = true
     while (outer) {
@@ -79,24 +84,24 @@ object Scc {
           .join(ins.withColumn("i", lit(1)), Seq("node"), "left")
           .join(outs.withColumn("o", lit(1)), Seq("node"), "left")
           .filter(col("i").isNull || col("o").isNull)
-          .select("node").localCheckpoint(true)
+          .select("node").transform(graft.plans.Lineage.pin)
         if (dead.isEmpty) trimming = false
         else {
           add(dead.select(col("node"), col("node").as("scc_id")))
           alive = alive.join(dead, Seq("node"), "left_anti")
-            .localCheckpoint(true)
+            .transform(graft.plans.Lineage.pin)
           val d1 = dead.select(col("node").as("dn"))
           edges = edges
             .join(d1, col("src") === col("dn"), "left_anti")
             .join(d1, col("dst") === col("dn"), "left_anti")
-            .localCheckpoint(true)
+            .transform(graft.plans.Lineage.pin)
         }
       }
       if (alive.isEmpty) outer = false
       else {
         // ---- COLOR: max-ancestor fixpoint (delta frontier)
         var color = alive.select(col("node"), col("node").as("c"))
-          .localCheckpoint(true)
+          .transform(graft.plans.Lineage.pin)
         var frontier = color
         while (!frontier.isEmpty) {
           budgetCheck(iters); iters += 1
@@ -107,7 +112,7 @@ object Scc {
             .select(col("node"),
               greatest(col("c"), coalesce(col("mc"), col("c"))).as("c"),
               (col("mc") > col("c")).as("chg"))
-            .localCheckpoint(true)
+            .transform(graft.plans.Lineage.pin)
           frontier = merged.filter(col("chg")).select("node", "c")
           color = merged.select("node", "c")
         }
@@ -116,9 +121,9 @@ object Scc {
         val colDst = color.select(col("node").as("dst"), col("c").as("cdst"))
         val classEdges = edges.join(colSrc, "src").join(colDst, "dst")
           .filter(col("csrc") === col("cdst"))
-          .select("src", "dst").localCheckpoint(true)
+          .select("src", "dst").transform(graft.plans.Lineage.pin)
         var settled = color.filter(col("node") === col("c")).select("node")
-          .localCheckpoint(true)
+          .transform(graft.plans.Lineage.pin)
         var sFrontier = settled
         while (!sFrontier.isEmpty) {
           budgetCheck(iters); iters += 1
@@ -126,22 +131,22 @@ object Scc {
             .join(sFrontier.select(col("node").as("dst")), "dst")
             .select(col("src").as("node")).distinct()
             .join(settled, Seq("node"), "left_anti")
-            .localCheckpoint(true)
+            .transform(graft.plans.Lineage.pin)
           sFrontier = reach
           if (!reach.isEmpty)
-            settled = settled.unionByName(reach).localCheckpoint(true)
+            settled = settled.unionByName(reach).transform(graft.plans.Lineage.pin)
         }
         // canonical id = min member of each settled color group
         val grouped = settled.join(color, "node")
         val canon = grouped.groupBy("c").agg(min("node").as("scc_id"))
         add(grouped.join(canon, "c").select("node", "scc_id"))
         alive = alive.join(settled, Seq("node"), "left_anti")
-          .localCheckpoint(true)
+          .transform(graft.plans.Lineage.pin)
         val s1 = settled.select(col("node").as("dn"))
         edges = edges
           .join(s1, col("src") === col("dn"), "left_anti")
           .join(s1, col("dst") === col("dn"), "left_anti")
-          .localCheckpoint(true)
+          .transform(graft.plans.Lineage.pin)
         if (alive.isEmpty) outer = false
       }
     }
