@@ -299,6 +299,134 @@ object SparkEntry {
           min("pr").as("min_pr"), max("pr").as("max_pr"),
           max("cd").as("max_cd"))
     }),
+    // TPC-H Q8 shape: market share — one nation's revenue share of a
+    // region's PROMO market per order year. Both legs of the share are
+    // exact integer sums over the SAME joined row set (the ratio is
+    // the consumer's one division, so no float ever crosses engines);
+    // part and supplier ride broadcasts, orders⋈customer and
+    // lineitem⋈orders are the only shuffles, and the nation-set filter
+    // prunes customers at the scan.
+    "q34_market_share" -> ((s, dir) => {
+      def t(n: String) = s.read.parquet(s"$dir/$n.parquet")
+      val asiaNations = Seq(2L, 7L, 12L, 17L, 22L)
+      t("lineitem")
+        .withColumn("rev_c",
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1.0 - l_discount) * 100) AS BIGINT)"))
+        .join(broadcast(t("part").filter(col("p_type") === "PROMO")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(t("orders").filter(expr(
+          "o_orderdate >= TIMESTAMP_NTZ '1996-01-01' AND o_orderdate < TIMESTAMP_NTZ '1998-01-01'")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t("customer").filter(col("c_nationkey").isin(asiaNations: _*))
+          .select("c_custkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t("supplier").select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("s_nationkey") === 2L, col("rev_c")).otherwise(0L))
+            .as("volume_nation_c"),
+          sum("rev_c").as("volume_all_c"),
+          count(lit(1)).as("n_items"))
+    }),
+    // TPC-H Q13 shape: customer distribution by order count INCLUDING
+    // the zero-order customers — the left outer join the inner-join
+    // family can't express, with the join-side predicate applied
+    // BEFORE the join (an outer-join-then-filter would silently drop
+    // the null rows). Two aggregations, both partial-agg friendly.
+    "q35_order_count_dist" -> ((s, dir) => {
+      def t(n: String) = s.read.parquet(s"$dir/$n.parquet")
+      t("customer").select("c_custkey")
+        .join(t("orders").filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_custkey", "o_orderkey"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+    }),
+    // TPC-H Q14 shape: promo revenue share per ship month — a
+    // conditional aggregate over one broadcast-joined scan. Numerator
+    // and denominator are both exact integer sums; the date range
+    // reaches the parquet scan as a pushed filter.
+    "q36_promo_share" -> ((s, dir) => {
+      def t(n: String) = s.read.parquet(s"$dir/$n.parquet")
+      t("lineitem")
+        .filter(expr(
+          "l_shipdate >= TIMESTAMP_NTZ '1997-01-01' AND l_shipdate < TIMESTAMP_NTZ '1998-01-01'"))
+        .withColumn("rev_c",
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1.0 - l_discount) * 100) AS BIGINT)"))
+        .join(broadcast(t("part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(month(col("l_shipdate")).cast("long").as("l_month"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("rev_c")).otherwise(0L))
+            .as("promo_rev_c"),
+          sum("rev_c").as("total_rev_c"),
+          count(lit(1)).as("n_items"))
+    }),
+    // TPC-H Q15 shape: top supplier by quarterly revenue — the scalar
+    // MAX rides a 1-row broadcast back onto the per-supplier aggregate
+    // (the decorrelated view+subquery), and because revenue is an
+    // exact integer, the equality keeps ALL tied winners on both
+    // engines.
+    "q37_top_supplier" -> ((s, dir) => {
+      def t(n: String) = s.read.parquet(s"$dir/$n.parquet")
+      val rev = t("lineitem")
+        .filter(expr(
+          "l_shipdate >= TIMESTAMP_NTZ '1997-01-01' AND l_shipdate < TIMESTAMP_NTZ '1997-04-01'"))
+        .withColumn("rev_c",
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1.0 - l_discount) * 100) AS BIGINT)"))
+        .groupBy("l_suppkey").agg(sum("rev_c").as("total_rev_c"))
+      val mx = rev.agg(max("total_rev_c").as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_rev_c") === col("mx"))
+        .join(broadcast(t("supplier").select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev_c")
+    }),
+    // TPC-H Q16 shape (partsupp stands in as the DISTINCT lineitem
+    // incidence): supplier variety per part attribute bucket, with the
+    // excluded-supplier NOT IN decorrelated to a left-anti join and
+    // the attribute filters pruning the broadcast part dim. The
+    // count-distinct shuffles once on the grouped attributes.
+    "q38_supplier_cnt" -> ((s, dir) => {
+      def t(n: String) = s.read.parquet(s"$dir/$n.parquet")
+      t("lineitem").select("l_partkey", "l_suppkey").distinct()
+        .join(t("supplier").filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(t("part")
+          .filter(col("p_brand") =!= "Brand#3" &&
+            col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+          .select("p_partkey", "p_brand", "p_type", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+    }),
+    // TPC-H Q19 shape: OR-of-ANDs mixing fact and dim predicates — the
+    // brand IN prefilter prunes the broadcast side to 3 brands before
+    // the join, and the residual disjunction runs codegen'd on the
+    // joined rows. One row out: the canonical "does the optimizer keep
+    // disjuncts sargable" probe.
+    "q39_disjunctive" -> ((s, dir) => {
+      def t(n: String) = s.read.parquet(s"$dir/$n.parquet")
+      t("lineitem")
+        .withColumn("rev_c",
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1.0 - l_discount) * 100) AS BIGINT)"))
+        .join(broadcast(t("part")
+          .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+          .select("p_partkey", "p_brand", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11) &&
+            col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20) &&
+            col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30) &&
+            col("p_size").between(1, 15)))
+        .agg(count(lit(1)).as("n_items"), sum("rev_c").as("revenue_c"))
+    }),
     // skew-safe two-phase aggregation (operators.Salt): exact equality
     // with the direct groupBy is the point — the oracle IS the direct
     // form
@@ -676,6 +804,7 @@ object SparkEntry {
     "t_vocab_topk" -> ((s, dir) => TextOps.vocabTopK(s, dir)),
     // skip-gram window co-occurrence: the word2vec/GloVe pre-pass
     "t_cooccur" -> ((s, dir) => TextOps.cooccurTopK(s, dir)),
+    "t_dup_ngrams" -> ((s, dir) => TextOps.dupNgrams(s, dir)),
     "t_lm_score" -> ((s, dir) => TextOps.lmScore(s, dir)),
     "t_bpe_pairs" -> ((s, dir) => TextOps.bpePairs(s, dir)),
     "t_hash_features" -> ((s, dir) => TextOps.hashFeatures(s, dir)),
@@ -725,6 +854,7 @@ object SparkEntry {
     "pipe_full" -> ((s, dir) => graft.operators.Pipeline.curateFull(s, dir)),
     // per-doc drop-reason audit for the release pipeline
     "pipe_lineage" -> ((s, dir) => graft.operators.Pipeline.curateLineage(s, dir)),
+    "pipe_keep_best" -> ((s, dir) => graft.operators.Pipeline.keepBest(s, dir)),
     // curation v2: repetition ∧ substring-dup ∧ budget, one plan
     "pipe_curation2" -> ((s, dir) => graft.operators.Pipeline.curateV2(s, dir)),
   )
@@ -845,6 +975,77 @@ object SparkEntry {
         |  min(bal_c) AS min_bal, max(bal_c) AS max_bal,
         |  min(pr) AS min_pr, max(pr) AS max_pr, max(cd) AS max_cd
         |FROM w GROUP BY 1, 2""".stripMargin,
+    "q34_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CASE WHEN s_nationkey = 2 THEN rev_c ELSE 0 END) AS BIGINT)
+        |    AS volume_nation_c,
+        |  CAST(sum(rev_c) AS BIGINT) AS volume_all_c,
+        |  count(*) AS n_items
+        |FROM (SELECT l_orderkey, l_suppkey, l_partkey,
+        |        CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |        CAST(round((1.0 - l_discount) * 100) AS BIGINT) AS rev_c
+        |      FROM lineitem) l
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |  AND year(o_orderdate) IN (1996, 1997)
+        |JOIN customer ON o_custkey = c_custkey
+        |  AND c_nationkey IN (2, 7, 12, 17, 22)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1""".stripMargin,
+    "q35_order_count_dist" ->
+      """WITH per AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist FROM per GROUP BY c_count""".stripMargin,
+    "q36_promo_share" ->
+      """SELECT CAST(month(l_shipdate) AS BIGINT) AS l_month,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END) AS BIGINT)
+        |    AS promo_rev_c,
+        |  CAST(sum(rev_c) AS BIGINT) AS total_rev_c,
+        |  count(*) AS n_items
+        |FROM (SELECT l_partkey, l_shipdate,
+        |        CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |        CAST(round((1.0 - l_discount) * 100) AS BIGINT) AS rev_c
+        |      FROM lineitem WHERE year(l_shipdate) = 1997) l
+        |JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
+    "q37_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |             CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |      AS total_rev_c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev_c
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev_c = (SELECT max(total_rev_c) FROM rev)""".stripMargin,
+    "q38_supplier_cnt" ->
+      """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) inc
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#3'
+        |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q39_disjunctive" ->
+      """SELECT count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           CAST(round((1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_c
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+        |       AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+        |       AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+        |       AND p_size BETWEEN 1 AND 15)""".stripMargin,
     "q06_salted_agg" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
@@ -1187,6 +1388,7 @@ object SparkEntry {
     "t_repetition" -> TextCtes.repetition,
     "t_vocab_topk" -> TextCtes.vocabTopK,
     "t_cooccur" -> TextCtes.cooccurTopK,
+    "t_dup_ngrams" -> TextCtes.dupNgrams,
     "t_lm_score" -> TextCtes.lmScore,
     "t_bpe_pairs" -> TextCtes.bpePairs,
     "t_hash_features" -> TextCtes.hashFeatures,
@@ -1228,6 +1430,7 @@ object SparkEntry {
     "t_oov" -> TextCtes.oovRate,
     "pipe_full" -> TextCtes.curateFull,
     "pipe_lineage" -> TextCtes.curateLineage,
+    "pipe_keep_best" -> TextCtes.keepBest,
     "pipe_curation2" -> TextCtes.curationV2,
   )
 }

@@ -34,6 +34,37 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
   }
 
+  /** Canonical-document selection per near-dup cluster — the policy
+    * half of dedup: [[Dedup.dedupClusters]] says WHICH documents
+    * coincide; this says which member a release KEEPS (the longest,
+    * ties to the smallest id — the standard "richest variant wins"
+    * rule, and an exact integer order so both engines pick the same
+    * winner). Restricted to original corpus ids (< [[Dedup.IdOffset]]):
+    * synthetic variants are candidate-generation artifacts, not
+    * releasable documents.
+    *
+    * Scale shape: the cluster membership table is dup-pair-sized
+    * (≪ corpus), the token counts join on doc_id, and the argmax
+    * window partitions by cluster — partition-local, never a global
+    * sort. Nothing touches non-duplicated documents at all. */
+  def keepBest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cl = Dedup.dedupClusters(spark, dir)
+    val members = cl
+      .unionByName(cl.select(col("canonical").as("doc_id"), col("canonical")).distinct())
+      .filter(col("doc_id") < Dedup.IdOffset)
+    val toksN = TextOps.quality(spark, dir).select("doc_id", "n_tokens")
+    val wBest = Window.partitionBy("canonical")
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    members.join(toksN, "doc_id")
+      .withColumn("rn", row_number().over(wBest))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("canonical")))
+      .filter(col("rn") === 1)
+      .select(col("canonical"), col("doc_id").as("kept_doc"),
+        col("n_members"), col("n_tokens").as("kept_tokens"))
+  }
+
   /** Deterministic token-budget sampling per source stratum — the
     * training-mix curation step (sample each domain down to its char
     * budget, reproducibly, with no RNG): docs order by a Knuth

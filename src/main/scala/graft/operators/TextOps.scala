@@ -268,6 +268,33 @@ object TextOps {
       .orderBy(col("n").desc, col("tok"))
       .limit(VocabK)
 
+  /** Memorization-risk audit: the token [[DupN]]-grams repeated
+    * corpus-wide (with total and distinct-doc counts), top [[DupK]] by
+    * frequency — the "how much verbatim text will the model see twice"
+    * report a training-data release ships next to its dedup stats
+    * (repeated n-grams survive document-level dedup whenever they
+    * recur INSIDE otherwise-distinct documents).
+    *
+    * Scale shape: n-grams are generated map-side inside one codegen'd
+    * higher-order function over the memoized token table (never a
+    * token-table self-join), the only exchange is the partial-agg
+    * groupBy on the gram, and the ≥2 filter plus distributed top-k
+    * (TakeOrderedAndProject) keep the reduce side the distinct-gram
+    * vocabulary — linear in corpus size. */
+  val DupN = 5
+  val DupK = 30
+  def dupNgrams(spark: SparkSession, dir: String): DataFrame =
+    tokenTable(spark, dir)
+      .filter(size(col("t")) >= DupN)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(t) - $DupN), j -> array_join(slice(t, j + 1, $DupN), ' '))"))
+        .as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_total"), countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_total") >= 2)
+      .orderBy(col("n_total").desc, col("gram"))
+      .limit(DupK)
+
   /** Skip-gram window co-occurrence counts — the word2vec/GloVe
     * pre-pass: every ordered token pair (wᵢ, wⱼ) with j within
     * [[CoWindow]] positions after i, counted corpus-wide, top

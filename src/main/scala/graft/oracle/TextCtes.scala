@@ -290,6 +290,55 @@ object TextCtes {
        |FROM (SELECT unnest(${toks("lower(text)")}) AS tok FROM documents)
        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin
 
+  /** twin of TextOps.dupNgrams: same token 5-grams via list slicing —
+    * DuckDB list slices `t[a:b]` are 1-based INCLUSIVE, so
+    * t[j+1 : j+N] ≡ Spark slice(t, j+1, N), and end-exclusive
+    * range(0, len−N+1) ≡ Spark sequence(0, size−N). */
+  val dupNgrams: String = {
+    val n = graft.operators.TextOps.DupN
+    s"""WITH d AS (SELECT doc_id, ${toks("text")} AS t FROM documents),
+       |g AS (SELECT doc_id,
+       |  unnest(list_transform(range(0, len(t) - ${n - 1}),
+       |    j -> array_to_string(t[j + 1 : j + $n], ' '))) AS gram
+       |  FROM d WHERE len(t) >= $n)
+       |SELECT gram, count(*) AS n_total,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |FROM g GROUP BY 1 HAVING count(*) >= 2
+       |ORDER BY n_total DESC, gram LIMIT ${graft.operators.TextOps.DupK}""".stripMargin
+  }
+
+  /** twin of Pipeline.keepBest: cluster membership (canonical included
+    * as its own member), originals only, longest-member-wins with ties
+    * to the smaller id. */
+  val keepBest: String =
+    s"""WITH $shingleCtes,
+       |pairs AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+       |  FROM sh a JOIN sh b USING (sfp)
+       |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       |jpairs AS ($jaccSelect),
+       |edges AS (SELECT a AS src, b AS dst FROM jpairs
+       |  UNION ALL SELECT b, a FROM jpairs),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+       |${IterCtes.unrolled(graft.operators.Dedup.ClusterIters, 0L)},
+       |cl AS (SELECT node AS doc_id, label AS canonical
+       |  FROM l${graft.operators.Dedup.ClusterIters} WHERE label < node),
+       |mem AS (SELECT doc_id, canonical FROM (
+       |    SELECT doc_id, canonical FROM cl
+       |    UNION SELECT DISTINCT canonical, canonical FROM cl)
+       |  WHERE doc_id < ${graft.operators.Dedup.IdOffset}),
+       |$qualityCtes,
+       |j AS (SELECT m.canonical, m.doc_id, q.n_tokens
+       |  FROM mem m JOIN qual q ON m.doc_id = q.doc_id),
+       |r AS (SELECT *,
+       |  row_number() OVER (PARTITION BY canonical
+       |    ORDER BY n_tokens DESC, doc_id) AS rn,
+       |  count(*) OVER (PARTITION BY canonical) AS n_members FROM j)
+       |SELECT canonical, doc_id AS kept_doc,
+       |  CAST(n_members AS BIGINT) AS n_members,
+       |  n_tokens AS kept_tokens
+       |FROM r WHERE rn = 1""".stripMargin
+
   /** twin of TextOps.cooccurTopK: same forward-window ordered pairs
     * via nested list lambdas — DuckDB `range` is end-exclusive, so
     * range(1, len) ≡ Spark sequence(1, len−1) and
