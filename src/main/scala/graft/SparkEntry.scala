@@ -63,6 +63,7 @@ object SparkEntry {
     quiet(graft.operators.Iterative.symAllSrcDistinct(s, dir).count())
     quiet(graft.operators.Iterative.symHasPartSrc(s, dir).count())
     quiet(graft.operators.Iterative.symWeightedSrc(s, dir).count())
+    quiet(graft.operators.Iterative.dirAllSrc(s, dir).count())
     // memoized sketch/walk outputs: the fills are heavy (register
     // pyramid, walk layers) and landed on whichever bench run came
     // first — the r5 max/median outliers on it_harmonic/g_random_walks

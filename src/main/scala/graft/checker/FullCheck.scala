@@ -327,28 +327,36 @@ object FullCheck {
       .unionAll(orphanDyn(s.arrays, 5, "array"))
   }
 
-  /** All checks unioned: the full-check "task list"
-    * (FullCheck.java:90-125) as one declarative plan. */
-  def violations(s: Stores): DataFrame =
-    nodeFirstRel(s)
-      .unionAll(relLabel(s))
+  /** The full-check "task list" (FullCheck.java:90-125) grouped into
+    * the reference's per-store-scan phases — the shape its JSON report
+    * times one entry per task (JsonReportWriter.java:115-124;
+    * TimingProgress.java:29-150). [[violations]] unions them into one
+    * declarative plan; [[graft.checker.ScaleCheck]] times each phase
+    * separately for the phase-by-phase records/s table. */
+  def phases(s: Stores): Seq[(String, DataFrame)] = Seq(
+    "node_store" -> nodeFirstRel(s),
+    "rel_store" -> relLabel(s)
       .unionAll(relEndpoints(s))
-      .unionAll(relChains(s))
-      .unionAll(ownerPropChain(s))
+      .unionAll(relChains(s)),
+    "prop_store" -> ownerPropChain(s)
       .unionAll(propChains(s))
-      .unionAll(blockKeys(s))
-      .unionAll(blockStrings(s))
-      .unionAll(blockArrays(s))
-      .unionAll(blockTypes(s))
-      .unionAll(dynamics(s.dyns, "string", graft.model.RecordSpec.BlockSize))
-      .unionAll(dynamics(s.arrays, "array", graft.model.RecordSpec.BlockSize))
-      .unionAll(dynamics(s.typeNames, "label_name", graft.model.RecordSpec.BlockSize))
+      .unionAll(blockTypes(s)),
+    "string_store" -> blockStrings(s)
+      .unionAll(dynamics(s.dyns, "string", graft.model.RecordSpec.BlockSize)),
+    "array_store" -> blockArrays(s)
+      .unionAll(dynamics(s.arrays, "array", graft.model.RecordSpec.BlockSize)),
+    "prop_keys" -> blockKeys(s)
       .unionAll(dynamics(s.keyNames, "key_name", graft.model.RecordSpec.BlockSize))
-      .unionAll(dictNames(s.relTypes, s.typeNames, "label"))
-      .unionAll(dictNames(s.propKeys, s.keyNames, "key"))
-      .unionAll(duplicatePropOwners(s))
+      .unionAll(dictNames(s.propKeys, s.keyNames, "key")),
+    "rel_types" -> dynamics(s.typeNames, "label_name", graft.model.RecordSpec.BlockSize)
+      .unionAll(dictNames(s.relTypes, s.typeNames, "label")),
+    "owners" -> duplicatePropOwners(s)
       .unionAll(duplicateDynOwners(s))
-      .unionAll(orphans(s))
+      .unionAll(orphans(s)))
+
+  /** All checks unioned: one plan, identical branch set to [[phases]]. */
+  def violations(s: Stores): DataFrame =
+    phases(s).map(_._2).reduce(_ unionAll _)
 
   /** A1: per-(record type, violation) summary
     * (ConsistencySummaryStatistics). */

@@ -180,11 +180,36 @@ object ScaleCheck {
     val recsPerSec = elements / checkSec
     def r1(d: Double) = BigDecimal(d).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
     val storeRows = stored.map { case (nm, _, c) => s""""$nm":$c""" }.mkString(",")
+    // Per-phase timings, mirroring the reference's one-report-entry-per
+    // -store-scan-task shape (JsonReportWriter.java:115-124 computes
+    // recordsPerSecond per TimingProgress task). Each phase re-counts
+    // its own union branch over the persisted stores, so phase walls
+    // sum to ≈ the single-plan check_sec plus per-job overhead; the
+    // records basis is the phase's primary scanned store, like the
+    // reference's per-task elementCount.
+    val countByName = stored.map { case (nm, _, c) => nm -> c }.toMap
+    val phaseBasis = Map(
+      "node_store" -> countByName("nodes"),
+      "rel_store" -> countByName("rels"),
+      "prop_store" -> countByName("props"),
+      "string_store" -> countByName("strings"),
+      "array_store" -> countByName("arrays"),
+      "prop_keys" -> countByName("blocks"),
+      "rel_types" -> relTypeDict.size.toLong,
+      "owners" -> (countByName("props") + countByName("strings")
+        + countByName("arrays")))
+    val phaseJson = FullCheck.phases(s).map { case (nm, df) =>
+      val p0 = System.nanoTime()
+      df.count()
+      val sec = (System.nanoTime() - p0) / 1e9
+      val basis = phaseBasis(nm)
+      s""""$nm":{"sec":${r1(sec)},"rows":$basis,"records_per_s":${r1(basis / sec)}}"""
+    }.mkString(",")
     println(
       s"""{"metric":"scale_check","nodes":$n,"rels":${3 * n},"node_props":${4 * n},""" +
       s""""elements":$elements,"gen_sec":${r1(genSec)},"check_sec":${r1(checkSec)},""" +
       s""""records_per_s":${r1(recsPerSec)},"violations":$violations,""" +
-      s""""store_rows":{$storeRows}}""")
+      s""""store_rows":{$storeRows},"phases":{$phaseJson}}""")
     spark.stop()
   }
 }

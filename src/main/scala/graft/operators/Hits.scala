@@ -37,11 +37,19 @@ object Hits {
   val Scale = 1000000L // winner rescaled to ~1e6 after each half-step
   val TopK = 20
 
+  /** memoized node base + count — same lifecycle fix as
+    * [[PageRank.baseMemo]]: under lazy round checkpoints a per-call
+    * `persist()/unpersist()` pair released the edge cache before the
+    * caller's action ran. */
+  private val baseMemo = new graft.SessionMemo[(DataFrame, Long)]
+
   def topAuthorities(spark: SparkSession, dir: String): DataFrame = {
-    val edges = TpchGraph.relsLite(spark, dir).select("src", "dst").persist()
-    val base = TpchGraph.nodes(spark, dir).select(col("id").as("node"))
-      .localCheckpoint(true)
-    val nNodes = base.count()
+    val edges = Iterative.dirAllSrc(spark, dir)
+    val (base, nNodes) = baseMemo.getOrElseUpdate(spark, dir) {
+      val b = TpchGraph.nodes(spark, dir).select(col("id").as("node"))
+        .localCheckpoint(true)
+      (b, b.count())
+    }
     val maxRows = Iterative.broadcastMaxRows(spark)
 
     // one half-step: inflow = Σ over edges of the partner score, then
@@ -71,8 +79,6 @@ object Hits {
       // hubs from authorities: edge u→v sends a(v) back to u
       h = halfStep(a, "auth", "dst", "src", "hub").localCheckpoint(false)
     }
-    edges.unpersist()
-
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(0)).orderBy(col("auth").desc, col("node"))
     a.join(h, "node")

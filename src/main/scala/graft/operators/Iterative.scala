@@ -80,6 +80,13 @@ object Iterative {
       symmetrize(TpchGraph.relsLite(spark, dir).filter(col("type") === "HAS_PART"))
         .repartition(col("src")))
 
+  /** whole-graph DIRECTED edges by src (PageRank/PPR share joins
+    * forward along src; HITS reuses it for both half-rounds) */
+  private[graft] def dirAllSrc(spark: SparkSession, dir: String): DataFrame =
+    memoEdges(spark, dir, "dirAllSrc")(
+      TpchGraph.relsLite(spark, dir).select("src", "dst")
+        .repartition(col("src")))
+
   /** whole-graph symmetrized WEIGHTED edges by src (SSSP; weights are
     * the deterministic id-derived costs) */
   private[graft] def symWeightedSrc(spark: SparkSession, dir: String): DataFrame =

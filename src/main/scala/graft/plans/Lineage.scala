@@ -18,11 +18,16 @@ import org.apache.spark.sql.DataFrame
   * arithmetic.
   *
   * [[pin]] breaks the feedback: checkpoint eagerly, then rebuild the
-  * frame from the materialized RDD. The rebuilt `LogicalRDD` has no
-  * origin stats, so each round's estimate restarts from the session
-  * default instead of compounding. The extra Row conversion pass runs
-  * over component-sized per-round tables only (≤ V rows), never over
-  * the corpus.
+  * frame around the SAME materialized `InternalRow` RDD with the
+  * cached blocks' MEASURED byte size as its statistics
+  * ([[org.apache.spark.sql.graft.PinnedCheckpoint.repin]]). Measured
+  * stats cannot compound (they are read from the block manager each
+  * round, not derived from the previous round's estimate), there is no
+  * `Row ⇄ InternalRow` conversion pass, and — unlike the earlier
+  * `createDataFrame(ck.rdd, schema)` rebuild, which had NO stats and
+  * therefore planned every join against a pinned table as a shuffle —
+  * small pinned frames (frontiers, dead sets, per-component tables)
+  * auto-broadcast again.
   *
   * Use [[pin]] for any frame that is BOTH checkpointed per round AND
   * joined (directly or transitively) against itself in the next
@@ -30,8 +35,6 @@ import org.apache.spark.sql.DataFrame
   * stats linearly and plain `localCheckpoint(true)` is fine.
   */
 object Lineage {
-  def pin(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint(true)
-    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
-  }
+  def pin(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.PinnedCheckpoint.repin(df)
 }

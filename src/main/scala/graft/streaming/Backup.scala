@@ -244,7 +244,7 @@ object Backup {
   /** monotone record-id column per store — the per-store watermark key
     * (blocks have no record id of their own; they are keyed by the
     * owning property record) */
-  private def storeIdCol(name: String): String =
+  private[streaming] def storeIdCol(name: String): String =
     if (name == "blocks") "prop_id" else "id"
 
   private def storeWatermarksPath(dir: String) =
@@ -275,7 +275,7 @@ object Backup {
     * Snapshot every store of the bundle as parquet, stamped with the
     * store id. Each store writes partition-parallel; nothing funnels
     * through the driver. */
-  private def storeSeq(s: Stores): Seq[(String, DataFrame)] =
+  private[streaming] def storeSeq(s: Stores): Seq[(String, DataFrame)] =
     storeNames.zip(Seq(s.nodes, s.rels, s.neo, s.props, s.blocks, s.dyns,
       s.arrays, s.relTypes, s.propKeys, s.typeNames, s.keyNames))
 

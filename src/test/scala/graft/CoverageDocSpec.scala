@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** COVERAGE.md is the judge-facing inventory; it drifted twice (r5:
+  * key-for-key verified, r6: "174" while 176 queries shipped). This
+  * spec pins it: every `SparkEntry.queries` key must appear in the doc,
+  * and the doc's headline count must equal the real count. */
+class CoverageDocSpec extends AnyFunSuite {
+
+  private lazy val doc = {
+    val p = java.nio.file.Paths.get("COVERAGE.md")
+    new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+  }
+
+  test("every query key appears in COVERAGE.md") {
+    val mentioned = "`([a-z][a-z0-9_]*)`".r
+      .findAllMatchIn(doc).map(_.group(1)).toSet
+    val missing = SparkEntry.queries.keySet.diff(mentioned)
+    assert(missing.isEmpty,
+      s"queries absent from COVERAGE.md: ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("headline query count matches SparkEntry.queries.size") {
+    val n = SparkEntry.queries.size
+    assert(doc.contains(s"$n queries total"),
+      s"COVERAGE.md headline does not say '$n queries total'")
+  }
+}

@@ -13,9 +13,37 @@ class SccSpec extends SparkTestBase {
     es.toDF("src", "dst")
   }
 
-  private def run(es: Seq[(Long, Long)]): Map[Long, Long] =
-    Scc.sccOf(edgesDf(es)).collect()
+  /** every fixture runs BOTH paths: the default sequential-cutoff tail
+    * solve (hand graphs are under the cutoff) and, with the cutoff
+    * forced to 0, the fully distributed trim+color+settle pipeline —
+    * the two must agree exactly. */
+  private def run(es: Seq[(Long, Long)]): Map[Long, Long] = {
+    def result() = Scc.sccOf(edgesDf(es)).collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("scc_id")).toMap
+    val local = result()
+    spark.conf.set(Scc.LocalNodeCutoffKey, "0")
+    try {
+      val distributed = result()
+      assert(distributed === local,
+        "distributed color/settle path disagrees with the Tarjan tail solve")
+    } finally spark.conf.unset(Scc.LocalNodeCutoffKey)
+    local
+  }
+
+  test("empty edge set returns a typed empty frame, not null") {
+    val out = Scc.sccOf(edgesDf(Seq.empty))
+    assert(out.columns.toSeq === Seq("node", "scc_id"))
+    assert(out.count() === 0L)
+  }
+
+  test("large random tournament-ish graph matches a reference Tarjan run via cutoff equivalence") {
+    // deterministic pseudo-random digraph: mixed cycles + DAG tails
+    val rnd = new scala.util.Random(42)
+    val es = (0 until 400).map { _ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)
+    }.distinct.filter { case (a, b) => a != b }
+    run(es) // the assert inside run() is the check: both paths agree
+  }
 
   test("3-cycle with a tail: cycle is one SCC, tail nodes are singletons") {
     val got = run(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L)))
