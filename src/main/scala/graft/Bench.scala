@@ -48,16 +48,40 @@ object Bench {
     // most real regressions, so single samples were not actionable
     // across rounds; min/max live in the detail file to expose spread.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // Per-run task metrics: cumulative executor run + JVM GC time let a
+    // max-run outlier be attributed — wall ≈ executor-time/cores means
+    // the tasks themselves ran long (box contention or data); wall >>
+    // executor-time means a driver/scheduler stall; high GC share means
+    // memory pressure. r6's it_connected_components 61.5 s max (7.3×
+    // median) was undiagnosable without this.
+    val execMs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            execMs.addAndGet(m.executorRunTime)
+            gcMs.addAndGet(m.jvmGCTime)
+            ()
+          }
+        }
+      })
+    val runDetail = scala.collection.mutable.LinkedHashMap[String, Seq[(Double, Double, Double)]]()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val ts = (0 until runs).map { _ =>
+      val triples = (0 until runs).map { _ =>
+        val (e0, g0) = (execMs.get(), gcMs.get())
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> ts
+        ((System.nanoTime() - t0) / 1e9,
+          (execMs.get() - e0) / 1e3, (gcMs.get() - g0) / 1e3)
+      }
+      runDetail(name) = triples
+      name -> triples.map(_._1).sorted
     }
     def r3(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def fmt(sel: Seq[Double] => Double) = results
@@ -71,9 +95,17 @@ object Bench {
     // line was decapitated -> BENCH parsed:null, perf gate ungraded. The
     // per-query medians now live ONLY in target/bench_detail.json
     // ("queries_med"); stdout carries the <200-byte summary.
+    // per-run [wall_sec, executor_sec, gc_sec] in arrival order — the
+    // attribution data for any max-run outlier
+    val runsJson = runDetail.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map { case (w, e, g) =>
+        s"[${r3(w)},${r3(e)},${r3(g)}]"
+      }.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val detail =
       s"""{"queries_med":${fmt(med)},"queries_min":${fmt(_.head)},"queries_max":${fmt(_.last)},""" +
-      s""""input_rows":$inputRows,"runs":$runs,"warmup_sec":${r3(warmupSec)},"sf":"$sfDir"}"""
+      s""""input_rows":$inputRows,"runs":$runs,"warmup_sec":${r3(warmupSec)},""" +
+      s""""runs_wall_exec_gc":$runsJson,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("target", "bench_detail.json")
       java.nio.file.Files.createDirectories(p.getParent)

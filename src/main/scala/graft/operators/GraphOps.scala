@@ -131,8 +131,15 @@ object GraphOps {
       .select(col("dst").as("from"), col("src").as("to"))
     val regions = TpchGraph.nodes(spark, dir).filter(col("kind") === "region")
       .select(col("id").as("from"), col("name").as("region"))
+    // each depth's frontier materializes ONCE (eager checkpoint): it
+    // feeds both its summary branch and the next depth, and leaving
+    // the shared lineage to physical-plan exchange reuse proved
+    // fragile — the round-7 bench caught the unioned plan re-deriving
+    // every depth chain per branch (3.3 s → 25 s run-dependent).
+    // Frontier rows are bounded by |regions| × |nodes|.
     var frontier = broadcast(regions).join(er, "from")
       .groupBy("region", "to").agg(count(lit(1)).cast("long").as("n"))
+      .localCheckpoint(true)
     var out: DataFrame = null
     for (depth <- 1 to PathDepth) {
       val summary = frontier.groupBy("region")
@@ -143,6 +150,7 @@ object GraphOps {
         frontier = frontier.select(col("region"), col("to").as("from"), col("n"))
           .join(er, "from")
           .groupBy("region", "to").agg(sum("n").as("n"))
+          .localCheckpoint(true)
     }
     out
   }

