@@ -31,27 +31,28 @@ object Olap {
         sum("l_quantity").as("total_qty"))
 
   /** Exact discrete percentiles (p50/p90/p99 of the extended price in
-    * cents) per return flag: one window rank + one conditional
-    * aggregate. The sort is PER GROUP (partition-local after the
-    * hash exchange) — the scalable exact-quantile shape; approximate
-    * sketches only become necessary when a single group outgrows a
-    * partition, and cents stay integers so there is no interpolation
-    * to disagree on. */
+    * cents) per return flag via VALUE HISTOGRAM rank selection: the
+    * row-sort window form partitions by a 4-value flag, so its sort
+    * stage has 4 tasks however big the table is (group skew the r7
+    * bench measured on the sibling `Sketch.sampleQuantiles`).
+    * groupBy(flag, cents) is a partial-aggregable shuffle; the
+    * cumulative window then ranks DISTINCT VALUES per group, and
+    * "value at rank k" ≡ "smallest value with cumulative count ≥ k"
+    * (duplicates are adjacent in value order). The percentile index
+    * stays PURE integer — idx = (n−1)·num/den + 1 — so no engine can
+    * disagree on a float-times-count rounding at a group boundary. */
   def percentiles(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("l_returnflag")
-      .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
-    // discrete percentile index in PURE integer arithmetic —
-    // idx = (n-1)·num/den + 1 — so no engine can disagree on a
-    // float-times-count rounding at a group boundary
     def pick(num: Int, den: Int, name: String) =
-      max(when(col("rn") === expr(s"(cnt - 1) * $num div $den + 1"),
+      min(when(col("cum") >= expr(s"(cnt - 1) * $num div $den + 1"),
         col("cents"))).as(name)
     Tpch.table(spark, dir, "lineitem")
       .withColumn("cents", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+      .groupBy("l_returnflag", "cents").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(Window.partitionBy("l_returnflag")
+        .orderBy("cents")))
+      .withColumn("cnt", sum("c").over(Window.partitionBy("l_returnflag")))
       .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n"), pick(1, 2, "p50_cents"),
+      .agg(max("cnt").as("n"), pick(1, 2, "p50_cents"),
         pick(9, 10, "p90_cents"), pick(99, 100, "p99_cents"))
   }
 

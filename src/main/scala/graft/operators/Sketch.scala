@@ -305,29 +305,33 @@ object Sketch {
     val li = Tpch.table(spark, dir, "lineitem")
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
-    // exact side: count + exact median per group (integer rank index)
-    val wAll = Window.partitionBy("l_returnflag")
-      .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
-    val exact = li
-      .withColumn("rn", row_number().over(wAll))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+    // Rank-k selection via VALUE HISTOGRAM, not a per-group row sort:
+    // a row_number window partitioned by the 4-value l_returnflag is a
+    // 4-task stage sorting the whole table (the r7 bench measured the
+    // stall) and only gets worse with data. groupBy(group, value) is a
+    // partial-aggregable shuffle; the cumulative window then runs over
+    // DISTINCT VALUES per group, and "value at rank k" ≡ "smallest
+    // value whose cumulative count ≥ k" (duplicates are adjacent in
+    // value order, so the rank-k row's value is identical).
+    def ranked(rows: DataFrame) = rows
+      .groupBy("l_returnflag", "cents").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(Window.partitionBy("l_returnflag")
+        .orderBy("cents")))
+      .withColumn("cnt", sum("c").over(Window.partitionBy("l_returnflag")))
+    def pick(num: Int, den: Int, name: String) =
+      min(when(col("cum") >= expr(s"(cnt - 1) * $num div $den + 1"),
+        col("cents"))).as(name)
+    val exact = ranked(li)
       .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n_total"),
-        max(when(col("rn") === expr("(cnt - 1) div 2 + 1"), col("cents")))
-          .as("exact_p50_cents"))
-    // sample side: hash-systematic 1/16, then the same integer-rank
-    // quantile pick over the (16× smaller) sample
+      .agg(max("cnt").as("n_total"), pick(1, 2, "exact_p50_cents"))
+    // sample side: hash-systematic 1/16, then the same histogram pick
+    // over the (16× smaller) sample
     val keyed = li.filter(pmod(
       mix(pmod(col("l_orderkey") * 41L + col("l_linenumber"), lit(HashMod))),
       lit(SampleMod)) === 0)
-    def pick(num: Int, den: Int, name: String) =
-      max(when(col("rn") === expr(s"(cnt - 1) * $num div $den + 1"),
-        col("cents"))).as(name)
-    val q = keyed
-      .withColumn("rn", row_number().over(wAll))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+    val q = ranked(keyed)
       .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n_sample"), pick(1, 4, "p25_cents"),
+      .agg(max("cnt").as("n_sample"), pick(1, 4, "p25_cents"),
         pick(1, 2, "p50_cents"), pick(9, 10, "p90_cents"),
         pick(99, 100, "p99_cents"))
     exact.join(q, "l_returnflag")
