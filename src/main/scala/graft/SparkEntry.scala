@@ -655,6 +655,7 @@ object SparkEntry {
     "s_late" -> ((s, dir) =>
       graft.streaming.EventStreams.lateness(graft.streaming.EventStreams.events(s, dir))),
     "it_harmonic" -> ((s, dir) => graft.operators.HyperBall.harmonic(s, dir)),
+    "it_neighborhood" -> ((s, dir) => graft.operators.HyperBall.neighborhood(s, dir)),
     "it_ppr" -> ((s, dir) => graft.operators.PageRank.personalized(s, dir)),
     "q19_sample_quantiles" -> ((s, dir) => graft.operators.Sketch.sampleQuantiles(s, dir)),
     "q20_kmv_distinct" -> ((s, dir) => graft.operators.Sketch.kmvOrders(s, dir)),
@@ -797,6 +798,35 @@ object SparkEntry {
     "dd_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "dd_simhash_band" -> ((s, dir) => Dedup.simhashDup(s, dir)),
     "dd_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
+    "dd_cluster_sizes" -> ((s, dir) => Dedup.clusterSizes(s, dir)),
+    "dd_lsh_recall" -> ((s, dir) => Dedup.lshRecall(s, dir)),
+    // RANGE-frame window (interval trailing sum) — the frame kind the
+    // rows-frame family (q11) cannot express; per-user partitions
+    "q41_range_window" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = graft.streaming.EventStreams.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("us")
+        .rangeBetween(-3600000000L, 0L)
+      ev.select(col("user_id"), col("event_id"),
+        sum("cents").over(w).as("trailing_1h_cents"))
+    }),
+    // GROUPING SETS over non-nested sets — the lattice shape rollup
+    // (q09) and cube (q13) cannot express; one Expand + one
+    // partial-agg exchange like both of them
+    "q40_grouping_sets" -> ((s, dir) => {
+      val li = graft.sources.Tpch.table(s, dir, "lineitem")
+        .withColumn("cents", org.apache.spark.sql.functions.expr(
+          "CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      import org.apache.spark.sql.functions.{col, count, lit, sum}
+      li.groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
+    }),
     // ExactSubstr-style cross-doc duplicated-span coverage
     "dd_substring" -> ((s, dir) => Dedup.substringDup(s, dir)),
     // eval-set decontamination: corpus docs sharing a K-token window
@@ -1211,6 +1241,7 @@ object SparkEntry {
     "g_clustering" -> IterCtes.clusteringStats,
     "s_late" -> EventCtes.lateness,
     "it_harmonic" -> IterCtes.harmonicTop,
+    "it_neighborhood" -> IterCtes.neighborhood,
     "it_ppr" -> graft.oracle.PageRankCtes.personalized,
     "q19_sample_quantiles" -> SketchCtes.sampleQuantiles,
     "q20_kmv_distinct" -> SketchCtes.kmvOrders,
@@ -1386,6 +1417,36 @@ object SparkEntry {
     "dd_minhash_lsh" -> TextCtes.minhashLsh,
     "dd_simhash_band" -> TextCtes.simhashDup,
     "dd_clusters" -> TextCtes.dedupClusters,
+    "dd_lsh_recall" ->
+      s"""WITH e AS (SELECT a, b FROM (${graft.oracle.TextCtes.ngramJaccard})),
+         |l AS (SELECT a, b FROM (${graft.oracle.TextCtes.minhashLsh})),
+         |h AS (SELECT a, b FROM e INTERSECT SELECT a, b FROM l),
+         |c AS (SELECT (SELECT count(*) FROM e) AS n_exact,
+         |  (SELECT count(*) FROM l) AS n_lsh,
+         |  (SELECT count(*) FROM h) AS n_hit)
+         |SELECT n_exact, n_lsh, n_hit,
+         |  CAST(n_hit AS DOUBLE) / n_exact AS recall,
+         |  CAST(n_hit AS DOUBLE) / n_lsh AS precision
+         |FROM c""".stripMargin,
+    "q41_range_window" ->
+      """WITH b AS (SELECT user_id, event_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY us
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS trailing_1h_cents
+        |FROM b""".stripMargin,
+    "q40_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+    "dd_cluster_sizes" ->
+      s"""SELECT cluster_size, count(*) AS n_clusters FROM (
+         |  SELECT canonical, count(*) + 1 AS cluster_size
+         |  FROM (${TextCtes.dedupClusters}) GROUP BY canonical)
+         |GROUP BY cluster_size""".stripMargin,
     "dd_substring" -> TextCtes.substringDup,
     "dd_decontaminate" -> TextCtes.decontaminate,
     "dd_cross_source" -> TextCtes.crossSourcePairs,

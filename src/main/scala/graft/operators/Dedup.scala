@@ -251,6 +251,35 @@ object Dedup {
         .persist()
     }
 
+  /** Near-dup cluster SIZE DISTRIBUTION — the dedup health dashboard
+    * number ("how much of the corpus sits in how-big duplicate
+    * groups"): one partial-aggregable groupBy pyramid over the
+    * memoized cluster table. Cluster size counts the canonical member
+    * (+1: [[dedupClusters]] lists non-canonical members only). */
+  def clusterSizes(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(spark, dir)
+      .groupBy("canonical").agg((count(lit(1)) + 1).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+
+  /** LSH recall/precision probe — the self-quantifying check every
+    * sketch family here carries (`ann_recall`, `q08_hll_distinct`,
+    * `q19_sample_quantiles`): MinHash-LSH candidate pairs measured
+    * against the exact n-gram-Jaccard pairs, both read from their
+    * session memos. Counts are exact integers; the two ratios are one
+    * double division each over the same BIGINTs on both engines. */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = ngramJaccard(spark, dir).select("a", "b")
+    val lsh = minhashLsh(spark, dir).select("a", "b")
+    val hits = exact.join(lsh, Seq("a", "b"), "left_semi")
+    exact.select(lit(1L).as("e"), lit(0L).as("l"), lit(0L).as("h"))
+      .unionAll(lsh.select(lit(0L).as("e"), lit(1L).as("l"), lit(0L).as("h")))
+      .unionAll(hits.select(lit(0L).as("e"), lit(0L).as("l"), lit(1L).as("h")))
+      .agg(sum("e").as("n_exact"), sum("l").as("n_lsh"), sum("h").as("n_hit"))
+      .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact")).as("recall"),
+        (col("n_hit").cast("double") / col("n_lsh")).as("precision"))
+  }
+
   /** SimHash banding: a [[SimBits]]-bit signature split into
     * [[SimBands]] bands of [[SimBandBits]]; pairs sharing any band
     * bucket are candidates, kept if hamming ≤ MaxHam. The shingle

@@ -51,13 +51,26 @@ object HyperBall {
       when(x >= (1L << (b - 1)), lit(b)).otherwise(acc)
     }
 
-  /** Both outputs are TopN rows — memoize them as a pair (one register
-    * pyramid feeds both) and drop the big intermediates once both are
-    * materialized. */
-  private val memo = new graft.SessionMemo[(DataFrame, DataFrame)]
+  /** All three outputs are tiny (TopN or Iters+1 rows) — memoize them
+    * as a tuple (one register pyramid feeds them all) and drop the big
+    * intermediates once all are materialized. */
+  private val memo = new graft.SessionMemo[(DataFrame, DataFrame, DataFrame)]
 
   def hyperball(spark: SparkSession, dir: String): DataFrame =
     memo.getOrElseUpdate(spark, dir)(compute(spark, dir))._1
+
+  /** Neighborhood function / distance distribution (the effective-
+    * diameter primitive; Boldi & Vigna WWW'11 §5): N(t) = Σ_v
+    * |ball(v,t)| read off the SAME register pyramid, one row per round.
+    * Per-node estimates stay exact integers (`EstNumerator.toLong div
+    * z` — both engines embed the identical BIGINT literal and floor-
+    * divide), so the per-round sum is order-invariant and
+    * hash-comparable; the only double is the final frac_of_final
+    * division of two exact BIGINTs. The smallest t with frac ≥ 0.9 IS
+    * the effective diameter — at 100 TB this is how distance
+    * distributions are measured (exact all-pairs BFS is |V|²). */
+  def neighborhood(spark: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate(spark, dir)(compute(spark, dir))._3
 
   /** Harmonic centrality (Boldi & Vigna, "Axioms for centrality",
     * 2014) from the SAME register pyramid: for the TopN largest-ball
@@ -72,7 +85,7 @@ object HyperBall {
   def harmonic(spark: SparkSession, dir: String): DataFrame =
     memo.getOrElseUpdate(spark, dir)(compute(spark, dir))._2
 
-  private def compute(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def compute(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     // session-memoized symmetric edge table, src-partitioned: every
     // round (and the exact-ball probe) joins on src against this copy
     val edges = Iterative.symAllSrc(spark, dir)
@@ -159,7 +172,23 @@ object HyperBall {
       .persist()
     harm.count()
 
+    // neighborhood function: one row per round t, exact-integer sums
+    val estInt = EstNumerator.toLong
+    val nbh = rounds.toList.zipWithIndex.map { case (r, t) =>
+      r.select(expr(zExpr).as("z"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(expr(s"$estInt div z")).as("sum_est"))
+        .select(lit(t.toLong).as("t"), col("n_nodes"), col("sum_est"))
+    }.reduce(_ unionByName _)
+      .withColumn("frac_of_final",
+        col("sum_est").cast("double") /
+          max(when(col("t") === Iters, col("sum_est")))
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy(lit(0)))) // Iters+1 rows total
+      .persist()
+    nbh.count()
+
     cached.foreach(_.unpersist())
-    (out, harm)
+    (out, harm, nbh)
   }
 }

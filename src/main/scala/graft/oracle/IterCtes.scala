@@ -226,6 +226,52 @@ object IterCtes {
        |JOIN balls ON balls.seed = t.node""".stripMargin
   }
 
+  /** twin of [[graft.operators.HyperBall.neighborhood]]: the same
+    * register rounds, z read per round over ALL nodes, per-node
+    * estimates as the identical BIGINT literal floor-divided by z,
+    * summed exactly; frac_of_final is the one double division. */
+  val neighborhood: String = {
+    import graft.operators.HyperBall.{Buckets, EstNumerator, Iters, Scale, SuffixBits}
+    import graft.operators.Sketch.{HashMod, MixMult}
+    val caseChain = (SuffixBits to 1 by -1)
+      .map(b => s"WHEN rest >= ${1L << (b - 1)} THEN $b").mkString(" ")
+    val rounds = (1 to Iters).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT node, bucket, max(rho) AS rho FROM (
+         |  SELECT node, bucket, rho FROM r${i - 1}
+         |  UNION ALL
+         |  SELECT e.dst, r.bucket, r.rho
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node)
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val estInt = EstNumerator.toLong
+    val zRounds = (0 to Iters).map { t =>
+      s"""z$t AS (SELECT node,
+         |  ${Buckets.toLong << Scale} - count(*) * ${1L << Scale}
+         |    + CAST(sum(CAST(1 AS BIGINT) << ($Scale - rho)) AS BIGINT) AS z
+         |  FROM r$t GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    val nbhRows = (0 to Iters).map { t =>
+      s"SELECT CAST($t AS BIGINT) AS t, count(*) AS n_nodes, CAST(sum($estInt // z) AS BIGINT) AS sum_est FROM z$t"
+    }.mkString("\n  UNION ALL ")
+    s"""${Ctes.graph},
+       |edges AS MATERIALIZED (SELECT src, dst FROM rels UNION ALL SELECT dst, src FROM rels),
+       |h0 AS (SELECT id AS node, id % $HashMod AS h FROM nodes),
+       |h1 AS (SELECT node, xor(h, h >> 16) AS h FROM h0),
+       |h2 AS (SELECT node, (h * $MixMult) % $HashMod AS h FROM h1),
+       |h3 AS (SELECT node, xor(h, h >> 16) AS h FROM h2),
+       |h4 AS (SELECT node, (h * $MixMult) % $HashMod AS h FROM h3),
+       |hh AS (SELECT node, xor(h, h >> 16) AS h FROM h4),
+       |r0 AS MATERIALIZED (SELECT node, h // ${1L << SuffixBits} AS bucket,
+       |  $Scale - (CASE $caseChain ELSE 0 END) AS rho
+       |  FROM (SELECT node, h, h % ${1L << SuffixBits} AS rest FROM hh)),
+       |$rounds,
+       |$zRounds,
+       |nbh AS ($nbhRows)
+       |SELECT t, n_nodes, sum_est,
+       |  CAST(sum_est AS DOUBLE) / (SELECT sum_est FROM nbh WHERE t = $Iters) AS frac_of_final
+       |FROM nbh""".stripMargin
+  }
+
   /** twin of [[graft.operators.GraphOps.clusteringStats]]: same
     * oriented triangle count, integer degree moments, identical
     * fixed-order double expressions. */

@@ -38,6 +38,18 @@ class HyperBallSpec extends SparkTestBase {
         (HyperBall.Buckets.toLong << HyperBall.Scale) / 2))
   }
 
+  test("neighborhood function: balls grow monotonically to frac 1.0") {
+    val nbh = HyperBall.neighborhood(spark, dir)
+      .orderBy("t").collect()
+    assert(nbh.length === HyperBall.Iters + 1)
+    val sums = nbh.map(_.getAs[Long]("sum_est"))
+    assert(sums.zip(sums.tail).forall { case (a, b) => a <= b },
+      s"N(t) must be non-decreasing: ${sums.mkString(",")}")
+    assert(nbh.map(_.getAs[Long]("n_nodes")).distinct.length === 1,
+      "every round covers every node")
+    assert(math.abs(nbh.last.getAs[Double]("frac_of_final") - 1.0) < 1e-12)
+  }
+
   test("memoized: second call returns the identical cached plan") {
     val again = HyperBall.hyperball(spark, dir)
     assert(again.collect().toSet === rows.toSet)
