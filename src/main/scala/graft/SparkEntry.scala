@@ -800,6 +800,11 @@ object SparkEntry {
     "dd_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
     "dd_cluster_sizes" -> ((s, dir) => Dedup.clusterSizes(s, dir)),
     "dd_lsh_recall" -> ((s, dir) => Dedup.lshRecall(s, dir)),
+    // A6 analog (cache counters): runtime storage state, rows-only
+    // check by design - values are runtime-dependent like the
+    // reference's own cache monitors
+    "rec_cache_counters" -> ((s, _) =>
+      graft.checker.StoreProfile.cacheCounters(s)),
     // RANGE-frame window (interval trailing sum) — the frame kind the
     // rows-frame family (q11) cannot express; per-user partitions
     "q41_range_window" -> ((s, dir) => {

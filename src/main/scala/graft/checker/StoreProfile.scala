@@ -12,6 +12,28 @@ import graft.model.Stores
 object StoreProfile {
   private val M = 1000003L
 
+  /** A6 analog — the reference's cache counters (its
+    * consistency-check monitors report per-cache hit/miss/size;
+    * enterprise-performance-tests wires a page-cache monitor into the
+    * run): on this engine the equivalent runtime surface is the block
+    * manager's storage state. One row summarizing every cached RDD —
+    * count, partitions cached, memory and disk bytes. Values are
+    * runtime-dependent by nature (exactly like the reference's
+    * counters), so the query carries a rows-only check, not a DuckDB
+    * twin; the spec pins the schema and that a persisted table is
+    * visible. Driver-side cost is the storage-info list — bounded by
+    * the number of cached RDDs, never by data. */
+  def cacheCounters(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val infos = spark.sparkContext.getRDDStorageInfo.toSeq
+    Seq((
+      infos.size.toLong,
+      infos.map(_.numCachedPartitions.toLong).sum,
+      infos.map(_.memSize).sum,
+      infos.map(_.diskSize).sum
+    )).toDF("n_cached_rdds", "partitions_cached", "mem_bytes", "disk_bytes")
+  }
+
   def profile(s: Stores): DataFrame = {
     def p(df: DataFrame, store: String, s1: Column, s2: Column): DataFrame =
       df.agg(count(lit(1)).as("n"),

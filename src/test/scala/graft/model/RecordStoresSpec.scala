@@ -55,4 +55,17 @@ class RecordStoresSpec extends SparkTestBase {
       .filter(col("first_node") =!= col("id") && col("second_node") =!= col("id"))
     assert(heads.count() === 0L)
   }
+
+  test("cache counters report the block manager's persisted state (A6 analog)") {
+    val probe = spark.range(1000).toDF("id").persist()
+    probe.count() // materialize so the block manager registers it
+    try {
+      val row = graft.checker.StoreProfile.cacheCounters(spark).collect().head
+      assert(row.schema.fieldNames.toSeq ===
+        Seq("n_cached_rdds", "partitions_cached", "mem_bytes", "disk_bytes"))
+      assert(row.getAs[Long]("n_cached_rdds") >= 1L)
+      assert(row.getAs[Long]("partitions_cached") >= 1L)
+      assert(row.getAs[Long]("mem_bytes") + row.getAs[Long]("disk_bytes") > 0L)
+    } finally { probe.unpersist(); () }
+  }
 }
