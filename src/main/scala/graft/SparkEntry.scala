@@ -99,9 +99,10 @@ object SparkEntry {
     quiet(Similarity.hardNegatives(s, dir).count())
     quiet(Similarity.embeddingDup(s, dir).count())
     quiet(TextOps.prCurve(s, dir).count())
-    // round-7: oriented triangle tables shared by it_triangles and
-    // g_clustering (memoized; previously rebuilt per call)
+    // round-7: oriented triangle tables + enumeration scalar shared by
+    // it_triangles and g_clustering; PCA eigen artifact (gram collect)
     quiet(GraphOps.triangleCount(s, dir).count())
+    quiet(Similarity.pcaProject(s, dir).count())
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
