@@ -660,6 +660,7 @@ object SparkEntry {
     "it_ppr" -> ((s, dir) => graft.operators.PageRank.personalized(s, dir)),
     "q19_sample_quantiles" -> ((s, dir) => graft.operators.Sketch.sampleQuantiles(s, dir)),
     "q20_kmv_distinct" -> ((s, dir) => graft.operators.Sketch.kmvOrders(s, dir)),
+    "q42_kmv_intersect" -> ((s, dir) => graft.operators.Sketch.kmvIntersect(s, dir)),
     "t_boilerplate" -> ((s, dir) => graft.operators.TextOps.boilerplate(s, dir)),
     "pipe_chunk" -> ((s, dir) => graft.operators.TextOps.chunkStats(s, dir)),
     "ann_hard_negatives" -> ((s, dir) => graft.operators.Similarity.hardNegatives(s, dir)),
@@ -680,6 +681,7 @@ object SparkEntry {
     "q24_zorder" -> ((s, dir) => graft.operators.Olap.zorderReport(s, dir)),
     "q25_corr" -> ((s, dir) => graft.operators.Olap.orderCorr(s, dir)),
     "pipe_weighted_sample" -> ((s, dir) => graft.operators.Pipeline.weightedSample(s, dir)),
+    "pipe_domain_cap" -> ((s, dir) => graft.operators.Pipeline.domainCap(s, dir)),
     "s_scd2" -> ((s, dir) =>
       graft.streaming.EventStreams.scd2(graft.streaming.EventStreams.events(s, dir))),
     "s_decay" -> ((s, dir) =>
@@ -696,6 +698,7 @@ object SparkEntry {
     "q09_rollup" -> ((s, dir) => graft.operators.Olap.rollupReport(s, dir)),
     // exact discrete percentiles, integer index arithmetic
     "q10_percentiles" -> ((s, dir) => graft.operators.Olap.percentiles(s, dir)),
+    "q43_mad" -> ((s, dir) => graft.operators.Olap.madByGroup(s, dir)),
     // near-dup refinement: edit distance over LSH candidates only
     "dd_edit_refine" -> ((s, dir) => graft.operators.Olap.editRefine(s, dir)),
     // whole-graph analytic: fixed-point PageRank (GraphX surface,
@@ -866,6 +869,8 @@ object SparkEntry {
     // Gopher-style repetition quality gates
     "t_repetition" -> ((s, dir) => TextOps.repetition(s, dir)),
     "t_vocab_topk" -> ((s, dir) => TextOps.vocabTopK(s, dir)),
+    "t_zipf" -> ((s, dir) => TextOps.zipfFit(s, dir)),
+    "t_bpe_train" -> ((s, dir) => TextOps.bpeTrain(s, dir)),
     // skip-gram window co-occurrence: the word2vec/GloVe pre-pass
     "t_cooccur" -> ((s, dir) => TextOps.cooccurTopK(s, dir)),
     "t_dup_ngrams" -> ((s, dir) => TextOps.dupNgrams(s, dir)),
@@ -886,6 +891,7 @@ object SparkEntry {
     // per-dimension embedding stats (drift monitoring)
     "emb_dim_stats" -> ((s, dir) => Similarity.dimStats(s, dir)),
     "emb_whiten" -> ((s, dir) => Similarity.whitenNorms(s, dir)),
+    "emb_knn_graph" -> ((s, dir) => Similarity.knnGraph(s, dir)),
     "emb_int8_quantize" -> ((s, dir) => Similarity.int8Quantize(s, dir)),
     // exact d×d co-moment (gram) matrix — PCA/whitening/drift input
     "emb_gram" -> ((s, dir) => Similarity.gramMatrix(s, dir)),
@@ -896,6 +902,7 @@ object SparkEntry {
     "mm_media_features" -> ((s, dir) => Media.mediaFeatures(s, dir)),
     "mm_frame_sample" -> ((s, dir) => Media.frameSample(s, dir)),
     "mm_resize" -> ((s, dir) => Media.resizeThumbs(s, dir)),
+    "mm_shard_pack" -> ((s, dir) => Media.shardPack(s, dir)),
     // end-to-end curation: quality ∧ language ∧ not-near-dup, per-lang
     "pipe_curation" -> ((s, dir) => graft.operators.Pipeline.curate(s, dir)),
     // deterministic per-source token-budget sampling (training mix)
@@ -1251,6 +1258,7 @@ object SparkEntry {
     "it_ppr" -> graft.oracle.PageRankCtes.personalized,
     "q19_sample_quantiles" -> SketchCtes.sampleQuantiles,
     "q20_kmv_distinct" -> SketchCtes.kmvOrders,
+    "q42_kmv_intersect" -> SketchCtes.kmvIntersect,
     "t_boilerplate" -> TextCtes.boilerplate,
     "pipe_chunk" -> TextCtes.chunkStats,
     "ann_hard_negatives" -> TextCtes.hardNegatives,
@@ -1273,6 +1281,7 @@ object SparkEntry {
     "q24_zorder" -> OlapCtes.zorderReport,
     "q25_corr" -> OlapCtes.orderCorr,
     "pipe_weighted_sample" -> OlapCtes.weightedSample,
+    "pipe_domain_cap" -> TextCtes.domainCap,
     "s_decay" -> EventCtes.decayScore,
     "q08_hll_distinct" -> SketchCtes.hllOrders,
     "q15_cms_heavy" -> SketchCtes.cmsTopParts,
@@ -1280,6 +1289,7 @@ object SparkEntry {
     "q18_hll_grouped" -> SketchCtes.hllOrdersByFlag,
     "q09_rollup" -> OlapCtes.rollupReport,
     "q10_percentiles" -> OlapCtes.percentiles,
+    "q43_mad" -> OlapCtes.madByGroup,
     "dd_edit_refine" -> OlapCtes.editRefine,
     "s_pivot_types" -> OlapCtes.pivotEvents,
     "s_gap_fill" -> OlapCtes.gapFillHourly,
@@ -1482,6 +1492,8 @@ object SparkEntry {
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "t_repetition" -> TextCtes.repetition,
     "t_vocab_topk" -> TextCtes.vocabTopK,
+    "t_zipf" -> TextCtes.zipfFit,
+    "t_bpe_train" -> TextCtes.bpeTrain,
     "t_cooccur" -> TextCtes.cooccurTopK,
     "t_dup_ngrams" -> TextCtes.dupNgrams,
     "t_lm_score" -> TextCtes.lmScore,
@@ -1507,6 +1519,7 @@ object SparkEntry {
     "dd_semantic" -> TextCtes.semDedup,
     "emb_dim_stats" -> TextCtes.dimStats,
     "emb_whiten" -> TextCtes.whitenNorms,
+    "emb_knn_graph" -> TextCtes.knnGraph,
     "emb_gram" -> TextCtes.gramMatrix,
     "emb_pca" -> TextCtes.pcaProject,
     "g_basket_features" -> TextCtes.basketFeatures,
@@ -1515,6 +1528,7 @@ object SparkEntry {
     "mm_media_features" -> TextCtes.mediaFeatures,
     "mm_frame_sample" -> TextCtes.frameSample,
     "mm_resize" -> TextCtes.resizeThumbs,
+    "mm_shard_pack" -> TextCtes.shardPack,
     "pipe_curation" -> TextCtes.curation,
     "pipe_sample_budget" -> TextCtes.sampleBudget,
     "pipe_epoch_shuffle" -> TextCtes.epochShuffle,

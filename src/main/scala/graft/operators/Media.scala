@@ -145,4 +145,35 @@ object Media {
       .groupBy("modality")
       .agg(count(lit(1)).as("n_blobs"), sum("nbytes").as("total_bytes"))
   }
+
+  /** Target shard payload in bytes (char-sized for the ASCII stub). */
+  val ShardBytes = 2000L
+
+  /** Shard assembly — packing blobs into ~fixed-size archive shards
+    * (the webdataset/tar-shard step every multimodal loader consumes).
+    * Deterministic: within each source, blobs are ordered by a mixed
+    * hash (a reproducible shuffle, never `rand()`), the running byte
+    * total assigns each blob to the shard its START offset falls in,
+    * and the report carries per-shard blob counts and payload bytes.
+    *
+    * Scale shape: the running sum is a window PARTITIONED BY source —
+    * packing is partition-local per source prefix (exactly how shard
+    * writers run: one task per source slice, no global prefix scan, no
+    * SinglePartition window). Straddling blobs go to the shard where
+    * they start, so shard payloads can overshoot by at most one blob —
+    * the greedy sequential-fill rule real shard writers use. */
+  def shardPack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tpch.table(spark, dir, "documents")
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("nbytes"),
+        pmod(col("doc_id") * Pipeline.SampleMult, lit(Pipeline.SampleMod)).as("h"))
+      .withColumn("cum", sum("nbytes").over(w))
+      .withColumn("shard", expr(s"(cum - nbytes) div ${ShardBytes}L"))
+      .groupBy("source", "shard")
+      .agg(count(lit(1)).as("n_blobs"), sum("nbytes").as("shard_bytes"))
+  }
 }

@@ -333,4 +333,36 @@ object Olap {
       .select(col("rank"), col("key"), col("cnt"),
         col("n_keys"), col("n_rows"), col("max_cnt"))
   }
+
+  /** Exact per-group median absolute deviation (MAD) — the robust
+    * dispersion statistic outlier gates use where stddev is poisoned
+    * by the very outliers being hunted. Both phases (group median,
+    * then median of |x − med|) use the same VALUE-HISTOGRAM rank
+    * selection as [[percentiles]]: groupBy(group, value) is a
+    * partial-aggregable shuffle and the cumulative window runs over
+    * distinct values per group — never a per-group row sort. The
+    * 4-row phase-1 median table broadcasts back onto the fact scan.
+    * Medians are lower medians (exact integer pick), so the whole
+    * operator is integer-exact cross-engine. */
+  def madByGroup(spark: SparkSession, dir: String): DataFrame = {
+    def lowerMedian(df: DataFrame, v: String, out: String): DataFrame =
+      df.groupBy(col("l_returnflag"), col(v)).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(Window.partitionBy("l_returnflag")
+          .orderBy(v)))
+        .withColumn("cnt", sum("c").over(Window.partitionBy("l_returnflag")))
+        .groupBy("l_returnflag")
+        .agg(max("cnt").as(out + "_n"),
+          min(when(col("cum") >= expr("(cnt - 1) div 2 + 1"), col(v))).as(out))
+    val cents = Tpch.table(spark, dir, "lineitem")
+      .withColumn("cents", expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+      .select("l_returnflag", "cents")
+    val med = lowerMedian(cents, "cents", "med_cents")
+      .select("l_returnflag", "med_cents")
+    val dev = cents.join(broadcast(med), "l_returnflag")
+      .withColumn("dev", abs(col("cents") - col("med_cents")))
+      .select("l_returnflag", "dev")
+    lowerMedian(dev, "dev", "mad_cents")
+      .select(col("l_returnflag"), col("mad_cents_n").as("n"), col("mad_cents"))
+      .join(broadcast(med), "l_returnflag")
+  }
 }

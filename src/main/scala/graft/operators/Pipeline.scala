@@ -363,4 +363,30 @@ object Pipeline {
           pmod(col("vec_id") * col("rn"), lit(BalanceP))).otherwise(0L)),
           lit(BalanceP)).as("kept_sum"))
   }
+
+  // ---- per-domain frequency cap ---------------------------------------
+
+  val DomainCap = 15L
+
+  /** Per-domain (source) frequency cap — the anti-over-representation
+    * rule every web-scale corpus applies: no single domain contributes
+    * more than Cap documents, the keeps chosen by a deterministic
+    * mixed-hash order (a reproducible "random" Cap-subset, never
+    * `rand()`). Same scale shape as [[balanceClasses]]: the window
+    * partitions by source, so selection is partition-local per domain;
+    * a pathologically hot domain degrades to a bottom-k threshold
+    * lookup, not a global sort. Reports the cap's bite per source —
+    * kept docs, dropped docs, and the chars the cap removed. */
+  def domainCap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    TextOps.docs(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        pmod(col("doc_id") * SampleMult, lit(SampleMod)).as("h"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("rn") <= DomainCap, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") > DomainCap, col("n_chars")).otherwise(0L)).as("chars_dropped"))
+  }
 }

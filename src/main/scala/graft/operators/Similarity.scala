@@ -668,4 +668,47 @@ object Similarity {
       .filter(col("rank") <= K)
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
   }
+
+  /** Neighbors kept per vector by [[knnGraph]]. */
+  val KnnGraphK = 5
+
+  /** Mutual-kNN graph over the embedding corpus + label-agreement
+    * summary — the neighborhood-structure probe clustering and
+    * label-noise audits run (a high same-label edge share means the
+    * embedding space respects the labels). Candidate pairs come from
+    * the LSH bucket equi-join (vectors pair ONLY within their
+    * hyperplane bucket — corpus never crosses corpus, the same scale
+    * contract as [[annLsh]]); each vector keeps its top-[[KnnGraphK]]
+    * bucket neighbors by exact integer cosine, and an edge survives
+    * only if BOTH endpoints keep it (mutual kNN — the standard noise
+    * filter). Windows partition by vector; output is one bounded row
+    * per unordered label pair. */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val e = bucketedCached(spark, dir)
+    val a = e.select(col("vec_id").as("qid"), col("q").as("qv"),
+      col("nrm").as("qn"), col("bucket"))
+    val b = e.select(col("vec_id").as("nid"), col("q").as("cv"),
+      col("nrm").as("cn"), col("bucket"))
+    val scored = a.join(b, "bucket")
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("dot", dot("qv", "cv"))
+      .withColumn("cos", cos)
+      .select("qid", "nid", "cos")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    val knn = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnGraphK)
+      .select("qid", "nid")
+    // mutual edges, canonicalized qid < nid
+    val mutual = knn.filter(col("qid") < col("nid"))
+      .join(knn.select(col("nid").as("qid"), col("qid").as("nid")),
+        Seq("qid", "nid"))
+    val labels = graft.sources.Tpch.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    mutual
+      .join(labels.select(col("vec_id").as("qid"), col("label").as("la")), "qid")
+      .join(labels.select(col("vec_id").as("nid"), col("label").as("lb")), "nid")
+      .select(least(col("la"), col("lb")).as("l1"),
+        greatest(col("la"), col("lb")).as("l2"))
+      .groupBy("l1", "l2").agg(count(lit(1)).as("n_edges"))
+  }
 }

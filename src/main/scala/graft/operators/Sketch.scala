@@ -336,4 +336,39 @@ object Sketch {
         pick(99, 100, "p99_cents"))
     exact.join(q, "l_returnflag")
   }
+
+  /** KMV set-intersection estimate by inclusion-exclusion — the sketch
+    * answer to "how many orders appear in BOTH partitions of a fact
+    * table" without an exact distinct-intersect (two shuffles of the
+    * full key sets). Each side keeps its bottom-[[KmvK]] hash sketch
+    * (mergeable: the union's sketch is the bottom-k of the two
+    * sketches' union — the property that lets 1000 executors sketch
+    * shards independently), |A∪B| estimates from the merged sketch, and
+    * |A∩B| = est(A) + est(B) − est(A∪B). The exact intersection rides
+    * along so the probe quantifies its own error, like
+    * [[hllDistinct]] and `ann_recall` do. Sets: order keys shipping
+    * with returnflag R vs A. */
+  def kmvIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tpch.table(spark, dir, "lineitem")
+    def keys(flag: String) = li.filter(col("l_returnflag") === flag)
+      .select(col("l_orderkey").as("k")).distinct()
+    def hashes(keys: DataFrame) =
+      keys.select(mix(pmod(col("k"), lit(HashMod))).as("h")).distinct()
+    def bottomK(hs: DataFrame, est: String) =
+      hs.orderBy("h").limit(KmvK)
+        .agg(max("h").as("h_k"), count(lit(1)).as("kk"))
+        .select(((col("kk") - 1) * lit(HashMod) / col("h_k")).as(est))
+    val a = keys("R"); val b = keys("A")
+    val ha = hashes(a); val hb = hashes(b)
+    val estA = bottomK(ha, "est_a")
+    val estB = bottomK(hb, "est_b")
+    // union sketch = bottom-k of the two sketches' member union
+    val estU = bottomK(ha.unionByName(hb).distinct(), "est_union")
+    val exact = a.join(b, "k").agg(count(lit(1)).as("exact_intersect"))
+    estA.crossJoin(broadcast(estB)).crossJoin(broadcast(estU))
+      .crossJoin(broadcast(exact))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_intersect"),
+        col("exact_intersect"))
+  }
 }

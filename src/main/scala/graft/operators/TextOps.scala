@@ -805,4 +805,106 @@ object TextOps {
            |                        h -> h = d)) AS BIGINT))""".stripMargin)))
       .select(col("doc_id"), col("pos").cast("long").as("dim"), col("col").as("n"))
   }
+
+  /** Head size for the Zipf fit — the standard practice of fitting the
+    * rank-frequency law on the head terms (the tail is where Zipf
+    * breaks and where rank order is count-tie noise anyway). */
+  val ZipfK = 25
+
+  /** Zipf rank-frequency fit — the corpus-statistics probe every
+    * training-data report carries: rank the head-[[ZipfK]] tokens by
+    * frequency and OLS-fit ln(freq) against ln(rank). A healthy
+    * natural-language corpus shows slope ≈ −1; templated or synthetic
+    * text shows a flat head (this corpus: ~−0.03 — exactly what the
+    * probe should expose). Scale shape: token counts are one
+    * partial-aggregable groupBy; the head extraction is a distributed
+    * top-k (TakeOrderedAndProject), and the OLS runs over the K-row
+    * artifact — corpus-size-independent, the same bounded-artifact
+    * class as the 64×64 gram matrix. Output also carries the exact
+    * corpus totals (tokens, vocab) the fit normalizes against. */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs(spark, dir)
+      .select(explode(toks(lower(col("text")))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val head = tf.orderBy(col("c").desc, col("tok")).limit(ZipfK)
+    // rank window over the K-row head only (bounded artifact)
+    val ranked = head
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("c").desc, col("tok"))).cast("long"))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    val fit = ranked.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(
+        col("n").cast("long").as("k"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n"))).as("slope"),
+        (col("sy") / col("n") - ((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n"))) * col("sx") / col("n")).as("intercept"))
+    val totals = tf.agg(sum("c").as("n_tokens"), count(lit(1)).as("n_vocab"))
+    fit.crossJoin(broadcast(totals))
+  }
+
+  /** Number of BPE merge rounds [[bpeTrain]] runs. */
+  val BpeMerges = 3
+
+  /** Multi-round BPE tokenizer training (Sennrich et al. 2016) — the
+    * full iterate that [[bpePairs]] is one round of. Round structure:
+    *
+    *   1. ONE corpus-sized pass builds the word-frequency table
+    *      (word types × counts) — at 100 TB this is the only pass that
+    *      touches the corpus; every merge round after it runs over the
+    *      vocabulary-sized symbol table.
+    *   2. Each round counts adjacent symbol pairs weighted by word
+    *      frequency (per-word windows — partition-local), takes the
+    *      global argmax pair (distributed top-1, then a 1-row broadcast
+    *      — the sanctioned scalar-attachment shape), and rewrites the
+    *      symbol table: pair starts become the merged symbol, pair
+    *      tails drop.
+    *
+    * Determinism: candidate pairs are restricted to DISTINCT symbols
+    * (a ≠ b). With a ≠ b adjacent matches cannot overlap, so the
+    * leftmost-greedy rewrite is expressible as a stateless per-position
+    * rule (merge where (sym, next) = (a, b); drop where (prev, sym) =
+    * (a, b)) that both engines evaluate identically — no sequential
+    * scan semantics to disagree on. Ties in the argmax break by
+    * (count desc, a, b). Output: the merge table — one row per round
+    * with the learned pair and its weighted frequency. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs(spark, dir)
+      .select(explode(toks(lower(col("text")))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    var syms = words
+      .select(col("w"), col("wc"), posexplode(split(col("w"), "")))
+      .select(col("w"), col("wc"), col("pos").cast("long").as("pos"),
+        col("col").as("sym"))
+    val wp = Window.partitionBy("w").orderBy("pos")
+    var merges: List[DataFrame] = Nil
+    for (step <- 1 to BpeMerges) {
+      val paired = syms.withColumn("nxt", lead("sym", 1).over(wp))
+      val best = paired
+        .filter(col("nxt").isNotNull && col("sym") =!= col("nxt"))
+        .groupBy(col("sym").as("a"), col("nxt").as("b"))
+        .agg(sum("wc").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+      merges ::= best.select(lit(step.toLong).as("step"), col("a"), col("b"),
+        concat(col("a"), col("b")).as("merged"), col("cnt"))
+      val ctx = syms
+        .withColumn("nxt", lead("sym", 1).over(wp))
+        .withColumn("prv", lag("sym", 1).over(wp))
+      syms = ctx
+        .crossJoin(broadcast(best.select(col("a").as("ma"), col("b").as("mb"))))
+        .filter(!(coalesce(col("prv"), lit("")) === col("ma") &&
+          col("sym") === col("mb")))
+        .select(col("w"), col("wc"), col("pos"),
+          when(col("sym") === col("ma") &&
+            coalesce(col("nxt"), lit("")) === col("mb"),
+            concat(col("ma"), col("mb"))).otherwise(col("sym")).as("sym"))
+    }
+    merges.reverse.reduce(_ unionByName _)
+  }
 }

@@ -175,4 +175,25 @@ object OlapCtes {
        |  FROM c ORDER BY cnt DESC, key LIMIT ${Olap.SkewTopK})
        |SELECT h.rank, h.key, h.cnt, t.n_keys, t.n_rows, t.max_cnt
        |FROM h, t""".stripMargin
+
+  /** twin of [[graft.operators.Olap.madByGroup]]: lower-median rank
+    * pick in both phases, med broadcast back via join. */
+  val madByGroup: String =
+    s"""WITH $cents,
+       |r1 AS (SELECT l_returnflag, cents,
+       |  row_number() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn,
+       |  count(*) OVER (PARTITION BY l_returnflag) AS cnt FROM x),
+       |med AS (SELECT l_returnflag,
+       |  max(CASE WHEN rn = (cnt - 1) // 2 + 1 THEN cents END) AS med_cents
+       |FROM r1 GROUP BY l_returnflag),
+       |d AS (SELECT x.l_returnflag, abs(x.cents - m.med_cents) AS dev
+       |  FROM x JOIN med m USING (l_returnflag)),
+       |r2 AS (SELECT l_returnflag, dev,
+       |  row_number() OVER (PARTITION BY l_returnflag ORDER BY dev) AS rn,
+       |  count(*) OVER (PARTITION BY l_returnflag) AS cnt FROM d),
+       |mad AS (SELECT l_returnflag, CAST(max(cnt) AS BIGINT) AS n,
+       |  max(CASE WHEN rn = (cnt - 1) // 2 + 1 THEN dev END) AS mad_cents
+       |FROM r2 GROUP BY l_returnflag)
+       |SELECT mad.l_returnflag, mad.n, mad.mad_cents, med.med_cents
+       |FROM mad JOIN med USING (l_returnflag)""".stripMargin
 }

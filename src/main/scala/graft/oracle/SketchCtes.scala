@@ -173,4 +173,32 @@ object SketchCtes {
        |  p25_cents, p50_cents, p90_cents, p99_cents
        |FROM exact JOIN q USING (l_returnflag)""".stripMargin
   }
+
+  /** twin of [[graft.operators.Sketch.kmvIntersect]]: per-set degski
+    * mix chains, bottom-k estimates, inclusion-exclusion. */
+  val kmvIntersect: String = {
+    import graft.operators.Sketch.KmvK
+    def mixChain(src: String, pre: String): String =
+      s"""${pre}0 AS (SELECT k % $HashMod AS h FROM $src),
+         |${pre}1 AS (SELECT xor(h, h >> 16) AS h FROM ${pre}0),
+         |${pre}2 AS (SELECT (h * $MixMult) % $HashMod AS h FROM ${pre}1),
+         |${pre}3 AS (SELECT xor(h, h >> 16) AS h FROM ${pre}2),
+         |${pre}4 AS (SELECT (h * $MixMult) % $HashMod AS h FROM ${pre}3),
+         |${pre}h AS (SELECT DISTINCT xor(h, h >> 16) AS h FROM ${pre}4)""".stripMargin
+    s"""WITH ka AS (SELECT DISTINCT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+       |kb AS (SELECT DISTINCT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'A'),
+       |${mixChain("ka", "a")},
+       |${mixChain("kb", "b")},
+       |ta AS (SELECT h FROM ah ORDER BY h LIMIT $KmvK),
+       |ea AS (SELECT (count(*) - 1) * $HashMod / max(h) AS est_a FROM ta),
+       |tb AS (SELECT h FROM bh ORDER BY h LIMIT $KmvK),
+       |eb AS (SELECT (count(*) - 1) * $HashMod / max(h) AS est_b FROM tb),
+       |hu AS (SELECT DISTINCT h FROM (SELECT h FROM ah UNION ALL SELECT h FROM bh)),
+       |tu AS (SELECT h FROM hu ORDER BY h LIMIT $KmvK),
+       |eu AS (SELECT (count(*) - 1) * $HashMod / max(h) AS est_union FROM tu),
+       |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_intersect FROM ka JOIN kb USING (k))
+       |SELECT est_a, est_b, est_union,
+       |  est_a + est_b - est_union AS est_intersect, exact_intersect
+       |FROM ea, eb, eu, ex""".stripMargin
+  }
 }

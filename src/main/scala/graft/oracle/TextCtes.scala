@@ -1453,4 +1453,120 @@ object TextCtes {
        |FROM (SELECT doc_id, ${toks("text")} AS t FROM documents)
        |CROSS JOIN (SELECT unnest(range(0, $d)) AS dim) dims""".stripMargin
   }
+
+  /** twin of [[graft.operators.Pipeline.domainCap]]: same
+    * multiplicative-hash order, per-source row_number cap. */
+  val domainCap: String = {
+    import graft.operators.Pipeline.{DomainCap, SampleMod, SampleMult}
+    s"""WITH d AS (SELECT doc_id, source, n_chars,
+       |    (doc_id * $SampleMult) % $SampleMod AS h FROM documents),
+       |r AS (SELECT source, n_chars,
+       |  row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn FROM d)
+       |SELECT source, count(*) AS n_total,
+       |  CAST(sum(CASE WHEN rn <= $DomainCap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN rn > $DomainCap THEN n_chars ELSE 0 END) AS BIGINT) AS chars_dropped
+       |FROM r GROUP BY source""".stripMargin
+  }
+
+  /** twin of [[graft.operators.Media.shardPack]]: hash order, running
+    * byte total per source, start-offset shard assignment. */
+  val shardPack: String = {
+    import graft.operators.Media.ShardBytes
+    import graft.operators.Pipeline.{SampleMod, SampleMult}
+    s"""WITH d AS (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS nbytes,
+       |    (doc_id * $SampleMult) % $SampleMod AS h FROM documents),
+       |c AS (SELECT source, nbytes, sum(nbytes) OVER (
+       |    PARTITION BY source ORDER BY h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+       |SELECT source, CAST((cum - nbytes) // $ShardBytes AS BIGINT) AS shard,
+       |  count(*) AS n_blobs, CAST(sum(nbytes) AS BIGINT) AS shard_bytes
+       |FROM c GROUP BY 1, 2""".stripMargin
+  }
+
+  /** twin of [[graft.operators.TextOps.zipfFit]]: head-K rank table,
+    * identical OLS sum formula over ln(rank)/ln(freq). */
+  val zipfFit: String = {
+    import graft.operators.TextOps.ZipfK
+    s"""WITH tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT unnest(${toks("lower(text)")}) AS tok FROM documents)
+       |  GROUP BY tok),
+       |head AS (SELECT tok, c FROM tf ORDER BY c DESC, tok LIMIT $ZipfK),
+       |ranked AS (SELECT
+       |    ln(CAST(row_number() OVER (ORDER BY c DESC, tok) AS DOUBLE)) AS x,
+       |    ln(CAST(c AS DOUBLE)) AS y
+       |  FROM head),
+       |fit AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+       |    sum(x * y) AS sxy, sum(x * x) AS sxx FROM ranked),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_vocab FROM tf)
+       |SELECT CAST(n AS BIGINT) AS k,
+       |  (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope,
+       |  sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx / n AS intercept,
+       |  n_tokens, n_vocab
+       |FROM fit, tot""".stripMargin
+  }
+
+  /** twin of [[graft.operators.TextOps.bpeTrain]]: the three merge
+    * rounds unrolled — per-round pair count, argmax, stateless
+    * merge/drop rewrite (a ≠ b, so matches cannot overlap). */
+  val bpeTrain: String = {
+    def round(i: Int): String = {
+      val (si, pi, mi, sn) = (s"s$i", s"p$i", s"m$i", s"s${i + 1}")
+      s"""$pi AS (SELECT sym AS a, nxt AS b, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+         |    SELECT wc, sym, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+         |    FROM $si) t
+         |  WHERE nxt IS NOT NULL AND sym <> nxt GROUP BY 1, 2),
+         |$mi AS (SELECT a, b, cnt FROM $pi ORDER BY cnt DESC, a, b LIMIT 1),
+         |$sn AS (SELECT w, wc, pos,
+         |    CASE WHEN sym = m.a AND coalesce(nxt, '') = m.b
+         |         THEN m.a || m.b ELSE sym END AS sym
+         |  FROM (SELECT w, wc, pos, sym,
+         |      lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt,
+         |      lag(sym) OVER (PARTITION BY w ORDER BY pos) AS prv FROM $si) t, $mi m
+         |  WHERE NOT (coalesce(t.prv, '') = m.a AND t.sym = m.b))""".stripMargin
+    }
+    s"""WITH words AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+       |    SELECT unnest(${toks("lower(text)")}) AS w FROM documents)
+       |  GROUP BY w),
+       |s1 AS (SELECT w, wc, CAST(i AS BIGINT) AS pos, sym FROM (
+       |    SELECT w, wc, unnest(string_split(w, '')) AS sym,
+       |      unnest(generate_series(1, length(w))) AS i FROM words)),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT CAST(1 AS BIGINT) AS step, a, b, a || b AS merged, cnt FROM m1
+       |UNION ALL SELECT CAST(2 AS BIGINT), a, b, a || b, cnt FROM m2
+       |UNION ALL SELECT CAST(3 AS BIGINT), a, b, a || b, cnt FROM m3""".stripMargin
+  }
+
+  /** twin of [[graft.operators.Similarity.knnGraph]]: bucketed pair
+    * dots, per-vector top-k, mutual filter, label-pair rollup. */
+  val knnGraph: String = {
+    import graft.operators.Similarity.KnnGraphK
+    s"""WITH $embBase,
+       |${bucketCtes("el")},
+       |dots AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS nid, CAST(sum(a.x * b.x) AS BIGINT) AS dot
+       |  FROM el a JOIN el b ON a.i = b.i
+       |  JOIN bkt ba ON a.vec_id = ba.vec_id
+       |  JOIN bkt bb ON b.vec_id = bb.vec_id AND ba.bucket = bb.bucket
+       |  WHERE a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.qid, d.nid, d.dot / (sqrt(qa.nrm) * sqrt(qb.nrm)) AS cos
+       |  FROM dots d JOIN valid qa ON d.qid = qa.vec_id
+       |  JOIN valid qb ON d.nid = qb.vec_id),
+       |knn AS (SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS r
+       |    FROM scored) WHERE r <= $KnnGraphK),
+       |mutual AS (SELECT k1.qid, k1.nid FROM knn k1
+       |  JOIN knn k2 ON k1.qid = k2.nid AND k1.nid = k2.qid
+       |  WHERE k1.qid < k1.nid),
+       |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings)
+       |SELECT least(la.label, lb.label) AS l1, greatest(la.label, lb.label) AS l2,
+       |  count(*) AS n_edges
+       |FROM mutual m JOIN lab la ON m.qid = la.vec_id
+       |JOIN lab lb ON m.nid = lb.vec_id
+       |GROUP BY 1, 2""".stripMargin
+  }
 }
