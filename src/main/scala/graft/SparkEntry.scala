@@ -870,7 +870,9 @@ object SparkEntry {
     "t_repetition" -> ((s, dir) => TextOps.repetition(s, dir)),
     "t_vocab_topk" -> ((s, dir) => TextOps.vocabTopK(s, dir)),
     "t_zipf" -> ((s, dir) => TextOps.zipfFit(s, dir)),
+    "t_ngram_entropy" -> ((s, dir) => TextOps.ngramEntropy(s, dir)),
     "t_bpe_train" -> ((s, dir) => TextOps.bpeTrain(s, dir)),
+    "t_bpe_apply" -> ((s, dir) => TextOps.bpeApply(s, dir)),
     // skip-gram window co-occurrence: the word2vec/GloVe pre-pass
     "t_cooccur" -> ((s, dir) => TextOps.cooccurTopK(s, dir)),
     "t_dup_ngrams" -> ((s, dir) => TextOps.dupNgrams(s, dir)),
@@ -892,6 +894,7 @@ object SparkEntry {
     "emb_dim_stats" -> ((s, dir) => Similarity.dimStats(s, dir)),
     "emb_whiten" -> ((s, dir) => Similarity.whitenNorms(s, dir)),
     "emb_knn_graph" -> ((s, dir) => Similarity.knnGraph(s, dir)),
+    "emb_outliers" -> ((s, dir) => Similarity.embOutliers(s, dir)),
     "emb_int8_quantize" -> ((s, dir) => Similarity.int8Quantize(s, dir)),
     // exact d×d co-moment (gram) matrix — PCA/whitening/drift input
     "emb_gram" -> ((s, dir) => Similarity.gramMatrix(s, dir)),
@@ -1493,7 +1496,9 @@ object SparkEntry {
     "t_repetition" -> TextCtes.repetition,
     "t_vocab_topk" -> TextCtes.vocabTopK,
     "t_zipf" -> TextCtes.zipfFit,
+    "t_ngram_entropy" -> TextCtes.ngramEntropy,
     "t_bpe_train" -> TextCtes.bpeTrain,
+    "t_bpe_apply" -> TextCtes.bpeApply,
     "t_cooccur" -> TextCtes.cooccurTopK,
     "t_dup_ngrams" -> TextCtes.dupNgrams,
     "t_lm_score" -> TextCtes.lmScore,
@@ -1520,6 +1525,7 @@ object SparkEntry {
     "emb_dim_stats" -> TextCtes.dimStats,
     "emb_whiten" -> TextCtes.whitenNorms,
     "emb_knn_graph" -> TextCtes.knnGraph,
+    "emb_outliers" -> TextCtes.embOutliers,
     "emb_gram" -> TextCtes.gramMatrix,
     "emb_pca" -> TextCtes.pcaProject,
     "g_basket_features" -> TextCtes.basketFeatures,

@@ -389,28 +389,50 @@ object Dedup {
     * [[simSignatures]]. */
   private val mhBandsMemo = new graft.SessionMemo[DataFrame]
   private def minhashBands(spark: SparkSession, dir: String): DataFrame =
-    mhBandsMemo.getOrElseUpdate(spark, dir) {
-      val sh = nearShingles(spark, dir)
-      // all 16 minhashes in ONE aggregation over the shingle table (the
-      // hash index i is a compile-time constant per column) — an
-      // explode(0..15) long format would push 16× the rows through the
-      // shuffle for the same 16 mins
-      val mhCols = (0 until NumHashes).map { i =>
-        min(expr(s"((${1 + 7919 * i}) * sfp + ${104729 * i}) % $P")).as(s"mh$i")
-      }
-      val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
-      mh.select(col("doc_id"), explode(array(
-        (0 until NumHashes / BandSize).map { b =>
-          struct(lit(b).as("band"),
-            col(s"mh${BandSize * b}").as("s0"),
-            col(s"mh${BandSize * b + 1}").as("s1"),
-            col(s"mh${BandSize * b + 2}").as("s2"),
-            col(s"mh${BandSize * b + 3}").as("s3"))
-        }: _*)).as("p"))
-        .select(col("doc_id"), col("p.band").as("band"), col("p.s0").as("s0"),
-          col("p.s1").as("s1"), col("p.s2").as("s2"), col("p.s3").as("s3"))
-        .persist()
+    mhBandsMemo.getOrElseUpdate(spark, dir)(
+      bandsOf(nearShingles(spark, dir)).persist())
+
+  /** Banded minhash signature rows over an arbitrary df-capped shingle
+    * table — all 16 minhashes in ONE aggregation over the shingle table
+    * (the hash index i is a compile-time constant per column): an
+    * explode(0..15) long format would push 16× the rows through the
+    * shuffle for the same 16 mins. */
+  private[operators] def bandsOf(sh: DataFrame): DataFrame = {
+    val mhCols = (0 until NumHashes).map { i =>
+      min(expr(s"((${1 + 7919 * i}) * sfp + ${104729 * i}) % $P")).as(s"mh$i")
     }
+    val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    mh.select(col("doc_id"), explode(array(
+      (0 until NumHashes / BandSize).map { b =>
+        struct(lit(b).as("band"),
+          col(s"mh${BandSize * b}").as("s0"),
+          col(s"mh${BandSize * b + 1}").as("s1"),
+          col(s"mh${BandSize * b + 2}").as("s2"),
+          col(s"mh${BandSize * b + 3}").as("s3"))
+      }: _*)).as("p"))
+      .select(col("doc_id"), col("p.band").as("band"), col("p.s0").as("s0"),
+        col("p.s1").as("s1"), col("p.s2").as("s2"), col("p.s3").as("s3"))
+  }
+
+  /** The full MinHash+LSH near-dup pipeline over an ARBITRARY
+    * (doc_id, text) corpus — signatures, banded candidate join, exact
+    * Jaccard verify — with no per-(session, dir) memoization; the
+    * caller owns the lifecycle. Used by the generated-corpus scale
+    * harness ([[graft.operators.DedupScale]]); the sf-dir operator
+    * [[minhashLsh]] composes the same pieces around session memos.
+    * Callers must [[TextOps.ensureRegistered]] first. The returned
+    * plan reads the shingle table (persisted inside [[shingles]])
+    * several times; unpersist it via the second element when done. */
+  def minhashLshOf(corpus: DataFrame): (DataFrame, DataFrame) = {
+    val sh = shingles(corpus)
+    val bands = bandsOf(sh)
+    val cand = bands.select(col("doc_id").as("a"), col("band"), col("s0"), col("s1"), col("s2"), col("s3"))
+      .join(bands.select(col("doc_id").as("b"), col("band"), col("s0"), col("s1"), col("s2"), col("s3")),
+        Seq("band", "s0", "s1", "s2", "s3"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    (scoreCandidates(sh, cand), sh)
+  }
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     TextOps.ensureRegistered(spark)

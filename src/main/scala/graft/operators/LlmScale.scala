@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Generated-corpus scale harnesses for the LLM-pipeline families —
+  * the same role [[graft.checker.ScaleCheck]] plays for the
+  * consistency checker: the sf-dir corpora top out at thousands of
+  * documents/vectors, far too small to evidence the "survives 100 TB"
+  * design claims, so these mains generate million-row workloads
+  * in-engine (pure column expressions, no RNG, no driver loops) with
+  * PLANTED ground truth and measure the scale path end-to-end:
+  * throughput AND recall against the plant.
+  *
+  * Both print one JSON line, mirroring Bench's contract.
+  */
+object LlmScale {
+  private[operators] def session(name: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(name)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
+}
+
+/** MinHash+LSH near-dup dedup over a generated corpus: `n` documents
+  * of [[DedupScale.DocLen]] pseudo-random tokens; every id ≡ 9 (mod
+  * 10) is a PLANTED near-dup of id−1 (its first DocLen−3 tokens —
+  * shingle Jaccard ≈ 0.90, well above Dedup.Tau). Reports pairs found,
+  * plant recall, and docs/s through the full
+  * signature→band-join→verify pipeline. */
+object DedupScale {
+  val VocabSize = 5000L
+  val DocLen = 60
+
+  /** deterministic corpus: token j of doc c hashes (c, j) into a
+    * VocabSize vocabulary; dup docs reuse the base doc's prefix. */
+  def corpus(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(col("id").as("doc_id"))
+      .withColumn("cid",
+        when(pmod(col("doc_id"), lit(10L)) === 9L, col("doc_id") - 1)
+          .otherwise(col("doc_id")))
+      .withColumn("len",
+        when(pmod(col("doc_id"), lit(10L)) === 9L, lit(DocLen - 3))
+          .otherwise(lit(DocLen)))
+      // degski-mixed (cid, j) → token id: the xor-shift rounds break
+      // the arithmetic progressions a linear congruential map leaves
+      // (which read as genuine high-Jaccard doc pairs and flood the
+      // verify stage with generator artifacts)
+      // reduce mod 2^32 BEFORE the mix multiply — (2^32−1)·73244475
+      // stays under Long.Max; an unreduced id·1000003 seed does not
+      .withColumn("h0", expr("transform(sequence(0, len - 1), j -> (cid * 1000003 + j) % 4294967296)"))
+      .withColumn("h1", expr("transform(h0, h -> (h ^ shiftright(h, 16)) * 73244475 % 4294967296)"))
+      .withColumn("h2", expr("transform(h1, h -> (h ^ shiftright(h, 16)) * 73244475 % 4294967296)"))
+      .select(col("doc_id"), expr(
+        s"array_join(transform(h2, h -> concat('w', CAST((h ^ shiftright(h, 16)) % $VocabSize AS STRING))), ' ')")
+        .as("text"))
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val spark = LlmScale.session("DedupScale")
+    TextOps.ensureRegistered(spark)
+    val t0 = System.nanoTime()
+    val (pairs, sh) = Dedup.minhashLshOf(corpus(spark, n))
+    val found = pairs.persist()
+    val nPairs = found.count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    // plant recall: planted pair = (base, base+1) at base ≡ 8 (mod 10)
+    val planted = n / 10
+    val hit = found
+      .filter(pmod(col("a"), lit(10L)) === 8L && col("b") === col("a") + 1)
+      .count()
+    val spurious = nPairs - hit
+    println(s"""{"harness":"dedup_scale","n_docs":$n,"pairs":$nPairs,""" +
+      s""""planted":$planted,"plant_hits":$hit,""" +
+      s""""recall":${hit.toDouble / planted},"spurious":$spurious,""" +
+      f""""wall_s":$wall%.1f,"docs_per_s":${n / wall}%.0f}""")
+    found.unpersist(); sh.unpersist()
+    spark.stop()
+  }
+}
+
+/** LSH-bucketed ANN over generated embeddings: `n` pseudo-random
+  * 64-dim integer vectors, [[AnnScale.NumQueries]] probe queries, the
+  * hyperplane-bucket path timed end-to-end and its recall@k measured
+  * against an exact brute-force pass over the SAME queries (brute cost
+  * is queries × corpus — the thing the bucketed path exists to avoid;
+  * it runs here only to grade recall). */
+object AnnScale {
+  val Dim = 64
+  val K = 10
+  val NumQueries = 100L
+
+  /** clusters in the generated space — nearest neighbors are MEANINGFUL
+    * (same-cluster), so recall@k grades the bucket path against real
+    * structure, not the noise floor of uniform random vectors. */
+  val Clusters = 50L
+
+  def vectors(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(col("id").as("vec_id"))
+      .withColumn("c", pmod(col("vec_id"), lit(Clusters)))
+      // centroid(cluster) + 20%-amplitude per-vector noise, both from
+      // the degski mix (deterministic, no RNG)
+      .withColumn("ch", expr(s"transform(sequence(0, ${Dim - 1}), j -> (c * $Dim + j) % 4294967296)"))
+      .withColumn("nh", expr(s"transform(sequence(0, ${Dim - 1}), j -> ((vec_id + $Clusters) * $Dim + j) % 4294967296)"))
+      .withColumn("ch", expr("transform(ch, h -> (h ^ shiftright(h, 16)) * 73244475 % 4294967296)"))
+      .withColumn("ch", expr("transform(ch, h -> (h ^ shiftright(h, 16)) * 73244475 % 4294967296)"))
+      .withColumn("nh", expr("transform(nh, h -> (h ^ shiftright(h, 16)) * 73244475 % 4294967296)"))
+      .withColumn("nh", expr("transform(nh, h -> (h ^ shiftright(h, 16)) * 73244475 % 4294967296)"))
+      .select(col("vec_id"), expr(
+        "zip_with(ch, nh, (a, b) -> CAST((a % 2001 - 1000) + (b % 401 - 200) AS BIGINT))")
+        .as("q"))
+      .withColumn("nrm", expr("graft_dot(q, q)"))
+
+  private def topK(scored: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select("qid", "nid")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val spark = LlmScale.session("AnnScale")
+    TextOps.ensureRegistered(spark)
+    val qmod = math.max(n / NumQueries, 1L)
+    val e = Similarity.withBucket(vectors(spark, n))
+      .persist()
+    e.count() // corpus build outside the timed path
+    val queries = e.filter(pmod(col("vec_id"), lit(qmod)) === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    def score(cands: DataFrame, joinKeys: Seq[String]): DataFrame = {
+      val joined =
+        if (joinKeys.isEmpty) broadcast(queries.drop("bucket")).crossJoin(cands.drop("bucket"))
+        else queries.join(cands, joinKeys)
+      joined.filter(col("qid") =!= col("nid"))
+        .withColumn("dot", expr("graft_dot(qv, cv)"))
+        .withColumn("cos", col("dot") / (sqrt(col("qn")) * sqrt(col("cn"))))
+        .select("qid", "nid", "cos")
+    }
+    val cands = e.select(col("vec_id").as("nid"), col("q").as("cv"),
+      col("nrm").as("cn"), col("bucket"))
+    val t0 = System.nanoTime()
+    val lsh = topK(score(cands, Seq("bucket"))).persist()
+    val lshRows = lsh.count()
+    val wallLsh = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val brute = topK(score(cands, Seq.empty)).persist()
+    brute.count()
+    val wallBrute = (System.nanoTime() - t1) / 1e9
+    val hits = lsh.join(brute, Seq("qid", "nid")).count()
+    val denom = brute.count()
+    println(s"""{"harness":"ann_scale","n_vectors":$n,"queries":${n / qmod},""" +
+      s""""k":$K,"lsh_rows":$lshRows,"recall":${hits.toDouble / denom},""" +
+      f""""wall_lsh_s":$wallLsh%.1f,"wall_brute_s":$wallBrute%.1f,""" +
+      f""""vectors_per_s":${n / wallLsh}%.0f}""")
+    lsh.unpersist(); brute.unpersist(); e.unpersist()
+    spark.stop()
+  }
+}

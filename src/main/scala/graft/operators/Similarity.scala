@@ -711,4 +711,44 @@ object Similarity {
         greatest(col("la"), col("lb")).as("l2"))
       .groupBy("l1", "l2").agg(count(lit(1)).as("n_edges"))
   }
+
+  /** Outliers reported per label by [[embOutliers]]. */
+  val OutlierTopK = 3
+
+  /** Embedding outlier detection — the label-noise / corrupt-vector
+    * audit a curation pipeline runs before training on labeled
+    * embeddings: distance of each vector to its LABEL CENTROID,
+    * z-scored within the label, top-[[OutlierTopK]] per label. The
+    * centroid is never materialized as a float vector: the scaled
+    * squared distance Σⱼ(n·xⱼ − Sⱼ)² (n = label count, Sⱼ = exact
+    * integer component sum) equals n²·‖x − mean‖² in pure BIGINT
+    * arithmetic, so ranking is engine-exact; only the final z-score
+    * divides doubles derived from those integers. Scale shape: one
+    * long-format pass for the (label, j) sums (partial-agg), one
+    * partial-agg join back — state is labels × dims, corpus touches
+    * the exchange only as per-vector scalars; the top-k window
+    * partitions by label. */
+  def embOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantizedCached(spark, dir)
+    val labels = graft.sources.Tpch.table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val el = e.join(labels, "vec_id")
+      .select(col("vec_id"), col("label"), posexplode(col("q")))
+      .select(col("vec_id"), col("label"), col("pos").as("j"), col("col").as("x"))
+    val stats = el.groupBy("label", "j")
+      .agg(sum("x").as("s"), count(lit(1)).as("n"))
+    val d = el.join(stats, Seq("label", "j"))
+      .withColumn("t", col("n") * col("x") - col("s"))
+      .groupBy("vec_id", "label").agg(sum(col("t") * col("t")).as("d2"))
+    val m = d.groupBy("label").agg(
+      avg(col("d2").cast("double")).as("mu"),
+      avg(col("d2").cast("double") * col("d2").cast("double")).as("m2"))
+    val z = d.join(broadcast(m), "label")
+      .withColumn("z",
+        (col("d2") - col("mu")) / sqrt(col("m2") - col("mu") * col("mu")))
+    val w = Window.partitionBy("label").orderBy(col("z").desc, col("vec_id"))
+    z.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= OutlierTopK)
+      .select(col("label"), col("rank"), col("vec_id"), col("d2"), col("z"))
+  }
 }

@@ -1508,7 +1508,24 @@ object TextCtes {
   /** twin of [[graft.operators.TextOps.bpeTrain]]: the three merge
     * rounds unrolled — per-round pair count, argmax, stateless
     * merge/drop rewrite (a ≠ b, so matches cannot overlap). */
-  val bpeTrain: String = {
+  val bpeTrain: String =
+    s"""WITH $bpeCtes
+       |SELECT CAST(1 AS BIGINT) AS step, a, b, a || b AS merged, cnt FROM m1
+       |UNION ALL SELECT CAST(2 AS BIGINT), a, b, a || b, cnt FROM m2
+       |UNION ALL SELECT CAST(3 AS BIGINT), a, b, a || b, cnt FROM m3""".stripMargin
+
+  /** twin of [[graft.operators.TextOps.bpeApply]]: symbol totals over
+    * the initial and final loop states of the same unrolled rounds. */
+  val bpeApply: String =
+    s"""WITH $bpeCtes,
+       |tb AS (SELECT CAST(sum(wc) AS BIGINT) AS symbols_before FROM s1),
+       |ta AS (SELECT CAST(sum(wc) AS BIGINT) AS symbols_after FROM s4)
+       |SELECT symbols_before, symbols_after,
+       |  symbols_after / CAST(symbols_before AS DOUBLE) AS compression
+       |FROM tb, ta""".stripMargin
+
+  /** shared CTE chain of the three unrolled BPE merge rounds. */
+  private lazy val bpeCtes: String = {
     def round(i: Int): String = {
       val (si, pi, mi, sn) = (s"s$i", s"p$i", s"m$i", s"s${i + 1}")
       s"""$pi AS (SELECT sym AS a, nxt AS b, CAST(sum(wc) AS BIGINT) AS cnt FROM (
@@ -1524,7 +1541,7 @@ object TextCtes {
          |      lag(sym) OVER (PARTITION BY w ORDER BY pos) AS prv FROM $si) t, $mi m
          |  WHERE NOT (coalesce(t.prv, '') = m.a AND t.sym = m.b))""".stripMargin
     }
-    s"""WITH words AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+    s"""words AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
        |    SELECT unnest(${toks("lower(text)")}) AS w FROM documents)
        |  GROUP BY w),
        |s1 AS (SELECT w, wc, CAST(i AS BIGINT) AS pos, sym FROM (
@@ -1532,10 +1549,7 @@ object TextCtes {
        |      unnest(generate_series(1, length(w))) AS i FROM words)),
        |${round(1)},
        |${round(2)},
-       |${round(3)}
-       |SELECT CAST(1 AS BIGINT) AS step, a, b, a || b AS merged, cnt FROM m1
-       |UNION ALL SELECT CAST(2 AS BIGINT), a, b, a || b, cnt FROM m2
-       |UNION ALL SELECT CAST(3 AS BIGINT), a, b, a || b, cnt FROM m3""".stripMargin
+       |${round(3)}""".stripMargin
   }
 
   /** twin of [[graft.operators.Similarity.knnGraph]]: bucketed pair
@@ -1569,4 +1583,49 @@ object TextCtes {
        |JOIN lab lb ON m.nid = lb.vec_id
        |GROUP BY 1, 2""".stripMargin
   }
+
+  /** twin of [[graft.operators.Similarity.embOutliers]]: same scaled
+    * integer distance Σ(n·x − S)², same z-score and per-label top-k. */
+  val embOutliers: String = {
+    import graft.operators.Similarity.OutlierTopK
+    s"""WITH $embBase,
+       |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+       |el2 AS (SELECT e.vec_id, l.label, e.i AS j, e.x
+       |  FROM el e JOIN lab l ON e.vec_id = l.vec_id),
+       |st AS (SELECT label, j, CAST(sum(x) AS BIGINT) AS s,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM el2 GROUP BY 1, 2),
+       |d AS (SELECT vec_id, el2.label,
+       |    CAST(sum((n * x - s) * (n * x - s)) AS BIGINT) AS d2
+       |  FROM el2 JOIN st USING (label, j) GROUP BY 1, 2),
+       |m AS (SELECT label, avg(CAST(d2 AS DOUBLE)) AS mu,
+       |    avg(CAST(d2 AS DOUBLE) * CAST(d2 AS DOUBLE)) AS m2
+       |  FROM d GROUP BY 1),
+       |z AS (SELECT d.label, d.vec_id, d.d2,
+       |    (d2 - mu) / sqrt(m2 - mu * mu) AS z
+       |  FROM d JOIN m USING (label))
+       |SELECT label, rank, vec_id, d2, z FROM (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY label ORDER BY z DESC, vec_id) AS BIGINT) AS rank
+       |  FROM z) WHERE rank <= $OutlierTopK""".stripMargin
+  }
+
+  /** twin of [[graft.operators.TextOps.ngramEntropy]]: H = ln N −
+    * (Σ c·ln c)/N over the same exact integer counts. */
+  val ngramEntropy: String =
+    s"""WITH t AS (SELECT doc_id, ${toks("text")} AS t FROM documents),
+       |uni AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT unnest(t) AS g FROM t) GROUP BY g),
+       |bi AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT t[i] || ' ' || t[i + 1] AS g
+       |    FROM t, unnest(generate_series(1, len(t) - 1)) AS u(i)
+       |    WHERE len(t) >= 2) GROUP BY g),
+       |ue AS (SELECT CAST(sum(c) AS BIGINT) AS uni_n, count(*) AS uni_vocab,
+       |    ln(CAST(sum(c) AS DOUBLE)) - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE) AS uni_entropy
+       |  FROM uni),
+       |be AS (SELECT CAST(sum(c) AS BIGINT) AS bi_n, count(*) AS bi_vocab,
+       |    ln(CAST(sum(c) AS DOUBLE)) - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE) AS bi_entropy
+       |  FROM bi)
+       |SELECT uni_n, uni_vocab, uni_entropy, bi_n, bi_vocab, bi_entropy
+       |FROM ue, be""".stripMargin
 }
