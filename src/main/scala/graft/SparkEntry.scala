@@ -657,6 +657,7 @@ object SparkEntry {
       graft.streaming.EventStreams.lateness(graft.streaming.EventStreams.events(s, dir))),
     "it_harmonic" -> ((s, dir) => graft.operators.HyperBall.harmonic(s, dir)),
     "it_neighborhood" -> ((s, dir) => graft.operators.HyperBall.neighborhood(s, dir)),
+    "it_diameter" -> ((s, dir) => graft.operators.HyperBall.effectiveDiameter(s, dir)),
     "it_ppr" -> ((s, dir) => graft.operators.PageRank.personalized(s, dir)),
     "q19_sample_quantiles" -> ((s, dir) => graft.operators.Sketch.sampleQuantiles(s, dir)),
     "q20_kmv_distinct" -> ((s, dir) => graft.operators.Sketch.kmvOrders(s, dir)),
@@ -1258,6 +1259,7 @@ object SparkEntry {
     "s_late" -> EventCtes.lateness,
     "it_harmonic" -> IterCtes.harmonicTop,
     "it_neighborhood" -> IterCtes.neighborhood,
+    "it_diameter" -> IterCtes.effectiveDiameter,
     "it_ppr" -> graft.oracle.PageRankCtes.personalized,
     "q19_sample_quantiles" -> SketchCtes.sampleQuantiles,
     "q20_kmv_distinct" -> SketchCtes.kmvOrders,

@@ -191,4 +191,30 @@ object HyperBall {
     cached.foreach(_.unpersist())
     (out, harm, nbh)
   }
+
+  /** Effective diameter (Palmer/Faloutsos ANF convention): the
+    * interpolated hop count at which the neighborhood function reaches
+    * 90% of its final mass — THE one-number connectivity summary for a
+    * web-scale graph, and free once [[neighborhood]]'s register
+    * pyramid is paid for. The derivation runs over the Depth+1-row NF
+    * artifact (bounded, like the Zipf head), with one fixed-order
+    * interpolation both engines evaluate identically. */
+  val DiameterFrac = 0.9
+
+  def effectiveDiameter(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("t")
+    val p = neighborhood(spark, dir)
+      .select(col("t"), col("sum_est"), col("frac_of_final"))
+      .withColumn("prev_frac", lag("frac_of_final", 1).over(w))
+      .withColumn("prev_t", lag("t", 1).over(w))
+    p.filter(col("frac_of_final") >= DiameterFrac)
+      .orderBy("t").limit(1)
+      .select(col("t").as("t90"),
+        when(col("prev_frac").isNull, col("t").cast("double"))
+          .otherwise(col("prev_t") +
+            (lit(DiameterFrac) - col("prev_frac")) /
+              (col("frac_of_final") - col("prev_frac"))).as("d_eff_90"),
+        col("sum_est").as("nf_at_t90"))
+  }
 }

@@ -564,4 +564,18 @@ object IterCtes {
        |$rounds
        |SELECT round, src, dst, CAST(w AS BIGINT) AS w FROM ($un)""".stripMargin
   }
+
+  /** twin of [[graft.operators.HyperBall.effectiveDiameter]]: same NF
+    * rows, same 0.9-crossing interpolation. */
+  val effectiveDiameter: String =
+    s"""WITH p AS (SELECT t, sum_est, frac_of_final,
+       |    lag(frac_of_final) OVER (ORDER BY t) AS prev_frac,
+       |    lag(t) OVER (ORDER BY t) AS prev_t
+       |  FROM ($neighborhood) nf0)
+       |SELECT t AS t90,
+       |  CASE WHEN prev_frac IS NULL THEN CAST(t AS DOUBLE)
+       |       ELSE prev_t + (0.9 - prev_frac) / (frac_of_final - prev_frac)
+       |  END AS d_eff_90,
+       |  sum_est AS nf_at_t90
+       |FROM p WHERE frac_of_final >= 0.9 ORDER BY t LIMIT 1""".stripMargin
 }
