@@ -683,6 +683,7 @@ object SparkEntry {
     "q25_corr" -> ((s, dir) => graft.operators.Olap.orderCorr(s, dir)),
     "pipe_weighted_sample" -> ((s, dir) => graft.operators.Pipeline.weightedSample(s, dir)),
     "pipe_domain_cap" -> ((s, dir) => graft.operators.Pipeline.domainCap(s, dir)),
+    "pipe_dataset_card" -> ((s, dir) => graft.operators.Pipeline.datasetCard(s, dir)),
     "s_scd2" -> ((s, dir) =>
       graft.streaming.EventStreams.scd2(graft.streaming.EventStreams.events(s, dir))),
     "s_decay" -> ((s, dir) =>
@@ -1287,6 +1288,7 @@ object SparkEntry {
     "q25_corr" -> OlapCtes.orderCorr,
     "pipe_weighted_sample" -> OlapCtes.weightedSample,
     "pipe_domain_cap" -> TextCtes.domainCap,
+    "pipe_dataset_card" -> TextCtes.datasetCard,
     "s_decay" -> EventCtes.decayScore,
     "q08_hll_distinct" -> SketchCtes.hllOrders,
     "q15_cms_heavy" -> SketchCtes.cmsTopParts,

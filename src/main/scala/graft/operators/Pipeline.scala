@@ -389,4 +389,34 @@ object Pipeline {
         sum(when(col("rn") <= DomainCap, 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("rn") > DomainCap, col("n_chars")).otherwise(0L)).as("chars_dropped"))
   }
+
+  /** The dataset card — the one-row release summary every corpus ships
+    * with (docs, sources, tokens, vocabulary, mean quality score,
+    * language mix, exact-duplicate mass). Each figure is an existing
+    * oracle-gated operator's aggregate; the value is the composition:
+    * six independent partial-aggregable passes whose 1-row results
+    * broadcast-join into the card, so the report costs one scan per
+    * statistic family at ANY corpus size and nothing ever leaves the
+    * executors until the final row. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.ensureRegistered(spark)
+    val d = TextOps.docs(spark, dir)
+    val base = d.agg(count(lit(1)).as("n_docs"),
+      countDistinct("source").as("n_sources"),
+      sum(size(TextOps.toks(col("text"))).cast("long")).as("n_tokens"))
+    val vocab = d.select(explode(TextOps.toks(col("text"))).as("tok"))
+      .agg(countDistinct("tok").as("n_vocab"))
+    val qual = TextOps.quality(spark, dir).agg(avg("quality").as("mean_quality"))
+    val langs = TextOps.langId(spark, dir).agg(
+      sum(when(col("pred") === "en", 1L).otherwise(0L)).as("n_en"),
+      sum(when(col("pred") === "de", 1L).otherwise(0L)).as("n_de"),
+      sum(when(col("pred") === "es", 1L).otherwise(0L)).as("n_es"),
+      sum(when(col("pred") === "fr", 1L).otherwise(0L)).as("n_fr"),
+      sum(when(col("pred") === "zh", 1L).otherwise(0L)).as("n_zh_docs"))
+    val dups = d.select(expr(TextOps.fpSql("text")).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("n"))
+      .agg(sum(when(col("n") > 1, col("n")).otherwise(0L)).as("dup_docs"))
+    base.crossJoin(broadcast(vocab)).crossJoin(broadcast(qual))
+      .crossJoin(broadcast(langs)).crossJoin(broadcast(dups))
+  }
 }

@@ -1628,4 +1628,29 @@ object TextCtes {
        |  FROM bi)
        |SELECT uni_n, uni_vocab, uni_entropy, bi_n, bi_vocab, bi_entropy
        |FROM ue, be""".stripMargin
+
+  /** twin of [[graft.operators.Pipeline.datasetCard]]: the same six
+    * aggregate families composed into one row. */
+  val datasetCard: String =
+    s"""WITH $qualityCtes,
+       |$langCtes,
+       |base AS (SELECT count(*) AS n_docs,
+       |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |    CAST(sum(len(${toks("text")})) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |voc AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_vocab FROM (
+       |    SELECT unnest(${toks("text")}) AS tok FROM documents)),
+       |mq AS (SELECT avg(quality) AS mean_quality FROM qual),
+       |lg AS (SELECT
+       |    CAST(sum(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       |    CAST(sum(CASE WHEN pred = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+       |    CAST(sum(CASE WHEN pred = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+       |    CAST(sum(CASE WHEN pred = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+       |    CAST(sum(CASE WHEN pred = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh_docs
+       |  FROM lpred),
+       |dp AS (SELECT CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_docs FROM (
+       |    SELECT ${fp("text")} AS fp, count(*) AS n FROM documents GROUP BY 1))
+       |SELECT n_docs, n_sources, n_tokens, n_vocab, mean_quality,
+       |  n_en, n_de, n_es, n_fr, n_zh_docs, dup_docs
+       |FROM base, voc, mq, lg, dp""".stripMargin
 }
