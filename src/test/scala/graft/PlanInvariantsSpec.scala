@@ -64,6 +64,40 @@ class PlanInvariantsSpec extends SparkTestBase {
     }
   }
 
+  test("pipe_domain_cap and mm_shard_pack window per source, never a single partition") {
+    for (q <- Seq("pipe_domain_cap", "mm_shard_pack")) {
+      val p = plan(q)
+      assert(p.contains("hashpartitioning(source"), s"$q:\n$p")
+      assert(!p.contains("SinglePartition"), s"$q:\n$p")
+    }
+  }
+
+  test("emb_knn_graph pairs only within buckets — no cartesian/broadcast-nested-loop") {
+    val p = plan("emb_knn_graph")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the per-vector top-k window partitions by qid, never globally
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("t_zipf head extraction is distributed top-k, not a global sort") {
+    val p = plan("t_zipf")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q42_kmv_intersect bottom-k sketches are TakeOrdered, never full sorts") {
+    val p = plan("q42_kmv_intersect")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q43_mad aggregates the value histogram with map-side partials") {
+    val p = plan("q43_mad")
+    assert(p.contains("partial"), p)
+    // phase-1 medians broadcast back; the fact side never sort-merges
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("dd_decontaminate broadcasts the benchmark side — corpus never shuffles on the gram key") {
     val p = plan("dd_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p)
