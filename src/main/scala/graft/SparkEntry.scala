@@ -103,6 +103,9 @@ object SparkEntry {
     // it_triangles and g_clustering; PCA eigen artifact (gram collect)
     quiet(GraphOps.triangleCount(s, dir).count())
     quiet(Similarity.pcaProject(s, dir).count())
+    // round-7b: multiprobe candidate table + the shared BPE loop
+    quiet(Similarity.annMultiprobe(s, dir).count())
+    quiet(TextOps.bpeTrain(s, dir).count())
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -884,6 +887,7 @@ object SparkEntry {
     "g_link_prediction" -> ((s, dir) => GraphOps.linkPrediction(s, dir)),
     "ann_topk" -> ((s, dir) => Similarity.annBruteForce(s, dir)),
     "ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
+    "ann_multiprobe" -> ((s, dir) => Similarity.annMultiprobe(s, dir)),
     "ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
     "ann_ivf_kmeans" -> ((s, dir) => Similarity.annIvfTrained(s, dir)),
     // recall@K of every approximate ANN variant vs brute-force truth
@@ -1520,6 +1524,7 @@ object SparkEntry {
         |ORDER BY ra_micro DESC, a, b LIMIT ${graft.operators.GraphOps.RaTopK}""".stripMargin,
     "ann_topk" -> TextCtes.annBruteForce,
     "ann_lsh" -> TextCtes.annLsh,
+    "ann_multiprobe" -> TextCtes.annMultiprobe,
     "ann_ivf" -> TextCtes.annIvf,
     "ann_ivf_kmeans" -> TextCtes.annIvfTrained,
     "ann_pq" -> TextCtes.annPq,

@@ -751,4 +751,55 @@ object Similarity {
       .filter(col("rank") <= OutlierTopK)
       .select(col("label"), col("rank"), col("vec_id"), col("d2"), col("z"))
   }
+
+  private val mprobeMemo = new graft.SessionMemo[DataFrame]
+
+  /** Multi-probe LSH ANN — [[annLsh]] plus ONE extra probe per query:
+    * the bucket with the query's weakest hyperplane bit flipped
+    * (smallest |plane dot| = the plane most likely to have mis-hashed
+    * a true neighbor; ties to the lowest plane index, an exact integer
+    * order). The 1M-vector harness measured the lift at recall@10
+    * 0.639 → 0.996 for a bounded 2× candidate cost
+    * ([[graft.operators.AnnScale]], BASELINE.md) — this is the
+    * query-surface twin at the sf corpus. Still equi-joins only: the
+    * probe set is two rows per query, the corpus never pairs with
+    * itself. A candidate matches at most one probe (its single bucket;
+    * the flip is always nonzero), so no dedup pass is needed. */
+  def annMultiprobe(spark: SparkSession, dir: String): DataFrame =
+    mprobeMemo.getOrElseUpdate(spark, dir)(annMultiprobeCompute(spark, dir).persist())
+
+  private def annMultiprobeCompute(spark: SparkSession, dir: String): DataFrame = {
+    val e = bucketedCached(spark, dir)
+    val queries = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    val planeDots = (0 until NumPlanes).map { pl =>
+      val weights = (0 until 64).map(j => ((pl * 73 + j * 37) % 41) - 20)
+      val plane = weights.map(w => s"${w}L").mkString("array(", ", ", ")")
+      expr(s"abs(graft_dot(qv, $plane))").as(s"pd$pl")
+    }
+    // first-index argmin over the 8 |plane dots|
+    val flip = (0 until NumPlanes).map { pl =>
+      val isMin = (0 until NumPlanes).filter(_ != pl).map { o =>
+        if (o < pl) col(s"pd$o") > col(s"pd$pl")
+        else col(s"pd$o") >= col(s"pd$pl")
+      }.reduce(_ && _)
+      when(isMin, lit(1L << pl)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val q2 = queries.select(col("qid") +: col("qv") +: col("qn") +:
+        col("bucket") +: planeDots: _*)
+      .withColumn("bucket", col("bucket").bitwiseXOR(flip))
+      .select("qid", "qv", "qn", "bucket")
+    val probes = queries.unionByName(q2)
+    val cands = e.select(col("vec_id").as("nid"), col("q").as("cv"),
+      col("nrm").as("cn"), col("bucket"))
+    val scored = probes.join(cands, "bucket")
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("dot", dot("qv", "cv"))
+      .withColumn("cos", cos)
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+  }
 }

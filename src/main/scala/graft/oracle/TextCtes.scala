@@ -1653,4 +1653,42 @@ object TextCtes {
        |SELECT n_docs, n_sources, n_tokens, n_vocab, mean_quality,
        |  n_en, n_de, n_es, n_fr, n_zh_docs, dup_docs
        |FROM base, voc, mq, lg, dp""".stripMargin
+
+  /** twin of [[graft.operators.Similarity.annMultiprobe]]: same
+    * weakest-plane flip (argmin |d|, lowest p), two probes per query,
+    * bucket equi-join, exact rerank. */
+  val annMultiprobe: String = {
+    import graft.operators.Similarity.{K, NumPlanes, QueryMod}
+    s"""WITH $embBase,
+       |${bucketCtes("el")},
+       |wk AS (SELECT vec_id, p FROM (
+       |    SELECT vec_id, p,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY abs(d), p) AS r
+       |    FROM pd WHERE vec_id % $QueryMod = 0) WHERE r = 1),
+       |qb AS (SELECT vec_id, bucket FROM bkt WHERE vec_id % $QueryMod = 0),
+       |probes AS (
+       |  SELECT vec_id, bucket FROM qb
+       |  UNION ALL
+       |  SELECT q.vec_id, xor(q.bucket, CAST(1 AS BIGINT) << w.p) AS bucket
+       |  FROM qb q JOIN wk w USING (vec_id)),
+       |cand AS (
+       |  SELECT p.vec_id AS qid, c.vec_id AS nid
+       |  FROM probes p JOIN bkt c ON p.bucket = c.bucket
+       |  WHERE p.vec_id <> c.vec_id),
+       |dots AS (
+       |  SELECT cd.qid, cd.nid, CAST(sum(a.x * b.x) AS BIGINT) AS dot
+       |  FROM cand cd
+       |  JOIN el a ON a.vec_id = cd.qid
+       |  JOIN el b ON b.vec_id = cd.nid AND a.i = b.i
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.qid, d.nid, d.dot / (sqrt(qa.nrm) * sqrt(qb2.nrm)) AS cos
+       |  FROM dots d JOIN valid qa ON d.qid = qa.vec_id
+       |  JOIN valid qb2 ON d.nid = qb2.vec_id),
+       |ranked AS (
+       |  SELECT qid, nid, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+       |  FROM scored)
+       |SELECT qid, rnk AS rank, nid, cos FROM ranked WHERE rnk <= $K""".stripMargin
+  }
 }
