@@ -100,7 +100,7 @@ object Dedup {
     * full inverted-index pair expansion instead, paying the exact cost
     * LSH exists to avoid; this shape keeps the verify proportional to
     * what the banding admitted. */
-  private def scoreCandidates(sh: DataFrame, cand: DataFrame): DataFrame =
+  private[graft] def scoreCandidates(sh: DataFrame, cand: DataFrame): DataFrame =
     jaccard(sh,
       cand
         .join(sh.select(col("doc_id").as("a"), col("sfp")), "a")
