@@ -90,6 +90,15 @@ object Bench {
     val med = (ts: Seq[Double]) => ts(ts.size / 2)
     val total = results.values.map(med).sum
     val recsPerSec = if (total > 0) inputRows / total else 0.0
+    // Executor-time medians: cumulative task run time per query is
+    // load-INDEPENDENT in a way wall time is not — a contended box
+    // stretches wall while executor-time stays put (the reference's
+    // per-phase elementCount basis, JsonReportWriter.java:115-124, is
+    // likewise load-independent). Publishing the median per query gives
+    // builder and driver runs a number that must agree even when their
+    // wall clocks diverge 3× under contention.
+    val execMed = runDetail.map { case (k, ts) => k -> med(ts.map(_._2).sorted) }
+    val execTotal = execMed.values.sum
     // The stdout line must stay under the driver's ~2.9 KB tail capture:
     // r4/r5 both embedded the 156-entry per-query map (~3.1 KB) and the
     // line was decapitated -> BENCH parsed:null, perf gate ungraded. The
@@ -102,8 +111,11 @@ object Bench {
         s"[${r3(w)},${r3(e)},${r3(g)}]"
       }.mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val execMedJson = execMed
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val detail =
       s"""{"queries_med":${fmt(med)},"queries_min":${fmt(_.head)},"queries_max":${fmt(_.last)},""" +
+      s""""queries_exec_med":$execMedJson,""" +
       s""""input_rows":$inputRows,"runs":$runs,"warmup_sec":${r3(warmupSec)},""" +
       s""""runs_wall_exec_gc":$runsJson,"sf":"$sfDir"}"""
     try {
@@ -111,7 +123,7 @@ object Bench {
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","records_per_s":${r3(recsPerSec)},"runs":$runs,"warmup_sec":${r3(warmupSec)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","records_per_s":${r3(recsPerSec)},"exec_sec":${r3(execTotal)},"runs":$runs,"warmup_sec":${r3(warmupSec)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

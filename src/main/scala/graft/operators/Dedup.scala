@@ -421,17 +421,21 @@ object Dedup {
     * harness ([[graft.operators.DedupScale]]); the sf-dir operator
     * [[minhashLsh]] composes the same pieces around session memos.
     * Callers must [[TextOps.ensureRegistered]] first. The returned
-    * plan reads the shingle table (persisted inside [[shingles]])
-    * several times; unpersist it via the second element when done. */
-  def minhashLshOf(corpus: DataFrame): (DataFrame, DataFrame) = {
+    * plan reads the shingle table (persisted inside [[shingles]]) and
+    * the banded signature table (persisted here — its self-join would
+    * otherwise run the 16-minhash aggregation TWICE per pass, exactly
+    * what the memoized sf-dir path persists [[minhashBands]] to avoid)
+    * several times; unpersist the handles in the second element when
+    * done. */
+  def minhashLshOf(corpus: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val sh = shingles(corpus)
-    val bands = bandsOf(sh)
+    val bands = bandsOf(sh).persist()
     val cand = bands.select(col("doc_id").as("a"), col("band"), col("s0"), col("s1"), col("s2"), col("s3"))
       .join(bands.select(col("doc_id").as("b"), col("band"), col("s0"), col("s1"), col("s2"), col("s3")),
         Seq("band", "s0", "s1", "s2", "s3"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    (scoreCandidates(sh, cand), sh)
+    (scoreCandidates(sh, cand), Seq(sh, bands))
   }
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {

@@ -67,7 +67,7 @@ object DedupScale {
     val spark = LlmScale.session("DedupScale")
     TextOps.ensureRegistered(spark)
     val t0 = System.nanoTime()
-    val (pairs, sh) = Dedup.minhashLshOf(corpus(spark, n))
+    val (pairs, handles) = Dedup.minhashLshOf(corpus(spark, n))
     val found = pairs.persist()
     val nPairs = found.count()
     val wall = (System.nanoTime() - t0) / 1e9
@@ -81,7 +81,7 @@ object DedupScale {
       s""""planted":$planted,"plant_hits":$hit,""" +
       s""""recall":${hit.toDouble / planted},"spurious":$spurious,""" +
       f""""wall_s":$wall%.1f,"docs_per_s":${n / wall}%.0f}""")
-    found.unpersist(); sh.unpersist()
+    found.unpersist(); handles.foreach(_.unpersist())
     spark.stop()
   }
 }
@@ -149,7 +149,12 @@ object AnnScale {
     val cands = e.select(col("vec_id").as("nid"), col("q").as("cv"),
       col("nrm").as("cn"), col("bucket"))
     val t0 = System.nanoTime()
-    val lsh = topK(score(cands, Seq("bucket"))).persist()
+    // the single-probe scored set persists: BOTH the lsh top-K and the
+    // multi-probe union consume it, so its join runs once (r7 reported
+    // wall_multiprobe_s double-counted this join — it was recomputed
+    // inside the multi-probe window AND added via wallLsh)
+    val sp = score(cands, Seq("bucket")).persist()
+    val lsh = topK(sp).persist()
     val lshRows = lsh.count()
     val wallLsh = (System.nanoTime() - t0) / 1e9
     // multi-probe: each query ALSO probes the bucket with its weakest
@@ -179,8 +184,11 @@ object AnnScale {
       .withColumn("dot", expr("graft_dot(qv, cv)"))
       .withColumn("cos", col("dot") / (sqrt(col("qn")) * sqrt(col("cn"))))
       .select("qid", "nid", "cos")
-    val mp = topK(score(cands, Seq("bucket")).unionByName(probe2)).persist()
+    val mp = topK(sp.unionByName(probe2)).persist()
     mp.count()
+    // standalone multi-probe wall = shared single-probe join (wallLsh)
+    // + the second probe's incremental join/union/top-K — nothing is
+    // computed twice now that sp persists
     val wallMp = wallLsh + (System.nanoTime() - t2) / 1e9
     val t1 = System.nanoTime()
     val brute = topK(score(cands, Seq.empty)).persist()
@@ -189,13 +197,41 @@ object AnnScale {
     val denom = brute.count()
     val hits = lsh.join(brute, Seq("qid", "nid")).count()
     val hitsMp = mp.join(brute, Seq("qid", "nid")).count()
+    // corpus×corpus mutual-kNN graph through the occupancy-capped
+    // candidate path (Similarity.knnCandidates) — the r7 gap: bucket
+    // pairing was measured only on the query path (queries × corpus),
+    // while emb_knn_graph pairs the corpus with ITSELF; at fixed 8
+    // planes that pairing is quadratic without the cap. Graded against
+    // the plant: an edge is correct if both endpoints share a planted
+    // cluster (vec_id ≡ mod Clusters).
+    val t3 = System.nanoTime()
+    val knnScored = Similarity.knnCandidates(
+      e.select(col("vec_id"), col("q"), col("nrm"), col("bucket")))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    val knn = knnScored.withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= Similarity.KnnGraphK)
+      .select("qid", "nid")
+    val mutual = knn.filter(col("qid") < col("nid"))
+      .join(knn.select(col("nid").as("qid"), col("qid").as("nid")),
+        Seq("qid", "nid"))
+      .persist()
+    val nEdges = mutual.count()
+    val wallKnn = (System.nanoTime() - t3) / 1e9
+    val sameCluster = mutual.filter(
+      pmod(col("qid"), lit(Clusters)) === pmod(col("nid"), lit(Clusters))).count()
     println(s"""{"harness":"ann_scale","n_vectors":$n,"queries":${n / qmod},""" +
       s""""k":$K,"lsh_rows":$lshRows,"recall":${hits.toDouble / denom},""" +
       s""""recall_multiprobe":${hitsMp.toDouble / denom},""" +
       f""""wall_lsh_s":$wallLsh%.1f,"wall_multiprobe_s":$wallMp%.1f,""" +
       f""""wall_brute_s":$wallBrute%.1f,""" +
+      s""""knn_edges":$nEdges,""" +
+      s""""knn_edge_precision":${sameCluster.toDouble / math.max(nEdges, 1L)},""" +
+      f""""wall_knn_s":$wallKnn%.1f,""" +
       f""""vectors_per_s":${n / wallLsh}%.0f}""")
-    lsh.unpersist(); mp.unpersist(); brute.unpersist(); e.unpersist()
+    lsh.unpersist(); mp.unpersist(); brute.unpersist(); sp.unpersist()
+    mutual.unpersist()
+    e.unpersist()
     spark.stop()
   }
 }

@@ -99,18 +99,22 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
   }
 
-  /** Deterministic hyperplane p (0..7): component j = ((p·73+j·37) mod
-    * 41) − 20; bucket = Σ 2^p·[dot(q, plane_p) > 0]. Plane weights are
-    * computed driver-side and embedded as array literals, so each plane
-    * dot is one codegen'd `graft_dot` against a constant. */
-  def withBucket(e: DataFrame): DataFrame = {
-    val bucket = (0 until NumPlanes).map { p =>
+  /** Hyperplane-signature bits for planes lo..hi−1 (one deterministic
+    * generator for every level: component j of plane p is
+    * ((p·73+j·37) mod 41) − 20): Σ 2^(p−lo)·[dot(q, plane_p) > 0].
+    * Plane weights are computed driver-side and embedded as array
+    * literals, so each plane dot is one codegen'd `graft_dot` against a
+    * constant. */
+  private def planeBits(lo: Int, hi: Int): Column =
+    (lo until hi).map { p =>
       val weights = (0 until 64).map(j => ((p * 73 + j * 37) % 41) - 20)
       val plane = weights.map(w => s"${w}L").mkString("array(", ", ", ")")
-      expr(s"CASE WHEN graft_dot(q, $plane) > 0 THEN ${1L << p} ELSE 0 END")
+      expr(s"CASE WHEN graft_dot(q, $plane) > 0 THEN ${1L << (p - lo)} ELSE 0 END")
     }.reduce(_ + _)
-    e.withColumn("bucket", bucket)
-  }
+
+  /** Deterministic hyperplane bucket (planes 0..7). */
+  def withBucket(e: DataFrame): DataFrame =
+    e.withColumn("bucket", planeBits(0, NumPlanes))
 
   /** LSH-bucketed ANN: candidates share the 8-bit hyperplane signature;
     * the cross product becomes an equi-join on bucket. Recall is partial
@@ -672,28 +676,81 @@ object Similarity {
   /** Neighbors kept per vector by [[knnGraph]]. */
   val KnnGraphK = 5
 
-  /** Mutual-kNN graph over the embedding corpus + label-agreement
-    * summary — the neighborhood-structure probe clustering and
-    * label-noise audits run (a high same-label edge share means the
-    * embedding space respects the labels). Candidate pairs come from
-    * the LSH bucket equi-join (vectors pair ONLY within their
-    * hyperplane bucket — corpus never crosses corpus, the same scale
-    * contract as [[annLsh]]); each vector keeps its top-[[KnnGraphK]]
-    * bucket neighbors by exact integer cosine, and an edge survives
-    * only if BOTH endpoints keep it (mutual kNN — the standard noise
-    * filter). Windows partition by vector; output is one bounded row
-    * per unordered label pair. */
-  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
-    val e = bucketedCached(spark, dir)
-    val a = e.select(col("vec_id").as("qid"), col("q").as("qv"),
-      col("nrm").as("qn"), col("bucket"))
-    val b = e.select(col("vec_id").as("nid"), col("q").as("cv"),
-      col("nrm").as("cn"), col("bucket"))
-    val scored = a.join(b, "bucket")
+  /** Occupancy cap for the corpus×corpus candidate groups of
+    * [[knnCandidates]] — the [[Dedup.MaxDf]] analog for the vector
+    * side. A fixed 8-plane bucketing leaves bucket width growing
+    * linearly with the corpus, so within-bucket pairing grows
+    * QUADRATICALLY (at 1M vectors ≈ 3.9k/bucket ⇒ ~3.9B scored pairs);
+    * the cap bounds every candidate group, making total scored pairs ≤
+    * N·cap — linear in corpus size. */
+  val KnnBucketCap = 256
+
+  /** Capped corpus×corpus candidate scoring over a bucketed vector
+    * table (vec_id, q, nrm, bucket) — equi-joins only, two stages:
+    *
+    *  1. REFINE: buckets wider than [[KnnBucketCap]] sub-split by a
+    *     second 8-plane signature (planes 8..15, same deterministic
+    *     generator — recursive plane refinement), which separates
+    *     vectors that share a coarse bucket but not a direction. The
+    *     refined key space is disjoint from unrefined buckets
+    *     (256 + b0·256 + b1 vs b0 < 256).
+    *  2. SLICE (the hard bound): groups still wider than the cap —
+    *     genuinely near-identical vectors no hyperplane separates, the
+    *     regime where any ~cap-sized subset yields equivalent
+    *     neighbors — are cut into ⌈occ/cap⌉ deterministic slices by a
+    *     multiplicative hash of vec_id (the same degski-style mix the
+    *     generators use; plain modulo would alias sequential ids).
+    *     Slicing, not planes, is what bounds the worst case.
+    *
+    * Occupancy tables broadcast (≤ 256 and ≤ 65,792 rows by
+    * construction). Measured at 1M planted-cluster vectors in
+    * [[AnnScale]] (BASELINE.md): edge precision vs the plant stays
+    * ≈1.0 while scored pairs drop from quadratic to ≤ N·cap. */
+  /** The refine-then-slice grouping of [[knnCandidates]], exposed so
+    * [[bucketStats]] can audit the same assignment: (vec_id, q, nrm,
+    * key1, slice, occ0, occ1). */
+  private[operators] def slicedGroups(e: DataFrame): DataFrame = {
+    val eb = e.withColumn("b1", planeBits(NumPlanes, 2 * NumPlanes))
+    val occ0 = eb.groupBy("bucket").agg(count(lit(1)).as("occ0"))
+    val k1 = eb.join(broadcast(occ0), "bucket")
+      .withColumn("key1",
+        when(col("occ0") > KnnBucketCap,
+          lit(256L) + col("bucket") * lit(256L) + col("b1"))
+          .otherwise(col("bucket")))
+    val occ1 = k1.groupBy("key1").agg(count(lit(1)).as("occ1"))
+    k1.join(broadcast(occ1), "key1")
+      .withColumn("slice", expr(
+        s"((vec_id % 4294967296) * 73244475 % 4294967296)" +
+          s" % ((occ1 + ${KnnBucketCap - 1}) div $KnnBucketCap)"))
+  }
+
+  private[operators] def knnCandidates(e: DataFrame): DataFrame = {
+    val sliced = slicedGroups(e)
+      .select("vec_id", "q", "nrm", "key1", "slice")
+    val a = sliced.select(col("vec_id").as("qid"), col("q").as("qv"),
+      col("nrm").as("qn"), col("key1"), col("slice"))
+    val b = sliced.select(col("vec_id").as("nid"), col("q").as("cv"),
+      col("nrm").as("cn"), col("key1"), col("slice"))
+    a.join(b, Seq("key1", "slice"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("dot", dot("qv", "cv"))
       .withColumn("cos", cos)
       .select("qid", "nid", "cos")
+  }
+
+  /** Mutual-kNN graph over the embedding corpus + label-agreement
+    * summary — the neighborhood-structure probe clustering and
+    * label-noise audits run (a high same-label edge share means the
+    * embedding space respects the labels). Candidate pairs come from
+    * [[knnCandidates]] — the occupancy-capped bucket equi-join (corpus
+    * never cross-joins corpus, and no group exceeds [[KnnBucketCap]]);
+    * each vector keeps its top-[[KnnGraphK]] candidate neighbors by
+    * exact integer cosine, and an edge survives only if BOTH endpoints
+    * keep it (mutual kNN — the standard noise filter). Windows
+    * partition by vector; output is one bounded row per unordered
+    * label pair. */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val scored = knnCandidates(bucketedCached(spark, dir))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     val knn = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= KnnGraphK)
@@ -710,6 +767,31 @@ object Similarity {
       .select(least(col("la"), col("lb")).as("l1"),
         greatest(col("la"), col("lb")).as("l2"))
       .groupBy("l1", "l2").agg(count(lit(1)).as("n_edges"))
+  }
+
+  /** LSH bucket-occupancy audit — the health probe that tells an
+    * operator whether the ANN/knn bucketing is load-balanced BEFORE a
+    * corpus×corpus job is launched (the vector-side twin of the dedup
+    * family's `dd_cluster_sizes` probe): coarse-bucket count and max
+    * width, how many buckets crossed [[KnnBucketCap]] into plane
+    * refinement, the refined-group count and how many of those still
+    * needed hash slicing, and the largest final candidate unit — the
+    * number that bounds the worst task of [[knnCandidates]]. All
+    * counts are exact integers over broadcast-joined occupancy tables;
+    * one bounded summary row. */
+  def bucketStats(spark: SparkSession, dir: String): DataFrame = {
+    val g = slicedGroups(bucketedCached(spark, dir))
+    val s0 = g.select("bucket", "occ0").distinct()
+      .agg(count(lit(1)).as("n_buckets"), max("occ0").as("max_bucket"),
+        count(when(col("occ0") > KnnBucketCap, lit(1))).as("refined_buckets"))
+    val s1 = g.select("key1", "occ1").distinct()
+      .agg(count(lit(1)).as("n_groups"),
+        count(when(col("occ1") > KnnBucketCap, lit(1))).as("sliced_groups"))
+    val s2 = g.groupBy("key1", "slice").agg(count(lit(1)).as("gsz"))
+      .agg(count(lit(1)).as("n_units"), max("gsz").as("max_unit"))
+    val n = g.agg(count(lit(1)).as("n_vectors"))
+    n.crossJoin(broadcast(s0)).crossJoin(broadcast(s1))
+      .crossJoin(broadcast(s2))
   }
 
   /** Outliers reported per label by [[embOutliers]]. */
@@ -743,10 +825,17 @@ object Similarity {
     val m = d.groupBy("label").agg(
       avg(col("d2").cast("double")).as("mu"),
       avg(col("d2").cast("double") * col("d2").cast("double")).as("m2"))
+    // variance guard: a single-vector or zero-variance label makes
+    // m2 − mu² = 0 and the unguarded z = 0/0 = NaN, whose ordering is
+    // engine-specific — emit NULL instead (NULLS LAST in the rank, same
+    // clause in the oracle), so the degenerate case is engine-portable
+    val varExpr = col("m2") - col("mu") * col("mu")
     val z = d.join(broadcast(m), "label")
       .withColumn("z",
-        (col("d2") - col("mu")) / sqrt(col("m2") - col("mu") * col("mu")))
-    val w = Window.partitionBy("label").orderBy(col("z").desc, col("vec_id"))
+        when(varExpr > 0, (col("d2") - col("mu")) / sqrt(varExpr))
+          .otherwise(lit(null).cast("double")))
+    val w = Window.partitionBy("label")
+      .orderBy(col("z").desc_nulls_last, col("vec_id"))
     z.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= OutlierTopK)
       .select(col("label"), col("rank"), col("vec_id"), col("d2"), col("z"))

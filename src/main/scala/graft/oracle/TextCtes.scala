@@ -1552,17 +1552,52 @@ object TextCtes {
        |${round(3)}""".stripMargin
   }
 
-  /** twin of [[graft.operators.Similarity.knnGraph]]: bucketed pair
+  /** twin of [[graft.operators.Similarity.knnGraph]]: occupancy-capped
+    * candidate groups (second-level plane refinement over wide buckets,
+    * then deterministic hash slices — Similarity.knnCandidates), pair
     * dots, per-vector top-k, mutual filter, label-pair rollup. */
+  /** shared refine-then-slice grouping CTEs — twin of
+    * [[graft.operators.Similarity.slicedGroups]]: second-level plane
+    * signature, occupancy tables, refined key, deterministic hash
+    * slice. Occupancy counts run over VALID (nrm > 0) vectors only,
+    * matching the Spark side's pre-filtered quantized table. */
+  private lazy val knnGroupCtes: String = {
+    import graft.operators.Similarity.KnnBucketCap
+    s"""planes2 AS (
+       |  SELECT p, j, CAST(((p * 73 + j * 37) % 41) - 20 AS BIGINT) AS w
+       |  FROM unnest(generate_series(8, 15)) AS tp(p),
+       |       unnest(generate_series(0, 63)) AS tj(j)),
+       |pd2 AS (
+       |  SELECT t.vec_id, pl.p, CAST(sum(t.x * pl.w) AS BIGINT) AS d
+       |  FROM el t JOIN planes2 pl ON t.i = pl.j + 1 GROUP BY 1, 2),
+       |bkt2 AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN d > 0 THEN (1 << (p - 8)) ELSE 0 END) AS BIGINT) AS b1
+       |  FROM pd2 GROUP BY vec_id),
+       |bktv AS (SELECT b.vec_id, b.bucket FROM bkt b JOIN valid v USING (vec_id)),
+       |occ0 AS (SELECT bucket, CAST(count(*) AS BIGINT) AS occ0 FROM bktv GROUP BY 1),
+       |k1 AS (SELECT b.vec_id,
+       |    CASE WHEN o.occ0 > $KnnBucketCap
+       |         THEN 256 + b.bucket * 256 + b2.b1 ELSE b.bucket END AS key1
+       |  FROM bktv b JOIN occ0 o USING (bucket) JOIN bkt2 b2 USING (vec_id)),
+       |occ1 AS (SELECT key1, CAST(count(*) AS BIGINT) AS occ1 FROM k1 GROUP BY 1),
+       |grp AS (SELECT k.vec_id, k.key1,
+       |    ((k.vec_id % 4294967296) * 73244475 % 4294967296)
+       |      % ((o.occ1 + ${KnnBucketCap - 1}) // $KnnBucketCap) AS slice
+       |  FROM k1 k JOIN occ1 o USING (key1))""".stripMargin
+  }
+
   val knnGraph: String = {
     import graft.operators.Similarity.KnnGraphK
     s"""WITH $embBase,
        |${bucketCtes("el")},
+       |$knnGroupCtes,
        |dots AS (
        |  SELECT a.vec_id AS qid, b.vec_id AS nid, CAST(sum(a.x * b.x) AS BIGINT) AS dot
        |  FROM el a JOIN el b ON a.i = b.i
-       |  JOIN bkt ba ON a.vec_id = ba.vec_id
-       |  JOIN bkt bb ON b.vec_id = bb.vec_id AND ba.bucket = bb.bucket
+       |  JOIN grp ga ON a.vec_id = ga.vec_id
+       |  JOIN grp gb ON b.vec_id = gb.vec_id
+       |    AND ga.key1 = gb.key1 AND ga.slice = gb.slice
        |  WHERE a.vec_id <> b.vec_id
        |  GROUP BY 1, 2),
        |scored AS (
@@ -1584,6 +1619,30 @@ object TextCtes {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** twin of [[graft.operators.Similarity.bucketStats]]: occupancy
+    * summary over the same shared grouping CTEs. */
+  val bucketStats: String = {
+    import graft.operators.Similarity.KnnBucketCap
+    s"""WITH $embBase,
+       |${bucketCtes("el")},
+       |$knnGroupCtes,
+       |u AS (SELECT key1, slice, CAST(count(*) AS BIGINT) AS gsz
+       |  FROM grp GROUP BY 1, 2),
+       |s0 AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       |    CAST(max(occ0) AS BIGINT) AS max_bucket,
+       |    CAST(count(CASE WHEN occ0 > $KnnBucketCap THEN 1 END) AS BIGINT) AS refined_buckets
+       |  FROM occ0),
+       |s1 AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       |    CAST(count(CASE WHEN occ1 > $KnnBucketCap THEN 1 END) AS BIGINT) AS sliced_groups
+       |  FROM occ1),
+       |s2 AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+       |    CAST(max(gsz) AS BIGINT) AS max_unit FROM u),
+       |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM grp)
+       |SELECT n_vectors, n_buckets, max_bucket, refined_buckets,
+       |  n_groups, sliced_groups, n_units, max_unit
+       |FROM nv, s0, s1, s2""".stripMargin
+  }
+
   /** twin of [[graft.operators.Similarity.embOutliers]]: same scaled
     * integer distance Σ(n·x − S)², same z-score and per-label top-k. */
   val embOutliers: String = {
@@ -1602,11 +1661,12 @@ object TextCtes {
        |    avg(CAST(d2 AS DOUBLE) * CAST(d2 AS DOUBLE)) AS m2
        |  FROM d GROUP BY 1),
        |z AS (SELECT d.label, d.vec_id, d.d2,
-       |    (d2 - mu) / sqrt(m2 - mu * mu) AS z
+       |    CASE WHEN m2 - mu * mu > 0
+       |         THEN (d2 - mu) / sqrt(m2 - mu * mu) END AS z
        |  FROM d JOIN m USING (label))
        |SELECT label, rank, vec_id, d2, z FROM (
        |  SELECT *, CAST(row_number() OVER (
-       |    PARTITION BY label ORDER BY z DESC, vec_id) AS BIGINT) AS rank
+       |    PARTITION BY label ORDER BY z DESC NULLS LAST, vec_id) AS BIGINT) AS rank
        |  FROM z) WHERE rank <= $OutlierTopK""".stripMargin
   }
 

@@ -26,4 +26,16 @@ class CoverageDocSpec extends AnyFunSuite {
     assert(doc.contains(s"$n queries total"),
       s"COVERAGE.md headline does not say '$n queries total'")
   }
+
+  /** README's oracle-gated count is the same hand-maintained drift
+    * class (r7 said "194" correctly, but only by hand) — pin it to the
+    * number of queries that actually carry a DuckDB oracle. */
+  test("README oracle-gated count matches the real oracle count") {
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val gated = SparkEntry.oracleSql.keySet
+      .intersect(SparkEntry.queries.keySet).size
+    assert(readme.contains(s"$gated oracle-gated"),
+      s"README.md does not say '$gated oracle-gated'")
+  }
 }

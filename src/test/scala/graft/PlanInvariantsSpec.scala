@@ -72,12 +72,20 @@ class PlanInvariantsSpec extends SparkTestBase {
     }
   }
 
-  test("emb_knn_graph pairs only within buckets — no cartesian/broadcast-nested-loop") {
+  test("emb_knn_graph pairs only within capped candidate groups — no cartesian, no uncapped bucket join") {
     val p = plan("emb_knn_graph")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     // the per-vector top-k window partitions by qid, never globally
     assert(!p.contains("SinglePartition"), p)
+    // the corpus×corpus candidate join must key on the occupancy-capped
+    // (key1, slice) group, never on the raw fixed-plane bucket alone —
+    // the r7 anti-shape whose within-bucket pair count grows
+    // quadratically with the corpus (Similarity.knnCandidates)
+    val pairJoin = raw"Join \[key1#\d+L, slice#\d+L\], \[key1#\d+L, slice#\d+L\]".r
+    assert(pairJoin.findFirstIn(p).isDefined, p)
+    // and the occupancy dimensions ride broadcast, not shuffle
+    assert(p.contains("BroadcastHashJoin"), p)
   }
 
   test("t_zipf head extraction is distributed top-k, not a global sort") {

@@ -26,9 +26,9 @@ class LlmScaleSpec extends SparkTestBase {
 
   test("minhashLshOf over the generated corpus: high plant recall, no spurious pairs") {
     graft.operators.TextOps.ensureRegistered(spark)
-    val (pairs, sh) = Dedup.minhashLshOf(DedupScale.corpus(spark, 1000))
+    val (pairs, handles) = Dedup.minhashLshOf(DedupScale.corpus(spark, 1000))
     val found = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
-    sh.unpersist()
+    handles.foreach(_.unpersist())
     // every found pair is a planted one (the mixed generator leaves no
     // genuine high-Jaccard accidental pairs at this n)
     found.foreach { case (a, b) =>
