@@ -429,7 +429,7 @@ object Dedup {
     * done. */
   def minhashLshOf(corpus: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val sh = shingles(corpus)
-    val bands = bandsOf(sh).persist()
+    val bands = bandsOf(sh)
     val cand = bands.select(col("doc_id").as("a"), col("band"), col("s0"), col("s1"), col("s2"), col("s3"))
       .join(bands.select(col("doc_id").as("b"), col("band"), col("s0"), col("s1"), col("s2"), col("s3")),
         Seq("band", "s0", "s1", "s2", "s3"))

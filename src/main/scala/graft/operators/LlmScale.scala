@@ -66,11 +66,26 @@ object DedupScale {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     val spark = LlmScale.session("DedupScale")
     TextOps.ensureRegistered(spark)
+    // executor task-time alongside wall: the dedup pipeline is
+    // shuffle-heavy, and shuffle phases inherit host-IO contention the
+    // CPU-bound harnesses don't (r8 measured the same commit at 84.5 s
+    // one day-part and ~270 s another with the box "idle" both times —
+    // task time is the basis that reproduces)
+    val execMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            ev: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = ev.taskMetrics
+          if (m != null) { execMs.addAndGet(m.executorRunTime); () }
+        }
+      })
     val t0 = System.nanoTime()
     val (pairs, handles) = Dedup.minhashLshOf(corpus(spark, n))
     val found = pairs.persist()
     val nPairs = found.count()
     val wall = (System.nanoTime() - t0) / 1e9
+    val exec = execMs.get() / 1e3
     // plant recall: planted pair = (base, base+1) at base ≡ 8 (mod 10)
     val planted = n / 10
     val hit = found
@@ -80,7 +95,7 @@ object DedupScale {
     println(s"""{"harness":"dedup_scale","n_docs":$n,"pairs":$nPairs,""" +
       s""""planted":$planted,"plant_hits":$hit,""" +
       s""""recall":${hit.toDouble / planted},"spurious":$spurious,""" +
-      f""""wall_s":$wall%.1f,"docs_per_s":${n / wall}%.0f}""")
+      f""""wall_s":$wall%.1f,"exec_s":$exec%.1f,"docs_per_s":${n / wall}%.0f}""")
     found.unpersist(); handles.foreach(_.unpersist())
     spark.stop()
   }
@@ -130,6 +145,20 @@ object AnnScale {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     val spark = LlmScale.session("AnnScale")
     TextOps.ensureRegistered(spark)
+    // cumulative executor task time per phase: the box-insensitive
+    // basis next to each wall number — this box swings 2-5× run-to-run
+    // under external load (the knn phase measured 32/71/96 s wall on
+    // identical code and data in three same-day runs), while task run
+    // time counts work, not waiting
+    val execMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            ev: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = ev.taskMetrics
+          if (m != null) { execMs.addAndGet(m.executorRunTime); () }
+        }
+      })
     val qmod = math.max(n / NumQueries, 1L)
     val e = Similarity.withBucket(vectors(spark, n))
       .persist()
@@ -149,6 +178,7 @@ object AnnScale {
     val cands = e.select(col("vec_id").as("nid"), col("q").as("cv"),
       col("nrm").as("cn"), col("bucket"))
     val t0 = System.nanoTime()
+    val e0 = execMs.get()
     // the single-probe scored set persists: BOTH the lsh top-K and the
     // multi-probe union consume it, so its join runs once (r7 reported
     // wall_multiprobe_s double-counted this join — it was recomputed
@@ -157,6 +187,7 @@ object AnnScale {
     val lsh = topK(sp).persist()
     val lshRows = lsh.count()
     val wallLsh = (System.nanoTime() - t0) / 1e9
+    val execLsh = (execMs.get() - e0) / 1e3
     // multi-probe: each query ALSO probes the bucket with its weakest
     // hyperplane bit flipped (smallest |dot| = the plane most likely to
     // have mis-hashed a true neighbor) — the standard recall lift at a
@@ -175,6 +206,7 @@ object AnnScale {
       when(isMin, lit(1L << pl)).otherwise(lit(0L))
     }.reduce(_ + _)
     val t2 = System.nanoTime()
+    val e2 = execMs.get()
     val q2 = queries.select(col("qid") +: col("qv") +: col("qn") +:
         col("bucket") +: planeDots: _*)
       .withColumn("bucket", col("bucket").bitwiseXOR(flip))
@@ -190,10 +222,13 @@ object AnnScale {
     // + the second probe's incremental join/union/top-K — nothing is
     // computed twice now that sp persists
     val wallMp = wallLsh + (System.nanoTime() - t2) / 1e9
+    val execMp = execLsh + (execMs.get() - e2) / 1e3
     val t1 = System.nanoTime()
+    val e1 = execMs.get()
     val brute = topK(score(cands, Seq.empty)).persist()
     brute.count()
     val wallBrute = (System.nanoTime() - t1) / 1e9
+    val execBrute = (execMs.get() - e1) / 1e3
     val denom = brute.count()
     val hits = lsh.join(brute, Seq("qid", "nid")).count()
     val hitsMp = mp.join(brute, Seq("qid", "nid")).count()
@@ -205,19 +240,19 @@ object AnnScale {
     // the plant: an edge is correct if both endpoints share a planted
     // cluster (vec_id ≡ mod Clusters).
     val t3 = System.nanoTime()
-    val knnScored = Similarity.knnCandidates(
-      e.select(col("vec_id"), col("q"), col("nrm"), col("bucket")))
-    val wk = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    val knn = knnScored.withColumn("rank", row_number().over(wk))
-      .filter(col("rank") <= Similarity.KnnGraphK)
-      .select("qid", "nid")
+    val e3 = execMs.get()
+    // knn persists: the mutual filter consumes it from BOTH sides —
+    // unpersisted, the whole capped join + top-k would execute twice
+    val knn = Similarity.knnTopK(
+      e.select(col("vec_id"), col("q"), col("nrm"), col("bucket")),
+      Similarity.KnnGraphK).persist()
     val mutual = knn.filter(col("qid") < col("nid"))
       .join(knn.select(col("nid").as("qid"), col("qid").as("nid")),
         Seq("qid", "nid"))
       .persist()
     val nEdges = mutual.count()
     val wallKnn = (System.nanoTime() - t3) / 1e9
+    val execKnn = (execMs.get() - e3) / 1e3
     val sameCluster = mutual.filter(
       pmod(col("qid"), lit(Clusters)) === pmod(col("nid"), lit(Clusters))).count()
     println(s"""{"harness":"ann_scale","n_vectors":$n,"queries":${n / qmod},""" +
@@ -225,12 +260,14 @@ object AnnScale {
       s""""recall_multiprobe":${hitsMp.toDouble / denom},""" +
       f""""wall_lsh_s":$wallLsh%.1f,"wall_multiprobe_s":$wallMp%.1f,""" +
       f""""wall_brute_s":$wallBrute%.1f,""" +
+      f""""exec_lsh_s":$execLsh%.1f,"exec_multiprobe_s":$execMp%.1f,""" +
+      f""""exec_brute_s":$execBrute%.1f,""" +
       s""""knn_edges":$nEdges,""" +
       s""""knn_edge_precision":${sameCluster.toDouble / math.max(nEdges, 1L)},""" +
-      f""""wall_knn_s":$wallKnn%.1f,""" +
+      f""""wall_knn_s":$wallKnn%.1f,"exec_knn_s":$execKnn%.1f,""" +
       f""""vectors_per_s":${n / wallLsh}%.0f}""")
     lsh.unpersist(); mp.unpersist(); brute.unpersist(); sp.unpersist()
-    mutual.unpersist()
+    mutual.unpersist(); knn.unpersist()
     e.unpersist()
     spark.stop()
   }

@@ -718,15 +718,51 @@ object Similarity {
           lit(256L) + col("bucket") * lit(256L) + col("b1"))
           .otherwise(col("bucket")))
     val occ1 = k1.groupBy("key1").agg(count(lit(1)).as("occ1"))
+    // slice hash is the full two-round degski mix, not a single
+    // multiply: cluster members arrive with STRIDED vec_ids (every
+    // c-th id), and (id·m) mod nsl aliases on strides — measured 555
+    // max width vs the 256 target at 1M vectors; the xor-shift rounds
+    // break the stride structure (same reason the corpus generators
+    // use them)
     k1.join(broadcast(occ1), "key1")
+      .withColumn("sh1", expr(
+        "((vec_id % 4294967296) ^ shiftright(vec_id % 4294967296, 16))" +
+          " * 73244475 % 4294967296"))
+      .withColumn("sh2", expr(
+        "(sh1 ^ shiftright(sh1, 16)) * 73244475 % 4294967296"))
       .withColumn("slice", expr(
-        s"((vec_id % 4294967296) * 73244475 % 4294967296)" +
+        s"(sh2 ^ shiftright(sh2, 16))" +
           s" % ((occ1 + ${KnnBucketCap - 1}) div $KnnBucketCap)"))
+      .drop("sh1", "sh2")
   }
 
+  /** Target scored pairs per task for the capped pair join — sized so
+    * a task's top-k sort run (~48 B/pair) stays ~100 MB, comfortably
+    * in execution memory. */
+  private val PairsPerTask = 2000000L
+
   private[operators] def knnCandidates(e: DataFrame): DataFrame = {
-    val sliced = slicedGroups(e)
+    // EXPLICIT partition count on the pair-join key, sized to the PAIR
+    // volume, not the input volume: AQE sizes shuffle partitions by
+    // INPUT bytes, but this join explodes N rows into ≤ N·cap pairs —
+    // left to AQE at 200k vectors the 105 MB input coalesced to ~3
+    // tasks and the pair expansion + top-k sort ran ~10× under-parallel
+    // (probe: top-k 73 s → 22 s just pinning the count), and a count
+    // pinned at default parallelism re-broke at 1M (per-task sort runs
+    // outgrew execution memory → spill, 342 s). Σ width² over the
+    // occupancy units is the exact pair count (one cheap aggregate over
+    // the broadcast-sized unit table's parent); a user-specified count
+    // is exempt from AQE coalescing, and both join sides derive from
+    // this one table, so the join itself needs no further exchange.
+    val spark = e.sparkSession
+    val g0 = slicedGroups(e)
       .select("vec_id", "q", "nrm", "key1", "slice")
+    val estRow = g0.groupBy("key1", "slice").agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * col("n"))).head
+    val pairEst = if (estRow.isNullAt(0)) 0L else estRow.getLong(0)
+    val parts = math.max(spark.sparkContext.defaultParallelism.toLong,
+      math.min(1024L, (pairEst + PairsPerTask - 1) / PairsPerTask)).toInt
+    val sliced = g0.repartition(parts, col("key1"), col("slice"))
     val a = sliced.select(col("vec_id").as("qid"), col("q").as("qv"),
       col("nrm").as("qn"), col("key1"), col("slice"))
     val b = sliced.select(col("vec_id").as("nid"), col("q").as("cv"),
@@ -735,7 +771,32 @@ object Similarity {
       .filter(col("qid") =!= col("nid"))
       .withColumn("dot", dot("qv", "cv"))
       .withColumn("cos", cos)
-      .select("qid", "nid", "cos")
+      .select("key1", "slice", "qid", "nid", "cos")
+  }
+
+  /** Per-vector top-k neighbors over the capped candidate groups,
+    * computed WITHOUT re-shuffling the scored pairs: every vector's
+    * full candidate set lives inside its one (key1, slice) group, so a
+    * window partitioned by (key1, slice, qid) is satisfied by the
+    * candidate join's existing (key1, slice) partitioning — Catalyst
+    * plans it with ZERO additional exchange (only a partition-LOCAL
+    * sort), where a plain qid window shuffled and globally sorted all
+    * N·cap scored pairs. Operator-shape note (probe-measured at 200k
+    * vectors / 5.5e7 pairs): the same reduction as a
+    * `collect_list`+`array_sort` aggregate forces ObjectHashAggregate,
+    * which disables whole-stage codegen for its entire stage INCLUDING
+    * the join and dot products — 110 s vs 2 s for the identical
+    * scoring work; the window keeps the join/dot/sort codegen'd and
+    * row_number streams over the sorted run. Extra partition keys
+    * change nothing semantically (each qid lives in exactly one
+    * group); equality with the plain-qid form is spec-pinned. */
+  private[operators] def knnTopK(e: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("key1", "slice", "qid")
+      .orderBy(col("cos").desc, col("nid"))
+    knnCandidates(e)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid")
   }
 
   /** Mutual-kNN graph over the embedding corpus + label-agreement
@@ -750,11 +811,7 @@ object Similarity {
     * partition by vector; output is one bounded row per unordered
     * label pair. */
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
-    val scored = knnCandidates(bucketedCached(spark, dir))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    val knn = scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= KnnGraphK)
-      .select("qid", "nid")
+    val knn = knnTopK(bucketedCached(spark, dir), KnnGraphK)
     // mutual edges, canonicalized qid < nid
     val mutual = knn.filter(col("qid") < col("nid"))
       .join(knn.select(col("nid").as("qid"), col("qid").as("nid")),

@@ -1581,10 +1581,17 @@ object TextCtes {
        |         THEN 256 + b.bucket * 256 + b2.b1 ELSE b.bucket END AS key1
        |  FROM bktv b JOIN occ0 o USING (bucket) JOIN bkt2 b2 USING (vec_id)),
        |occ1 AS (SELECT key1, CAST(count(*) AS BIGINT) AS occ1 FROM k1 GROUP BY 1),
-       |grp AS (SELECT k.vec_id, k.key1,
-       |    ((k.vec_id % 4294967296) * 73244475 % 4294967296)
+       |sh AS (SELECT vec_id, key1,
+       |    xor(vec_id % 4294967296, (vec_id % 4294967296) >> 16)
+       |      * 73244475 % 4294967296 AS sh1
+       |  FROM k1),
+       |sh2 AS (SELECT vec_id, key1,
+       |    xor(sh1, sh1 >> 16) * 73244475 % 4294967296 AS sh2
+       |  FROM sh),
+       |grp AS (SELECT s.vec_id, s.key1,
+       |    xor(s.sh2, s.sh2 >> 16)
        |      % ((o.occ1 + ${KnnBucketCap - 1}) // $KnnBucketCap) AS slice
-       |  FROM k1 k JOIN occ1 o USING (key1))""".stripMargin
+       |  FROM sh2 s JOIN occ1 o USING (key1))""".stripMargin
   }
 
   val knnGraph: String = {
