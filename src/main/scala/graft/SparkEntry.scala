@@ -895,6 +895,13 @@ object SparkEntry {
     "t_lm_score" -> ((s, dir) => TextOps.lmScore(s, dir)),
     "t_bpe_pairs" -> ((s, dir) => TextOps.bpePairs(s, dir)),
     "t_hash_features" -> ((s, dir) => TextOps.hashFeatures(s, dir)),
+    // MOSS winnowing: per-doc fingerprint selection stats + overlap pairs
+    "t_winnow" -> ((s, dir) => TextOps.winnow(s, dir)),
+    "dd_winnow_pairs" -> ((s, dir) => Dedup.winnowPairs(s, dir)),
+    // StarCoder/RedPajama-style code-vs-prose routing signals
+    "t_code_detect" -> ((s, dir) => TextOps.codeDetect(s, dir)),
+    // DSIR: hashed-ngram importance weights vs the en target slice
+    "pipe_dsir" -> ((s, dir) => graft.operators.Pipeline.dsirWeights(s, dir)),
     "g_link_prediction" -> ((s, dir) => GraphOps.linkPrediction(s, dir)),
     "ann_topk" -> ((s, dir) => Similarity.annBruteForce(s, dir)),
     "ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
@@ -917,6 +924,8 @@ object SparkEntry {
     // exact d×d co-moment (gram) matrix — PCA/whitening/drift input
     "emb_gram" -> ((s, dir) => Similarity.gramMatrix(s, dir)),
     "emb_pca" -> ((s, dir) => Similarity.pcaProject(s, dir)),
+    // Matryoshka truncation eval: prefix-dim recall vs full-dim truth
+    "emb_matryoshka" -> ((s, dir) => Similarity.matryoshkaRecall(s, dir)),
     "g_basket_features" -> ((s, dir) => graft.operators.GraphOps.basketFeatures(s, dir)),
     // multimodal demux: magic-byte sniff next to the bytes
     "mm_modality_route" -> ((s, dir) => Media.modalityRoute(s, dir)),
@@ -1524,6 +1533,11 @@ object SparkEntry {
     "t_lm_score" -> TextCtes.lmScore,
     "t_bpe_pairs" -> TextCtes.bpePairs,
     "t_hash_features" -> TextCtes.hashFeatures,
+    "t_winnow" -> TextCtes.winnow,
+    "dd_winnow_pairs" -> TextCtes.winnowPairs,
+    "t_code_detect" -> TextCtes.codeDetect,
+    "pipe_dsir" -> TextCtes.dsirWeights,
+    "emb_matryoshka" -> TextCtes.matryoshka,
     "g_link_prediction" ->
       s"""WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
         |pd AS (SELECT p, CAST(count(*) AS BIGINT) AS pd FROM sp GROUP BY p

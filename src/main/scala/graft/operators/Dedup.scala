@@ -421,12 +421,12 @@ object Dedup {
     * harness ([[graft.operators.DedupScale]]); the sf-dir operator
     * [[minhashLsh]] composes the same pieces around session memos.
     * Callers must [[TextOps.ensureRegistered]] first. The returned
-    * plan reads the shingle table (persisted inside [[shingles]]) and
-    * the banded signature table (persisted here — its self-join would
-    * otherwise run the 16-minhash aggregation TWICE per pass, exactly
-    * what the memoized sf-dir path persists [[minhashBands]] to avoid)
+    * plan reads the shingle table (persisted inside [[shingles]])
     * several times; unpersist the handles in the second element when
-    * done. */
+    * done. The bands table is NOT persisted: its self-join's two arms
+    * share one exchange (Spark's exchange reuse deduplicates the
+    * 16-minhash aggregation), and an explicit persist measured
+    * neutral-to-negative at 1M docs. */
   def minhashLshOf(corpus: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val sh = shingles(corpus)
     val bands = bandsOf(sh)
@@ -632,5 +632,53 @@ object Dedup {
       .groupBy("doc_id")
       .agg(countDistinct("gfp").as("hit_grams"),
         countDistinct("bench_id").as("n_bench"))
+  }
+
+  /** winnowed-pair df cap / share floor — same blowup guard family as
+    * [[MaxDf]]: a fingerprint selected in more than WinnowMaxDf docs
+    * is a stop-gram (template text) and joins quadratically, so it is
+    * dropped before the pair join. */
+  val WinnowMaxDf = 20L
+  val WinnowMinShared = 2L
+
+  /** Document-overlap pairs via winnowed fingerprints (the MOSS
+    * report): docs sharing ≥ [[WinnowMinShared]] distinct selected
+    * fingerprints, with the shared count. Selection is
+    * [[graft.operators.TextOps.winnowSelected]] (rightmost-min per
+    * W-gram window), so any shared char run of length ≥ K+W−1 is
+    * guaranteed to surface — a different detection contract from
+    * [[minhashLsh]]'s whole-doc Jaccard: winnowing finds *local*
+    * overlap (a copied paragraph inside otherwise-unrelated docs).
+    *
+    * Scale shape: fingerprint → docs is the inverted index; the df
+    * cap bounds per-key occupancy at [[WinnowMaxDf]], so the self
+    * equi-join emits ≤ df²/2 pairs per key — never all-pairs. One
+    * partial-agg groupBy rolls shared counts up. */
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.ensureRegistered(spark)
+    winnowPairsOf(TextOps.docs(spark, dir))
+  }
+
+  /** [[winnowPairs]] over an arbitrary (doc_id, text) corpus — used by
+    * the generated-corpus scale harness
+    * ([[graft.operators.TextScale]]). Callers must
+    * [[TextOps.ensureRegistered]] first. */
+  def winnowPairsOf(corpus: DataFrame): DataFrame =
+    winnowPairsFromFps(TextOps.winnowSelectedOf(corpus))
+
+  /** the pair stage alone, over already-selected fingerprints — lets
+    * the scale harness reuse one persisted selection pass for both
+    * the selection and pair measurements. */
+  def winnowPairsFromFps(selected: DataFrame): DataFrame = {
+    val fps = selected.select(col("doc_id"), col("h")).distinct()
+    val rare = fps.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinnowMaxDf && col("df") >= 2)
+      .select(col("h"))
+    val kept = fps.join(rare, "h")
+    kept.select(col("doc_id").as("a"), col("h"))
+      .join(kept.select(col("doc_id").as("b"), col("h")), "h")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
   }
 }

@@ -40,8 +40,12 @@ object DedupScale {
   val DocLen = 60
 
   /** deterministic corpus: token j of doc c hashes (c, j) into a
-    * VocabSize vocabulary; dup docs reuse the base doc's prefix. */
-  def corpus(spark: SparkSession, n: Long): DataFrame =
+    * `vocab`-sized vocabulary; dup docs reuse the base doc's prefix.
+    * The default 5k vocabulary stresses shingle df (the MinHash
+    * pipeline's hard case); [[graft.operators.TextScale]] passes a
+    * ~2^32 vocabulary so char-gram fingerprints are globally rare
+    * (the winnowing pipeline's operating regime). */
+  def corpus(spark: SparkSession, n: Long, vocab: Long = VocabSize): DataFrame =
     spark.range(n).select(col("id").as("doc_id"))
       .withColumn("cid",
         when(pmod(col("doc_id"), lit(10L)) === 9L, col("doc_id") - 1)
@@ -59,7 +63,7 @@ object DedupScale {
       .withColumn("h1", expr("transform(h0, h -> (h ^ shiftright(h, 16)) * 73244475 % 4294967296)"))
       .withColumn("h2", expr("transform(h1, h -> (h ^ shiftright(h, 16)) * 73244475 % 4294967296)"))
       .select(col("doc_id"), expr(
-        s"array_join(transform(h2, h -> concat('w', CAST((h ^ shiftright(h, 16)) % $VocabSize AS STRING))), ' ')")
+        s"array_join(transform(h2, h -> concat('w', CAST((h ^ shiftright(h, 16)) % $vocab AS STRING))), ' ')")
         .as("text"))
 
   def main(args: Array[String]): Unit = {
@@ -269,6 +273,75 @@ object AnnScale {
     lsh.unpersist(); mp.unpersist(); brute.unpersist(); sp.unpersist()
     mutual.unpersist(); knn.unpersist()
     e.unpersist()
+    spark.stop()
+  }
+}
+
+/** Winnowing + DSIR over a generated corpus — the scale evidence for
+  * the round-8 text additions: `n` documents from the
+  * [[DedupScale.corpus]] generator with a ~2^32 vocabulary (char
+  * k-grams globally rare — winnowing's operating regime; the default
+  * 5k vocabulary makes every gram a stop-gram and the df cap rightly
+  * drops everything). Planted truth is the generator's: every id ≡ 9
+  * (mod 10) shares a 57-token prefix with id−1, far beyond the
+  * K+W−1-char winnowing guarantee, so each planted pair MUST surface
+  * in [[Dedup.winnowPairsOf]].
+  *
+  * Measures three pipelines end-to-end (wall + executor task time):
+  * fingerprint selection (the linear window scan), overlap pairs (df
+  * cap → inverted-index join), and DSIR scoring (hashed n-gram counts
+  * against a broadcast ratio table; target slice = doc_id ≡ 0 mod 5 —
+  * a throughput probe, the quality probe is the sf-dir oracle). */
+object TextScale {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val spark = LlmScale.session("TextScale")
+    TextOps.ensureRegistered(spark)
+    val execMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            ev: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = ev.taskMetrics
+          if (m != null) { execMs.addAndGet(m.executorRunTime); () }
+        }
+      })
+    val corpus = DedupScale.corpus(spark, n, vocab = 4294967296L).persist()
+    corpus.count() // corpus build outside the timed paths
+    val e0 = execMs.get()
+    // phase 1: fingerprint selection (linear scan + frame aggregate)
+    val t0 = System.nanoTime()
+    val sel = TextOps.winnowSelectedOf(corpus).persist()
+    val nSel = sel.count()
+    val wallSel = (System.nanoTime() - t0) / 1e9
+    val execSel = (execMs.get() - e0) / 1e3
+    // phase 2: overlap pairs + planted recall (reuses the persisted
+    // selection — the pair stage is measured alone, no double count)
+    val t1 = System.nanoTime()
+    val pairs = Dedup.winnowPairsFromFps(sel).persist()
+    val nPairs = pairs.count()
+    val wallPairs = (System.nanoTime() - t1) / 1e9
+    val execPairs = (execMs.get() - e0) / 1e3 - execSel
+    val planted = n / 10
+    val hits = pairs
+      .filter(pmod(col("a"), lit(10L)) === 8L && col("b") === col("a") + 1)
+      .count()
+    // phase 3: DSIR scoring throughput
+    val t2 = System.nanoTime()
+    val toks = corpus.select(col("doc_id"), TextOps.toks(col("text")).as("t"))
+    val target = corpus.filter(pmod(col("doc_id"), lit(5L)) === 0)
+      .select(col("doc_id"))
+    val nScored = Pipeline.dsirWeightsOf(toks, target).count()
+    val wallDsir = (System.nanoTime() - t2) / 1e9
+    val execDsir = (execMs.get() - e0) / 1e3 - execSel - execPairs
+    println(s"""{"harness":"text_scale","n_docs":$n,"fingerprints":$nSel,""" +
+      s""""pairs":$nPairs,"planted":$planted,"plant_hits":$hits,""" +
+      s""""recall":${hits.toDouble / planted},"dsir_docs":$nScored,""" +
+      f""""wall_winnow_s":$wallSel%.1f,"exec_winnow_s":$execSel%.1f,""" +
+      f""""wall_pairs_s":$wallPairs%.1f,"exec_pairs_s":$execPairs%.1f,""" +
+      f""""wall_dsir_s":$wallDsir%.1f,"exec_dsir_s":$execDsir%.1f,""" +
+      f""""docs_per_s_winnow":${n / wallSel}%.0f}""")
+    sel.unpersist(); pairs.unpersist(); corpus.unpersist()
     spark.stop()
   }
 }

@@ -419,4 +419,66 @@ object Pipeline {
     base.crossJoin(broadcast(vocab)).crossJoin(broadcast(qual))
       .crossJoin(broadcast(langs)).crossJoin(broadcast(dups))
   }
+
+  /** DSIR feature space: hashed-unigram bucket count and the
+    * micro-unit scale for the integer likelihood ratio. */
+  val DsirBuckets = 4096L
+  val DsirScale = 1000000L
+
+  /** Data Selection via Importance Resampling (Xie et al. 2023) —
+    * score every document by how target-like its hashed n-gram
+    * feature distribution is. Target here is the `lang = 'en'` slice
+    * (the usual "select web data that looks like the curated set"
+    * setup); features are unigram AND bigram fingerprints folded into
+    * [[DsirBuckets]] buckets (the paper's hashed n-gram space, n ≤ 2 —
+    * bigrams carry the language/style signal unigram template overlap
+    * washes out).
+    *
+    * Per bucket b the add-one-smoothed likelihood ratio
+    * (tc+1)/(T+B) ÷ (rc+1)/(R+B) is emitted in integer micro-units
+    * (the [[graft.operators.TextOps.lmScore]] device — `div`, not
+    * doubles — so the per-doc sums are exact BIGINTs both engines
+    * reproduce bit-for-bit; DSIR's log is monotone, so ranking by the
+    * ratio sum selects the same documents). Scale shape: the bucket
+    * table is ≤ 4096 rows → BROADCAST; per-doc scoring is one
+    * partial-agg groupBy over (doc, bucket) counts — linear in corpus
+    * size, one shuffle on doc_id. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.ensureRegistered(spark)
+    dsirWeightsOf(TextOps.tokenTable(spark, dir),
+      TextOps.docs(spark, dir).filter(col("lang") === "en").select(col("doc_id")))
+  }
+
+  /** [[dsirWeights]] over an arbitrary tokenized corpus (doc_id, t)
+    * with an explicit target-slice id set — used by the
+    * generated-corpus scale harness ([[graft.operators.TextScale]]).
+    * Callers must [[TextOps.ensureRegistered]] first. */
+  def dsirWeightsOf(t: DataFrame, target: DataFrame): DataFrame = {
+    val b = DsirBuckets
+    val uni = t.select(col("doc_id"), explode(col("t")).as("g"))
+    val bi = t.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(t) - 2),
+          |  j -> concat_ws(' ', element_at(t, j + 1), element_at(t, j + 2)))"""
+          .stripMargin)).as("g"))
+    val docBuck = uni.unionAll(bi)
+      .select(col("doc_id"),
+        pmod(expr(TextOps.fpSql("g")), lit(b)).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+    val tc = docBuck.join(target, "doc_id")
+      .groupBy("bucket").agg(sum("cnt").as("tc"))
+    val rc = docBuck.groupBy("bucket").agg(sum("cnt").as("rc"))
+    val ratio = rc.join(tc, Seq("bucket"), "left")
+      .select(col("bucket"), col("rc"), coalesce(col("tc"), lit(0L)).as("tc"))
+    val totals = ratio.agg(sum("tc").as("tt"), sum("rc").as("rt"))
+    val lr = ratio.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        expr(s"($DsirScale * (tc + 1) * (rt + $b)) div ((rc + 1) * (tt + $b))")
+          .as("lr_micro"))
+    docBuck.join(broadcast(lr), "bucket")
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_tokens"),
+        sum(col("cnt") * col("lr_micro")).as("score_micro"))
+      .withColumn("avg_micro", expr("score_micro div n_tokens"))
+  }
 }

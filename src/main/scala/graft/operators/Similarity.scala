@@ -948,4 +948,52 @@ object Similarity {
       .filter(col("rank") <= K)
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
   }
+
+  /** Matryoshka prefix lengths evaluated against the full-dim truth. */
+  val MatryoshkaDims: Seq[Int] = Seq(16, 32)
+
+  /** Matryoshka-embedding retrieval eval (Kusupati et al. 2022): how
+    * much of the full-64-dim top-K survives when similarity uses only
+    * the first m dims of each vector — the measurement behind
+    * serve-time dimension truncation (m-dim index is m/64 the bytes
+    * and FLOPs). For each m in [[MatryoshkaDims]], the same
+    * broadcast-queries kernel as [[annBruteForce]] scores prefix
+    * cosines (`slice(q, 1, m)` — exact integer dots on the quantized
+    * prefixes), takes per-query top-K with the identical
+    * (cos desc, nid) tie-break, and intersects with the full-dim
+    * truth. Output: one row per m with hit count and recall@K.
+    * Scale shape: inherits the ANN kernel's (queries broadcast,
+    * corpus linear); both prefix levels come off ONE pass over the
+    * candidate table (the m-level explode happens on the broadcast
+    * side), and the final intersection joins queries×K rows. */
+  def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantizedCached(spark, dir)
+    val levels = MatryoshkaDims.map(m =>
+      s"struct(${m}L AS m, slice(qv, 1, $m) AS pqv)").mkString("array(", ", ", ")")
+    val queries = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+      .select(col("qid"), explode(expr(levels)).as("lv"))
+      .select(col("qid"), col("lv.m").as("m"), col("lv.pqv").as("pqv"))
+      .withColumn("qn", dot("pqv", "pqv"))
+      .filter(col("qn") > 0)
+    val cands = e.select(col("vec_id").as("nid"), col("q").as("cv"))
+    val scored = broadcast(queries).crossJoin(cands)
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("pcv", expr("slice(cv, 1, CAST(m AS INT))"))
+      .withColumn("dot", dot("pqv", "pcv"))
+      .withColumn("cn", dot("pcv", "pcv"))
+      .filter(col("cn") > 0)
+      .withColumn("cos", cos)
+    val w = Window.partitionBy("m", "qid").orderBy(col("cos").desc, col("nid"))
+    val prefixTopK = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("m"), col("qid"), col("nid"))
+    val truth = annBruteForce(spark, dir).select(col("qid"), col("nid"))
+    val t = truth.agg(count(lit(1)).as("n_truth"))
+    prefixTopK.join(truth, Seq("qid", "nid"))
+      .groupBy("m").agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(t))
+      .withColumn("recall", col("n_hits") / col("n_truth"))
+      .select(col("m"), col("n_hits"), col("n_truth"), col("recall"))
+  }
 }

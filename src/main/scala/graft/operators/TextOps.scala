@@ -865,14 +865,20 @@ object TextOps {
     *      symbol table: pair starts become the merged symbol, pair
     *      tails drop.
     *
-    * Determinism: candidate pairs are restricted to DISTINCT symbols
-    * (a ≠ b). With a ≠ b adjacent matches cannot overlap, so the
-    * leftmost-greedy rewrite is expressible as a stateless per-position
-    * rule (merge where (sym, next) = (a, b); drop where (prev, sym) =
-    * (a, b)) that both engines evaluate identically — no sequential
-    * scan semantics to disagree on. Ties in the argmax break by
-    * (count desc, a, b). Output: the merge table — one row per round
-    * with the learned pair and its weighted frequency. */
+    * Determinism: identical-symbol pairs (a = b — 'll', 'ee', 'ss',
+    * among the most frequent first merges in real Sennrich BPE) ARE
+    * candidates. Overlapping chains ('lll') are resolved by the
+    * leftmost-greedy rule, which stays expressible as a STATELESS
+    * per-position predicate: within each maximal run of one symbol
+    * (gaps-and-islands on the word's position order) a pair counts /
+    * merges only at EVEN run offsets, and the odd-offset element is
+    * the dropped tail — exactly floor(run/2) merges per run, the same
+    * result a sequential left-to-right scan produces, with no
+    * sequential semantics for the two engines to disagree on. For
+    * a ≠ b adjacent matches cannot overlap and the parity guard is
+    * vacuous. Ties in the argmax break by (count desc, a, b).
+    * Output: the merge table — one row per round with the learned
+    * pair and its weighted frequency. */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame =
     bpeCore(spark, dir)._1
 
@@ -916,26 +922,37 @@ object TextOps {
         col("col").as("sym"))
     var syms = syms0
     val wp = Window.partitionBy("w").orderBy("pos")
+    // neighbor symbols plus the run offset: islands of one symbol via
+    // rn − rn_within_sym (constant per maximal run), then the 0-based
+    // offset inside the run — the parity that makes repeated-symbol
+    // merges ('ll') a stateless leftmost-greedy rule
+    def withCtx(t: DataFrame): DataFrame =
+      t.withColumn("grp", row_number().over(wp) -
+          row_number().over(Window.partitionBy("w", "sym").orderBy("pos")))
+        .withColumn("off",
+          row_number().over(Window.partitionBy("w", "sym", "grp").orderBy("pos")) - 1)
+        .withColumn("nxt", lead("sym", 1).over(wp))
+        .withColumn("prv", lag("sym", 1).over(wp))
     var merges: List[DataFrame] = Nil
     for (step <- 1 to BpeMerges) {
-      val paired = syms.withColumn("nxt", lead("sym", 1).over(wp))
-      val best = paired
-        .filter(col("nxt").isNotNull && col("sym") =!= col("nxt"))
+      val ctx = withCtx(syms)
+      val best = ctx
+        .filter(col("nxt").isNotNull &&
+          (col("sym") =!= col("nxt") || col("off") % 2 === 0))
         .groupBy(col("sym").as("a"), col("nxt").as("b"))
         .agg(sum("wc").as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
       merges ::= best.select(lit(step.toLong).as("step"), col("a"), col("b"),
         concat(col("a"), col("b")).as("merged"), col("cnt"))
-      val ctx = syms
-        .withColumn("nxt", lead("sym", 1).over(wp))
-        .withColumn("prv", lag("sym", 1).over(wp))
       syms = ctx
         .crossJoin(broadcast(best.select(col("a").as("ma"), col("b").as("mb"))))
         .filter(!(coalesce(col("prv"), lit("")) === col("ma") &&
-          col("sym") === col("mb")))
+          col("sym") === col("mb") &&
+          (col("ma") =!= col("mb") || col("off") % 2 === 1)))
         .select(col("w"), col("wc"), col("pos"),
           when(col("sym") === col("ma") &&
-            coalesce(col("nxt"), lit("")) === col("mb"),
+            coalesce(col("nxt"), lit("")) === col("mb") &&
+            (col("ma") =!= col("mb") || col("off") % 2 === 0),
             concat(col("ma"), col("mb"))).otherwise(col("sym")).as("sym"))
     }
     (merges.reverse.reduce(_ unionByName _), syms0, syms)
@@ -964,4 +981,120 @@ object TextOps {
           (log(col("n").cast("double")) - col("clc") / col("n")).as(s"${pfx}_entropy"))
     ent(uni, "uni").crossJoin(broadcast(ent(bi, "bi")))
   }
+
+  /** Winnowing parameters (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS fingerprinting algorithm): char k-gram length, window
+    * width in grams. Guarantee: any shared substring of length
+    * ≥ [[WinnowK]]+[[WinnowW]]−1 chars yields at least one shared
+    * selected fingerprint. */
+  val WinnowK = 8
+  val WinnowW = 4
+
+  /** Per-position char k-gram rolling hashes of a corpus:
+    * (doc_id, pos, h) — pos is 1-based, h the [[fpSql]] polynomial
+    * hash of the k chars starting at pos. Linear scan, no shuffle. */
+  private[operators] def winnowGrams(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    winnowGramsOf(docs(spark, dir))
+  }
+
+  private[operators] def winnowGramsOf(corpus: DataFrame): DataFrame = {
+    val k = WinnowK
+    corpus
+      .select(col("doc_id"), posexplode(expr(
+        // Spark's sequence(1, n) DESCENDS when n < 1 — guard short docs
+        // to an empty gram list (DuckDB's generate_series is empty there)
+        s"""CASE WHEN length(text) >= $k
+           |  THEN transform(sequence(1, length(text) - $k + 1),
+           |                 p -> graft_polyhash(substring(text, p, $k)))
+           |  ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("h"))
+  }
+
+  /** Winnowed fingerprint selection: in every window of [[WinnowW]]
+    * consecutive gram hashes, select the minimum (rightmost on ties —
+    * the robust-winnowing rule). Expressed as ONE windowed aggregate:
+    * max(struct(−h, pos)) over a W-row frame is the rightmost argmin,
+    * so selection is a frame computation Spark and DuckDB evaluate
+    * identically — no sequential scan semantics. Distinct selected
+    * (doc_id, pos, h) rows come out; state per task is the W-row
+    * frame, so the operator is linear and partition-local by doc. */
+  private[operators] def winnowSelected(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    winnowSelectedOf(docs(spark, dir))
+  }
+
+  private[operators] def winnowSelectedOf(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val frame = byDoc.rowsBetween(-(WinnowW - 1), 0)
+    winnowGramsOf(corpus)
+      .withColumn("rn", row_number().over(byDoc))
+      .withColumn("pick", max(struct((-col("h")).as("nh"), col("pos"))).over(frame))
+      .filter(col("rn") >= WinnowW)
+      .select(col("doc_id"), col("pick.pos").as("pos"),
+        (-col("pick.nh")).as("h"))
+      .distinct()
+  }
+
+  /** Winnowing fingerprint stats — the per-doc selection report a
+    * plagiarism/overlap pipeline publishes: gram count, full-window
+    * count, selected positions, distinct fingerprints, and selection
+    * density (expected ≈ 2/(W+1) per the paper). Two linear
+    * partial-agg groupBys joined on doc_id. */
+  def winnow(spark: SparkSession, dir: String): DataFrame = {
+    val grams = winnowGrams(spark, dir)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val sel = winnowSelected(spark, dir)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sel"), countDistinct("h").as("n_fp"))
+    docs(spark, dir).select(col("doc_id"))
+      .join(grams, Seq("doc_id"), "left")
+      .join(sel, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        greatest(coalesce(col("n_grams"), lit(0L)) - (WinnowW - 1), lit(0L))
+          .as("n_windows"),
+        coalesce(col("n_sel"), lit(0L)).as("n_sel"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"))
+      .withColumn("density",
+        when(col("n_windows") > 0, col("n_sel") / col("n_windows").cast("double")))
+  }
+
+  /** Code-likeness probe suffix — the synthetic corpus has no source
+    * code, so (as with [[PiiSuffix]]) every [[CodeMod]]-th doc gets a
+    * constructed snippet appended and the detector has real work. */
+  val CodeMod = 7L
+  val CodeSuffix = "\nfor (int i = 0; i < n; i++) { total_sum += values[i]; }\nif (total_sum > threshold) { return compute_result(total_sum); }"
+
+  /** Code-detection signals — the StarCoder/RedPajama-style routing
+    * pass that keeps prose pipelines from ingesting source files:
+    * per-doc line count, code-shaped line count (trimmed line ending
+    * in `;`/`{`/`}`), symbol-char count, camelCase and snake_case
+    * identifier counts, and an integer-threshold flag (≥30% code
+    * lines, or ≥5% symbol chars). One codegen'd projection — linear,
+    * no shuffle; every signal is an exact integer so the flag is
+    * bit-identical across engines. */
+  def codeDetect(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(CodeMod)) === 0,
+          concat(col("text"), lit(CodeSuffix))).otherwise(col("text"))
+          .as("text"))
+      .select(col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("n_lines"),
+        expr("""CAST(size(filter(transform(split(text, '\n'), l -> trim(l)),
+               |  l -> l rlike '[;{}]$')) AS BIGINT)""".stripMargin)
+          .as("n_code_lines"),
+        size(expr("regexp_extract_all(text, '[{}();=<>]', 0)"))
+          .cast("long").as("n_sym"),
+        size(expr("regexp_extract_all(text, '[a-z]+[A-Z][a-zA-Z]*', 0)"))
+          .cast("long").as("n_camel"),
+        size(expr("regexp_extract_all(text, '[a-z]+_[a-z]+', 0)"))
+          .cast("long").as("n_snake"),
+        length(col("text")).cast("long").as("n_chars"))
+      .withColumn("is_code",
+        col("n_code_lines") * 10 >= col("n_lines") * 3 ||
+          col("n_sym") * 20 >= col("n_chars"))
 }

@@ -1507,7 +1507,9 @@ object TextCtes {
 
   /** twin of [[graft.operators.TextOps.bpeTrain]]: the three merge
     * rounds unrolled — per-round pair count, argmax, stateless
-    * merge/drop rewrite (a ≠ b, so matches cannot overlap). */
+    * merge/drop rewrite. Identical-symbol pairs (a = b) count and
+    * merge only at EVEN run offsets (gaps-and-islands parity — the
+    * leftmost-greedy rule without sequential semantics). */
   val bpeTrain: String =
     s"""WITH $bpeCtes
        |SELECT CAST(1 AS BIGINT) AS step, a, b, a || b AS merged, cnt FROM m1
@@ -1527,19 +1529,28 @@ object TextCtes {
   /** shared CTE chain of the three unrolled BPE merge rounds. */
   private lazy val bpeCtes: String = {
     def round(i: Int): String = {
-      val (si, pi, mi, sn) = (s"s$i", s"p$i", s"m$i", s"s${i + 1}")
-      s"""$pi AS (SELECT sym AS a, nxt AS b, CAST(sum(wc) AS BIGINT) AS cnt FROM (
-         |    SELECT wc, sym, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
-         |    FROM $si) t
-         |  WHERE nxt IS NOT NULL AND sym <> nxt GROUP BY 1, 2),
+      val (si, ci, pi, mi, sn) = (s"s$i", s"c$i", s"p$i", s"m$i", s"s${i + 1}")
+      // ci: neighbor symbols + the run offset (rn − rn_within_sym
+      // islands, then 0-based offset inside the run) — the parity that
+      // makes repeated-symbol merges a stateless leftmost-greedy rule
+      s"""$ci AS (SELECT w, wc, pos, sym, nxt, prv,
+         |    row_number() OVER (PARTITION BY w, sym, grp ORDER BY pos) - 1 AS off
+         |  FROM (SELECT w, wc, pos, sym,
+         |      lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt,
+         |      lag(sym) OVER (PARTITION BY w ORDER BY pos) AS prv,
+         |      row_number() OVER (PARTITION BY w ORDER BY pos)
+         |        - row_number() OVER (PARTITION BY w, sym ORDER BY pos) AS grp
+         |    FROM $si) t0),
+         |$pi AS (SELECT sym AS a, nxt AS b, CAST(sum(wc) AS BIGINT) AS cnt FROM $ci
+         |  WHERE nxt IS NOT NULL AND (sym <> nxt OR off % 2 = 0) GROUP BY 1, 2),
          |$mi AS (SELECT a, b, cnt FROM $pi ORDER BY cnt DESC, a, b LIMIT 1),
          |$sn AS (SELECT w, wc, pos,
          |    CASE WHEN sym = m.a AND coalesce(nxt, '') = m.b
+         |          AND (m.a <> m.b OR off % 2 = 0)
          |         THEN m.a || m.b ELSE sym END AS sym
-         |  FROM (SELECT w, wc, pos, sym,
-         |      lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt,
-         |      lag(sym) OVER (PARTITION BY w ORDER BY pos) AS prv FROM $si) t, $mi m
-         |  WHERE NOT (coalesce(t.prv, '') = m.a AND t.sym = m.b))""".stripMargin
+         |  FROM $ci t, $mi m
+         |  WHERE NOT (coalesce(t.prv, '') = m.a AND t.sym = m.b
+         |             AND (m.a <> m.b OR off % 2 = 1)))""".stripMargin
     }
     s"""words AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
        |    SELECT unnest(${toks("lower(text)")}) AS w FROM documents)
@@ -1757,5 +1768,155 @@ object TextCtes {
        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
        |  FROM scored)
        |SELECT qid, rnk AS rank, nid, cos FROM ranked WHERE rnk <= $K""".stripMargin
+  }
+
+  /** winnowing CTE chain ending in `wsel(doc_id, pos, h)` — twin of
+    * [[graft.operators.TextOps.winnowSelected]]: per-position char
+    * k-gram hashes, then rightmost-min selection per W-gram window via
+    * the same max(struct(−h, pos)) frame aggregate. */
+  private lazy val winnowCtes: String = {
+    import graft.operators.TextOps.{WinnowK, WinnowW}
+    s"""wg AS (SELECT doc_id,
+       |    CAST(unnest(generate_series(1, length(text) - $WinnowK + 1)) AS BIGINT) AS pos,
+       |    unnest(list_transform(generate_series(1, length(text) - $WinnowK + 1),
+       |      p -> ${fp(s"substring(text, p, $WinnowK)")})) AS h
+       |  FROM documents WHERE length(text) >= $WinnowK),
+       |wsel AS (SELECT DISTINCT doc_id,
+       |    struct_extract(pick, 'pos') AS pos,
+       |    -struct_extract(pick, 'nh') AS h FROM (
+       |  SELECT doc_id, pos, h,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+       |    max(struct_pack(nh := -h, pos := pos)) OVER (
+       |      PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS pick
+       |  FROM wg) t WHERE rn >= $WinnowW)""".stripMargin
+  }
+
+  /** twin of [[graft.operators.TextOps.winnow]]: per-doc selection
+    * stats over the winnowed fingerprints. */
+  val winnow: String = {
+    import graft.operators.TextOps.WinnowW
+    s"""WITH $winnowCtes,
+       |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM wg GROUP BY 1),
+       |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sel,
+       |    CAST(count(DISTINCT h) AS BIGINT) AS n_fp FROM wsel GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(g.n_grams, 0) AS n_grams,
+       |  greatest(coalesce(g.n_grams, 0) - ${WinnowW - 1}, 0) AS n_windows,
+       |  coalesce(s.n_sel, 0) AS n_sel,
+       |  coalesce(s.n_fp, 0) AS n_fp,
+       |  CASE WHEN greatest(coalesce(g.n_grams, 0) - ${WinnowW - 1}, 0) > 0
+       |       THEN coalesce(s.n_sel, 0)
+       |            / CAST(greatest(coalesce(g.n_grams, 0) - ${WinnowW - 1}, 0) AS DOUBLE)
+       |       END AS density
+       |FROM documents d
+       |LEFT JOIN g ON d.doc_id = g.doc_id
+       |LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin
+  }
+
+  /** twin of [[graft.operators.Dedup.winnowPairs]]: df-capped inverted
+    * index over selected fingerprints, pair join, share floor. */
+  val winnowPairs: String = {
+    import graft.operators.Dedup.{WinnowMaxDf, WinnowMinShared}
+    s"""WITH $winnowCtes,
+       |fps AS (SELECT DISTINCT doc_id, h FROM wsel),
+       |rare AS (SELECT h FROM fps GROUP BY h
+       |  HAVING count(*) BETWEEN 2 AND $WinnowMaxDf)
+       |SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM (SELECT f.doc_id, f.h FROM fps f JOIN rare r USING (h)) a
+       |JOIN (SELECT f.doc_id, f.h FROM fps f JOIN rare r USING (h)) b
+       |  ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared""".stripMargin
+  }
+
+  /** twin of [[graft.operators.TextOps.codeDetect]]: probe-suffixed
+    * corpus, line/symbol-shape counts, integer-threshold flag. */
+  val codeDetect: String = {
+    import graft.operators.TextOps.{CodeMod, CodeSuffix}
+    val sfx = CodeSuffix.split("\n", -1)
+      .map(s => s"'${s.replace("'", "''")}'").mkString(" || chr(10) || ")
+    s"""WITH probed AS (SELECT doc_id,
+       |    CASE WHEN doc_id % $CodeMod = 0 THEN text || $sfx ELSE text END AS text
+       |  FROM documents),
+       |sig AS (SELECT doc_id,
+       |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+       |      l -> regexp_matches(l, '[;{}]$$'))) AS BIGINT) AS n_code_lines,
+       |    CAST(len(regexp_extract_all(text, '[{}();=<>]')) AS BIGINT) AS n_sym,
+       |    CAST(len(regexp_extract_all(text, '[a-z]+[A-Z][a-zA-Z]*')) AS BIGINT) AS n_camel,
+       |    CAST(len(regexp_extract_all(text, '[a-z]+_[a-z]+')) AS BIGINT) AS n_snake,
+       |    CAST(length(text) AS BIGINT) AS n_chars
+       |  FROM probed)
+       |SELECT doc_id, n_lines, n_code_lines, n_sym, n_camel, n_snake, n_chars,
+       |  (n_code_lines * 10 >= n_lines * 3 OR n_sym * 20 >= n_chars) AS is_code
+       |FROM sig""".stripMargin
+  }
+
+  /** twin of [[graft.operators.Pipeline.dsirWeights]]: hashed-unigram
+    * buckets, add-one-smoothed target/raw likelihood ratio in integer
+    * micro-units, per-doc ratio-weighted sums. */
+  val dsirWeights: String = {
+    import graft.operators.Pipeline.{DsirBuckets, DsirScale}
+    s"""WITH dt AS (SELECT doc_id, ${toks("text")} AS t FROM documents),
+       |dtok AS (
+       |  SELECT doc_id, unnest(t) AS g FROM dt
+       |  UNION ALL
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+       |      j -> t[j] || ' ' || t[j + 1])) AS g
+       |  FROM dt WHERE len(t) >= 2),
+       |db AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT doc_id, ${fp("g")} % $DsirBuckets AS bucket FROM dtok) t
+       |  GROUP BY 1, 2),
+       |tcb AS (SELECT b.bucket, CAST(sum(b.cnt) AS BIGINT) AS tc FROM db b
+       |  JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY 1),
+       |ratio AS (SELECT r.bucket, r.rc, coalesce(t.tc, 0) AS tc FROM
+       |  (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS rc FROM db GROUP BY 1) r
+       |  LEFT JOIN tcb t USING (bucket)),
+       |tot AS (SELECT CAST(sum(tc) AS BIGINT) AS tt, CAST(sum(rc) AS BIGINT) AS rt
+       |  FROM ratio),
+       |lr AS (SELECT bucket,
+       |    CAST(($DsirScale * (tc + 1) * (rt + $DsirBuckets))
+       |         // ((rc + 1) * (tt + $DsirBuckets)) AS BIGINT) AS lr_micro
+       |  FROM ratio, tot)
+       |SELECT db.doc_id, CAST(sum(db.cnt) AS BIGINT) AS n_tokens,
+       |  CAST(sum(db.cnt * lr.lr_micro) AS BIGINT) AS score_micro,
+       |  CAST(sum(db.cnt * lr.lr_micro) // sum(db.cnt) AS BIGINT) AS avg_micro
+       |FROM db JOIN lr USING (bucket) GROUP BY db.doc_id""".stripMargin
+  }
+
+  /** twin of [[graft.operators.Similarity.matryoshkaRecall]]: per
+    * prefix length m, prefix-cosine top-K vs the full-dim brute-force
+    * truth. */
+  val matryoshka: String = {
+    import graft.operators.Similarity.{MatryoshkaDims, QueryMod, K}
+    val dims = MatryoshkaDims.mkString("[", ", ", "]")
+    s"""WITH $embBase,
+       |mdims AS (SELECT CAST(unnest($dims) AS BIGINT) AS m),
+       |pq AS (SELECT m.m, el.vec_id, CAST(sum(el.x * el.x) AS BIGINT) AS pn
+       |  FROM el, mdims m WHERE el.i <= m.m GROUP BY 1, 2),
+       |qv AS (SELECT p.m, p.vec_id AS qid, p.pn AS qn
+       |  FROM pq p JOIN valid v ON p.vec_id = v.vec_id
+       |  WHERE p.vec_id % $QueryMod = 0 AND p.pn > 0),
+       |cvx AS (SELECT p.m, p.vec_id AS nid, p.pn AS cn
+       |  FROM pq p JOIN valid v ON p.vec_id = v.vec_id WHERE p.pn > 0),
+       |pdots AS (SELECT m.m, a.vec_id AS qid, b.vec_id AS nid,
+       |    CAST(sum(a.x * b.x) AS BIGINT) AS dot
+       |  FROM el a JOIN el b ON a.i = b.i, mdims m
+       |  WHERE a.vec_id % $QueryMod = 0 AND a.vec_id <> b.vec_id AND a.i <= m.m
+       |  GROUP BY 1, 2, 3),
+       |scored AS (SELECT d.m, d.qid, d.nid,
+       |    d.dot / (sqrt(q.qn) * sqrt(c.cn)) AS cos
+       |  FROM pdots d JOIN qv q ON d.m = q.m AND d.qid = q.qid
+       |  JOIN cvx c ON d.m = c.m AND d.nid = c.nid),
+       |ranked AS (SELECT m, qid, nid,
+       |    row_number() OVER (PARTITION BY m, qid ORDER BY cos DESC, nid) AS rnk
+       |  FROM scored),
+       |ptop AS (SELECT m, qid, nid FROM ranked WHERE rnk <= $K),
+       |truth AS (SELECT qid, nid FROM ($annBruteForce)),
+       |t AS (SELECT count(*) AS n_truth FROM truth)
+       |SELECT p.m, count(*) AS n_hits, CAST(t.n_truth AS BIGINT) AS n_truth,
+       |  count(*) / CAST(t.n_truth AS DOUBLE) AS recall
+       |FROM ptop p JOIN truth USING (qid, nid), t
+       |GROUP BY p.m, t.n_truth""".stripMargin
   }
 }

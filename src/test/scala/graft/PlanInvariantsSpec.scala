@@ -230,4 +230,27 @@ class PlanInvariantsSpec extends SparkTestBase {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
     }
   }
+
+  test("pipe_dsir scores through a broadcast ratio table, no cartesian") {
+    val p = plan("pipe_dsir")
+    // the ≤4096-row likelihood-ratio table must broadcast into the
+    // per-doc scoring join — a shuffle join there re-exchanges the
+    // whole (doc, bucket) stream for a dictionary-sized build side
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t_code_detect is one shuffle-free projection") {
+    val p = plan("t_code_detect")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("regexp_extract_all"), p)
+  }
+
+  test("dd_winnow_pairs joins on the fingerprint key, never all-pairs") {
+    val p = plan("dd_winnow_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    // the pair join must be keyed by the selected fingerprint h
+    val hJoin = raw"Join \[h#\d+L\], \[h#\d+L\]".r
+    assert(hJoin.findFirstIn(p).isDefined, p)
+  }
 }

@@ -55,12 +55,11 @@ class Round7OpsSpec extends SparkTestBase {
     assert(r.getLong(3) > 0 && r.getLong(4) > 0)
   }
 
-  test("bpeTrain: one merge per round, counts non-increasing, a≠b, merged=a||b") {
+  test("bpeTrain: one merge per round, counts non-increasing, merged=a||b") {
     val m = TextOps.bpeTrain(spark, dir).orderBy("step").collect()
     assert(m.length === TextOps.BpeMerges)
     assert(m.map(_.getLong(0)).toSeq === (1L to TextOps.BpeMerges.toLong))
     m.foreach { r =>
-      assert(r.getString(1) !== r.getString(2))
       assert(r.getString(3) === r.getString(1) + r.getString(2))
       assert(r.getLong(4) > 0)
     }
@@ -74,7 +73,8 @@ class Round7OpsSpec extends SparkTestBase {
   test("bpeTrain merge rewrite matches a reference re-tokenization") {
     // re-derive: applying the learned merges to the word list must
     // reproduce each round's pair count on a driver-side reference
-    // implementation (same a≠b non-overlap semantics)
+    // implementation (sequential leftmost-greedy — the semantics the
+    // gaps-and-islands parity rule must reproduce, incl. a = b runs)
     val docs = graft.sources.Tpch.table(spark, dir, "documents")
     val words = docs.select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
       .groupBy("w").count().collect()
@@ -93,9 +93,11 @@ class Round7OpsSpec extends SparkTestBase {
     val learned = TextOps.bpeTrain(spark, dir).orderBy("step").collect()
     learned.foreach { r =>
       val (a, b, cnt) = (r.getString(1), r.getString(2), r.getLong(4))
-      // reference pair count before applying this merge
+      // reference pair count before applying this merge: merges the
+      // leftmost-greedy scan would perform (non-overlapping — for
+      // a = b an 'aaa' run yields floor(3/2) = 1, not 2)
       val ref = state.map { case (syms, c) =>
-        c * syms.zip(syms.tail).count { p => p._1 == a && p._2 == b }
+        c * (syms.length - mergeOnce(syms, a, b).length)
       }.sum
       assert(ref === cnt, s"round ${r.getLong(0)} count mismatch")
       state = state.map { case (syms, c) => (mergeOnce(syms, a, b), c) }

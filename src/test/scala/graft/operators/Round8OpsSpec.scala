@@ -100,4 +100,80 @@ class Round8OpsSpec extends SparkTestBase {
     assert(nUnits >= nGroups - slicedG)
     assert(maxUnit <= maxBucket)
   }
+
+  test("winnow: guarantee + density — every window selects, density near 2/(w+1)") {
+    val rows = TextOps.winnow(spark, dir).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val (nGrams, nWin, nSel, nFp) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nWin === math.max(nGrams - (TextOps.WinnowW - 1), 0L))
+      assert(nSel <= nWin)              // ≤ one new selection per window
+      assert(nFp <= nSel)
+      if (nWin > 0) assert(nSel >= 1L)  // the winnowing guarantee
+    }
+    // expected density of random hashes is 2/(w+1) = 0.4; real text
+    // repeats grams so allow a wide band, but catch degenerate
+    // select-everything / select-nothing bugs
+    val d = rows.filter(_.getLong(2) > 0)
+      .map(r => r.getLong(3).toDouble / r.getLong(2)).sum / rows.length
+    assert(d > 0.1 && d < 0.8, s"mean density $d")
+  }
+
+  test("winnowPairs: the MOSS guarantee finds planted local overlap") {
+    import spark.implicits._
+    // two docs sharing one long span, one unrelated — selection over a
+    // shared span of ≥ K+W-1 chars MUST yield a shared fingerprint
+    val span = "the identical copied paragraph lives inside both documents"
+    val corpus = Seq(
+      (1L, s"alpha beta gamma $span delta epsilon"),
+      (2L, s"zeta eta theta iota $span kappa"),
+      (3L, "completely unrelated text with nothing in common at all"))
+      .toDF("doc_id", "text")
+    TextOps.ensureRegistered(spark)
+    // run the same selection the operator uses, via a temp-view corpus
+    val fps = TextOps.winnowSelectedOf(corpus)
+      .select(col("doc_id"), col("h")).distinct()
+    val shared = fps.filter(col("doc_id") === 1L)
+      .join(fps.filter(col("doc_id") === 2L), "h").count()
+    assert(shared >= 1, "shared span produced no shared fingerprint")
+  }
+
+  test("codeDetect: probe docs flag as code, non-probe corpus does not") {
+    val rows = TextOps.codeDetect(spark, dir).collect()
+    val (probe, rest) = rows.partition(_.getLong(0) % TextOps.CodeMod == 0)
+    assert(probe.nonEmpty && rest.nonEmpty)
+    // every probe doc gained code-shaped lines and symbols
+    probe.foreach { r =>
+      assert(r.getLong(2) >= 2, s"doc ${r.getLong(0)}: n_code_lines")
+      assert(r.getLong(5) >= 2, s"doc ${r.getLong(0)}: n_snake")
+    }
+    // prose corpus: no code-shaped lines at all
+    rest.foreach { r => assert(r.getLong(2) === 0L) }
+  }
+
+  test("dsirWeights: en docs score higher than non-en on average") {
+    val w = graft.operators.Pipeline.dsirWeights(spark, dir)
+    val lang = TextOps.docs(spark, dir).select(col("doc_id"), col("lang"))
+    val by = w.join(lang, "doc_id")
+      .groupBy(col("lang") === "en")
+      .agg(avg(col("avg_micro")).as("m"))
+      .collect().map(r => (r.getBoolean(0), r.getDouble(1))).toMap
+    assert(by(true) > by(false),
+      s"en ${by(true)} should beat non-en ${by(false)}")
+    assert(by.values.forall(_ > 0.0))
+  }
+
+  test("matryoshkaRecall: recall grows with prefix dims") {
+    // the synthetic embeddings are near-isotropic (no Matryoshka
+    // training), so absolute prefix recall is LOW by construction —
+    // the invariants are shape, monotonicity, and a non-degenerate
+    // 32-dim signal (measured 0.26 vs 0.06 at 16 dims on sf0.001)
+    val r = Similarity.matryoshkaRecall(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getDouble(3))).toMap
+    assert(r.keySet === Similarity.MatryoshkaDims.map(_.toLong).toSet)
+    assert(r(16L) <= r(32L) + 1e-9, s"recall not monotone: $r")
+    assert(r(32L) >= 0.1, s"32-dim prefix recall ${r(32L)}")
+    assert(r.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
 }
