@@ -24,6 +24,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // 201 queries × several codegen units each blow far past the
+      // default 100-entry generated-class cache; once evicted, every
+      // repeat run re-pays ~0.5-1 s of janino compile × 32 waiting
+      // tasks PER STAGE (r8 bench: q28 ran 0.9 s isolated but 5-19 s
+      // in-suite with exec ≈ 1 s — pure recompile-wait). At sf-corpus
+      // size compile latency, not data, dominates; a class cache
+      // sized to the suite removes the thrash.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // untimed warmup: first-touch costs (FileSystem + parquet reader

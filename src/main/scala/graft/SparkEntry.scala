@@ -117,6 +117,15 @@ object SparkEntry {
     quiet(graft.operators.PageRank.personalized(s, dir).count())
     quiet(GraphOps.pathExpand(s, dir).count())
     quiet(graft.operators.Olap.warm(s, dir))
+    // round-8b: the two remaining compile-bound iterative outputs
+    // (per-round localCheckpoint lineage = fresh codegen per round —
+    // it_sssp 21.3 s / it_coreness 11.8 s medians were compile-wait,
+    // not data; see SCALE.md "codegen-bound at sf size")
+    quiet(graft.operators.Iterative.shortestPaths(s, dir).count())
+    quiet(graft.operators.Iterative.coreness(s, dir).count())
+    // round-8b: shared winnowed-fingerprint selection (t_winnow +
+    // dd_winnow_pairs both start from it)
+    quiet(TextOps.winnowSelected(s, dir).count())
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -902,6 +911,8 @@ object SparkEntry {
     "t_code_detect" -> ((s, dir) => TextOps.codeDetect(s, dir)),
     // DSIR: hashed-ngram importance weights vs the en target slice
     "pipe_dsir" -> ((s, dir) => graft.operators.Pipeline.dsirWeights(s, dir)),
+    // temperature-scaled source mixture weights (mT5/XLM-R sampling rule)
+    "pipe_source_mix" -> ((s, dir) => graft.operators.Pipeline.sourceMix(s, dir)),
     "g_link_prediction" -> ((s, dir) => GraphOps.linkPrediction(s, dir)),
     "ann_topk" -> ((s, dir) => Similarity.annBruteForce(s, dir)),
     "ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
@@ -1537,6 +1548,7 @@ object SparkEntry {
     "dd_winnow_pairs" -> TextCtes.winnowPairs,
     "t_code_detect" -> TextCtes.codeDetect,
     "pipe_dsir" -> TextCtes.dsirWeights,
+    "pipe_source_mix" -> TextCtes.sourceMix,
     "emb_matryoshka" -> TextCtes.matryoshka,
     "g_link_prediction" ->
       s"""WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),

@@ -656,7 +656,7 @@ object Dedup {
     * partial-agg groupBy rolls shared counts up. */
   def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
     TextOps.ensureRegistered(spark)
-    winnowPairsOf(TextOps.docs(spark, dir))
+    winnowPairsFromFps(TextOps.winnowSelected(spark, dir))
   }
 
   /** [[winnowPairs]] over an arbitrary (doc_id, text) corpus — used by

@@ -481,4 +481,36 @@ object Pipeline {
         sum(col("cnt") * col("lr_micro")).as("score_micro"))
       .withColumn("avg_micro", expr("score_micro div n_tokens"))
   }
+
+  /** Temperature exponent for [[sourceMix]] — the α of
+    * q_s ∝ p_s^α (α < 1 upsamples the tail). */
+  val MixAlpha = 0.7
+
+  /** Temperature-scaled source mixture design (the mT5/XLM-R sampling
+    * rule, also GPT-3's corpus-weighting shape): from each source's
+    * exact token mass p_s, the training sampling weight
+    * q_s ∝ p_s^[[MixAlpha]] and the implied epoch boost q_s/p_s —
+    * the table a data recipe publishes to decide how often each
+    * source repeats in the mixture.
+    *
+    * Scale shape: one partial-agg groupBy(source) over the corpus
+    * (counts are exact integers; the doubles are derived from them in
+    * a fixed op order), then the ≤|sources|-row table normalizes
+    * against its own 1-row broadcast total — nothing corpus-sized
+    * shuffles twice at any scale. */
+  def sourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val by = TextOps.docs(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.toks(col("text"))).cast("long")).as("n_tokens"))
+    val tot = by.agg(sum("n_tokens").as("tt"))
+    val p = by.crossJoin(broadcast(tot))
+      .withColumn("p", col("n_tokens") / col("tt").cast("double"))
+      .withColumn("pa", pow(col("p"), lit(MixAlpha)))
+    val z = p.agg(sum("pa").as("z"))
+    p.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("p"),
+        (col("pa") / col("z")).as("q"),
+        ((col("pa") / col("z")) / col("p")).as("boost"))
+  }
 }

@@ -61,6 +61,7 @@ object Similarity {
   /** Pre-materializes the shared ANN intermediates (bench warmup). */
   def warm(spark: SparkSession, dir: String): Unit = {
     bucketedCached(spark, dir).count()
+    slicedCached(spark, dir).count()
     ()
   }
 
@@ -754,9 +755,16 @@ object Similarity {
     // the broadcast-sized unit table's parent); a user-specified count
     // is exempt from AQE coalescing, and both join sides derive from
     // this one table, so the join itself needs no further exchange.
-    val spark = e.sparkSession
-    val g0 = slicedGroups(e)
-      .select("vec_id", "q", "nrm", "key1", "slice")
+    knnCandidatesFrom(
+      slicedGroups(e).select("vec_id", "q", "nrm", "key1", "slice"))
+  }
+
+  /** the pair stage over an already-materialized sliced-group table —
+    * the sf-dir queries hand in [[slicedCached]] so the group
+    * assignment (and its codegen'd plane-dot stage) runs ONCE per
+    * (session, dir), not once per consuming subquery. */
+  private[operators] def knnCandidatesFrom(g0: DataFrame): DataFrame = {
+    val spark = g0.sparkSession
     val estRow = g0.groupBy("key1", "slice").agg(count(lit(1)).as("n"))
       .agg(sum(col("n") * col("n"))).head
     val pairEst = if (estRow.isNullAt(0)) 0L else estRow.getLong(0)
@@ -790,14 +798,31 @@ object Similarity {
     * row_number streams over the sorted run. Extra partition keys
     * change nothing semantically (each qid lives in exactly one
     * group); equality with the plain-qid form is spec-pinned. */
-  private[operators] def knnTopK(e: DataFrame, k: Int): DataFrame = {
+  private[operators] def knnTopK(e: DataFrame, k: Int): DataFrame =
+    knnTopKFrom(knnCandidates(e), k)
+
+  private[operators] def knnTopKFrom(cands: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("key1", "slice", "qid")
       .orderBy(col("cos").desc, col("nid"))
-    knnCandidates(e)
+    cands
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "nid")
   }
+
+  /** Session-memoized sliced-group assignment of the sf-dir corpus —
+    * shared by [[knnGraph]] and [[bucketStats]]: the assignment's
+    * plane-dot stage is the single most codegen-heavy expression tree
+    * in the engine (16 × 64-term dot CASEs), and at sf-corpus size the
+    * dominant cost is not the 2k rows but the ~0.5-1 s of generated
+    * class compilation EVERY fresh subquery re-pays × 32 waiting
+    * tasks (r8 bench: emb_bucket_stats spent 260+ executor-seconds on
+    * a 2,000-row corpus, all compile-wait). One persisted copy makes
+    * that a warmup cost paid once per session. */
+  private val slicedMemo = new graft.SessionMemo[DataFrame]
+  private def slicedCached(spark: SparkSession, dir: String): DataFrame =
+    slicedMemo.getOrElseUpdate(spark, dir)(
+      slicedGroups(bucketedCached(spark, dir)).persist())
 
   /** Mutual-kNN graph over the embedding corpus + label-agreement
     * summary — the neighborhood-structure probe clustering and
@@ -811,7 +836,9 @@ object Similarity {
     * partition by vector; output is one bounded row per unordered
     * label pair. */
   def knnGraph(spark: SparkSession, dir: String): DataFrame = {
-    val knn = knnTopK(bucketedCached(spark, dir), KnnGraphK)
+    val knn = knnTopKFrom(knnCandidatesFrom(
+      slicedCached(spark, dir).select("vec_id", "q", "nrm", "key1", "slice")),
+      KnnGraphK)
     // mutual edges, canonicalized qid < nid
     val mutual = knn.filter(col("qid") < col("nid"))
       .join(knn.select(col("nid").as("qid"), col("qid").as("nid")),
@@ -837,7 +864,7 @@ object Similarity {
     * counts are exact integers over broadcast-joined occupancy tables;
     * one bounded summary row. */
   def bucketStats(spark: SparkSession, dir: String): DataFrame = {
-    val g = slicedGroups(bucketedCached(spark, dir))
+    val g = slicedCached(spark, dir)
     val s0 = g.select("bucket", "occ0").distinct()
       .agg(count(lit(1)).as("n_buckets"), max("occ0").as("max_bucket"),
         count(when(col("occ0") > KnnBucketCap, lit(1))).as("refined_buckets"))

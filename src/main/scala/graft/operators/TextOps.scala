@@ -1020,9 +1020,16 @@ object TextOps {
     * identically — no sequential scan semantics. Distinct selected
     * (doc_id, pos, h) rows come out; state per task is the W-row
     * frame, so the operator is linear and partition-local by doc. */
-  private[operators] def winnowSelected(spark: SparkSession, dir: String): DataFrame = {
+  /** Session-memoized: both `t_winnow`'s stats and
+    * `dd_winnow_pairs`' inverted index start from the same selected
+    * set — one persisted selection pass per (session, dir) instead of
+    * re-paying the gram explode + frame aggregate per query (the
+    * shared-intermediate lifecycle of [[tokenTable]]). */
+  private val winnowMemo = new graft.SessionMemo[DataFrame]
+  private[graft] def winnowSelected(spark: SparkSession, dir: String): DataFrame = {
     ensureRegistered(spark)
-    winnowSelectedOf(docs(spark, dir))
+    winnowMemo.getOrElseUpdate(spark, dir)(
+      winnowSelectedOf(docs(spark, dir)).persist())
   }
 
   private[operators] def winnowSelectedOf(corpus: DataFrame): DataFrame = {
@@ -1044,18 +1051,18 @@ object TextOps {
     * density (expected ≈ 2/(W+1) per the paper). Two linear
     * partial-agg groupBys joined on doc_id. */
   def winnow(spark: SparkSession, dir: String): DataFrame = {
-    val grams = winnowGrams(spark, dir)
-      .groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
     val sel = winnowSelected(spark, dir)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sel"), countDistinct("h").as("n_fp"))
-    docs(spark, dir).select(col("doc_id"))
-      .join(grams, Seq("doc_id"), "left")
-      .join(sel, Seq("doc_id"), "left")
+    // gram count is a pure function of text length — no second pass
+    // over the gram stream (the memoized selection is the only one)
+    docs(spark, dir)
       .select(col("doc_id"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        greatest(coalesce(col("n_grams"), lit(0L)) - (WinnowW - 1), lit(0L))
-          .as("n_windows"),
+        greatest(length(col("text")).cast("long") - (WinnowK - 1), lit(0L))
+          .as("n_grams"))
+      .join(sel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        greatest(col("n_grams") - (WinnowW - 1), lit(0L)).as("n_windows"),
         coalesce(col("n_sel"), lit(0L)).as("n_sel"),
         coalesce(col("n_fp"), lit(0L)).as("n_fp"))
       .withColumn("density",

@@ -1797,21 +1797,21 @@ object TextCtes {
   val winnow: String = {
     import graft.operators.TextOps.WinnowW
     s"""WITH $winnowCtes,
-       |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM wg GROUP BY 1),
+       |g AS (SELECT doc_id,
+       |    greatest(CAST(length(text) AS BIGINT) - ${graft.operators.TextOps.WinnowK - 1}, 0) AS n_grams
+       |  FROM documents),
        |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sel,
        |    CAST(count(DISTINCT h) AS BIGINT) AS n_fp FROM wsel GROUP BY 1)
-       |SELECT d.doc_id,
-       |  coalesce(g.n_grams, 0) AS n_grams,
-       |  greatest(coalesce(g.n_grams, 0) - ${WinnowW - 1}, 0) AS n_windows,
+       |SELECT g.doc_id, g.n_grams,
+       |  greatest(g.n_grams - ${WinnowW - 1}, 0) AS n_windows,
        |  coalesce(s.n_sel, 0) AS n_sel,
        |  coalesce(s.n_fp, 0) AS n_fp,
-       |  CASE WHEN greatest(coalesce(g.n_grams, 0) - ${WinnowW - 1}, 0) > 0
+       |  CASE WHEN greatest(g.n_grams - ${WinnowW - 1}, 0) > 0
        |       THEN coalesce(s.n_sel, 0)
-       |            / CAST(greatest(coalesce(g.n_grams, 0) - ${WinnowW - 1}, 0) AS DOUBLE)
+       |            / CAST(greatest(g.n_grams - ${WinnowW - 1}, 0) AS DOUBLE)
        |       END AS density
-       |FROM documents d
-       |LEFT JOIN g ON d.doc_id = g.doc_id
-       |LEFT JOIN s ON d.doc_id = s.doc_id""".stripMargin
+       |FROM g
+       |LEFT JOIN s ON g.doc_id = s.doc_id""".stripMargin
   }
 
   /** twin of [[graft.operators.Dedup.winnowPairs]]: df-capped inverted
@@ -1882,6 +1882,24 @@ object TextCtes {
        |  CAST(sum(db.cnt * lr.lr_micro) AS BIGINT) AS score_micro,
        |  CAST(sum(db.cnt * lr.lr_micro) // sum(db.cnt) AS BIGINT) AS avg_micro
        |FROM db JOIN lr USING (bucket) GROUP BY db.doc_id""".stripMargin
+  }
+
+  /** twin of [[graft.operators.Pipeline.sourceMix]]: per-source token
+    * mass, temperature-scaled sampling weight, epoch boost. */
+  val sourceMix: String = {
+    import graft.operators.Pipeline.MixAlpha
+    s"""WITH by AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(${toks("text")})) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM by),
+       |p AS (SELECT source, n_docs, n_tokens,
+       |    n_tokens / CAST(tt AS DOUBLE) AS p,
+       |    pow(n_tokens / CAST(tt AS DOUBLE), $MixAlpha) AS pa
+       |  FROM by, tot),
+       |z AS (SELECT sum(pa) AS z FROM p)
+       |SELECT source, n_docs, n_tokens, p.p AS p,
+       |  pa / z.z AS q, (pa / z.z) / p.p AS boost
+       |FROM p, z""".stripMargin
   }
 
   /** twin of [[graft.operators.Similarity.matryoshkaRecall]]: per
