@@ -295,6 +295,9 @@ object AnnScale {
   * against a broadcast ratio table; target slice = doc_id ≡ 0 mod 5 —
   * a throughput probe, the quality probe is the sf-dir oracle). */
 object TextScale {
+  /** shared-fingerprint floor for a CONFIDENT overlap verdict. */
+  val StrongShare = 8L
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
     val spark = LlmScale.session("TextScale")
@@ -328,6 +331,16 @@ object TextScale {
     val hits = pairs
       .filter(pmod(col("a"), lit(10L)) === 8L && col("b") === col("a") + 1)
       .count()
+    // the operator reports evidence MASS (shared-fingerprint count);
+    // the floor of 2 admits chance digit-gram collisions on this
+    // 10-char-alphabet corpus, so grade precision the way a consumer
+    // thresholds it: a planted pair shares its whole 57-token prefix
+    // (~200 fingerprints), a chance pair shares a handful
+    val strong = pairs.filter(col("n_shared") >= StrongShare).persist()
+    val nStrong = strong.count()
+    val strongHits = strong
+      .filter(pmod(col("a"), lit(10L)) === 8L && col("b") === col("a") + 1)
+      .count()
     // phase 3: DSIR scoring throughput
     val t2 = System.nanoTime()
     val toks = corpus.select(col("doc_id"), TextOps.toks(col("text")).as("t"))
@@ -338,12 +351,15 @@ object TextScale {
     val execDsir = (execMs.get() - e0) / 1e3 - execSel - execPairs
     println(s"""{"harness":"text_scale","n_docs":$n,"fingerprints":$nSel,""" +
       s""""pairs":$nPairs,"planted":$planted,"plant_hits":$hits,""" +
-      s""""recall":${hits.toDouble / planted},"dsir_docs":$nScored,""" +
+      s""""recall":${hits.toDouble / planted},""" +
+      s""""strong_pairs":$nStrong,"strong_hits":$strongHits,""" +
+      s""""strong_recall":${strongHits.toDouble / planted},""" +
+      s""""strong_spurious":${nStrong - strongHits},"dsir_docs":$nScored,""" +
       f""""wall_winnow_s":$wallSel%.1f,"exec_winnow_s":$execSel%.1f,""" +
       f""""wall_pairs_s":$wallPairs%.1f,"exec_pairs_s":$execPairs%.1f,""" +
       f""""wall_dsir_s":$wallDsir%.1f,"exec_dsir_s":$execDsir%.1f,""" +
       f""""docs_per_s_winnow":${n / wallSel}%.0f}""")
-    sel.unpersist(); pairs.unpersist(); corpus.unpersist()
+    sel.unpersist(); pairs.unpersist(); strong.unpersist(); corpus.unpersist()
     spark.stop()
   }
 }

@@ -990,36 +990,17 @@ object TextOps {
   val WinnowK = 8
   val WinnowW = 4
 
-  /** Per-position char k-gram rolling hashes of a corpus:
-    * (doc_id, pos, h) — pos is 1-based, h the [[fpSql]] polynomial
-    * hash of the k chars starting at pos. Linear scan, no shuffle. */
-  private[operators] def winnowGrams(spark: SparkSession, dir: String): DataFrame = {
-    ensureRegistered(spark)
-    winnowGramsOf(docs(spark, dir))
-  }
-
-  private[operators] def winnowGramsOf(corpus: DataFrame): DataFrame = {
-    val k = WinnowK
-    corpus
-      .select(col("doc_id"), posexplode(expr(
-        // Spark's sequence(1, n) DESCENDS when n < 1 — guard short docs
-        // to an empty gram list (DuckDB's generate_series is empty there)
-        s"""CASE WHEN length(text) >= $k
-           |  THEN transform(sequence(1, length(text) - $k + 1),
-           |                 p -> graft_polyhash(substring(text, p, $k)))
-           |  ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin)))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-        col("col").as("h"))
-  }
-
   /** Winnowed fingerprint selection: in every window of [[WinnowW]]
     * consecutive gram hashes, select the minimum (rightmost on ties —
-    * the robust-winnowing rule). Expressed as ONE windowed aggregate:
-    * max(struct(−h, pos)) over a W-row frame is the rightmost argmin,
-    * so selection is a frame computation Spark and DuckDB evaluate
-    * identically — no sequential scan semantics. Distinct selected
-    * (doc_id, pos, h) rows come out; state per task is the W-row
-    * frame, so the operator is linear and partition-local by doc. */
+    * the robust-winnowing rule). MAP-ONLY: the whole per-doc
+    * selection runs inside one codegen'd expression chain
+    * ([[graft.functions.GramHashes]] Rabin-Karp pass →
+    * [[graft.functions.Winnow]] monotonic deque), so no gram row ever
+    * reaches an exchange — the earlier window-aggregate form
+    * (max(struct(−h, pos)) over a W-row frame, which the DuckDB twin
+    * still runs, cross-validating the deque against the frame
+    * semantics at every gate) shuffled and sorted EVERY gram by
+    * (doc, pos). Output: distinct selected (doc_id, pos, h). */
   /** Session-memoized: both `t_winnow`'s stats and
     * `dd_winnow_pairs`' inverted index start from the same selected
     * set — one persisted selection pass per (session, dir) instead of
@@ -1032,18 +1013,15 @@ object TextOps {
       winnowSelectedOf(docs(spark, dir)).persist())
   }
 
-  private[operators] def winnowSelectedOf(corpus: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    val frame = byDoc.rowsBetween(-(WinnowW - 1), 0)
-    winnowGramsOf(corpus)
-      .withColumn("rn", row_number().over(byDoc))
-      .withColumn("pick", max(struct((-col("h")).as("nh"), col("pos"))).over(frame))
-      .filter(col("rn") >= WinnowW)
-      .select(col("doc_id"), col("pick.pos").as("pos"),
-        (-col("pick.nh")).as("h"))
-      .distinct()
-  }
+  private[operators] def winnowSelectedOf(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("doc_id"), explode(expr(
+        s"graft_winnow(graft_gram_hashes(text, $WinnowK), $WinnowW)"))
+        .as("packed"))
+      // packed = pos·2³¹ + h (pos 1-based, h < 1e9+7 < 2³¹)
+      .select(col("doc_id"),
+        shiftright(col("packed"), 31).as("pos"),
+        (col("packed").bitwiseAND(lit(2147483647L))).as("h"))
 
   /** Winnowing fingerprint stats — the per-doc selection report a
     * plagiarism/overlap pipeline publishes: gram count, full-window

@@ -164,6 +164,22 @@ class Round8OpsSpec extends SparkTestBase {
     assert(by.values.forall(_ > 0.0))
   }
 
+  test("sourceMix: q is a distribution, temperature flattens toward uniform") {
+    val rows = graft.operators.Pipeline.sourceMix(spark, dir).collect()
+    assert(rows.length > 1)
+    val (ps, qs) = (rows.map(_.getDouble(3)), rows.map(_.getDouble(4)))
+    assert(math.abs(ps.sum - 1.0) < 1e-9 && math.abs(qs.sum - 1.0) < 1e-9)
+    // α < 1 compresses the mixture: boost = p^(α−1)/Z is strictly
+    // decreasing in p, so the smallest source is upsampled relative
+    // to the largest
+    val byP = rows.sortBy(_.getDouble(3))
+    val boosts = byP.map(_.getDouble(5))
+    boosts.zip(boosts.tail).foreach { case (hi, lo) =>
+      assert(hi >= lo - 1e-12, s"boost not monotone: $hi then $lo")
+    }
+    assert(boosts.head > boosts.last)
+  }
+
   test("matryoshkaRecall: recall grows with prefix dims") {
     // the synthetic embeddings are near-isotropic (no Matryoshka
     // training), so absolute prefix recall is LOW by construction —
