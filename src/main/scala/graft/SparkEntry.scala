@@ -907,6 +907,7 @@ object SparkEntry {
     // MOSS winnowing: per-doc fingerprint selection stats + overlap pairs
     "t_winnow" -> ((s, dir) => TextOps.winnow(s, dir)),
     "dd_winnow_pairs" -> ((s, dir) => Dedup.winnowPairs(s, dir)),
+    "dd_winnow_containment" -> ((s, dir) => Dedup.winnowContainment(s, dir)),
     // StarCoder/RedPajama-style code-vs-prose routing signals
     "t_code_detect" -> ((s, dir) => TextOps.codeDetect(s, dir)),
     // DSIR: hashed-ngram importance weights vs the en target slice
@@ -1546,6 +1547,7 @@ object SparkEntry {
     "t_hash_features" -> TextCtes.hashFeatures,
     "t_winnow" -> TextCtes.winnow,
     "dd_winnow_pairs" -> TextCtes.winnowPairs,
+    "dd_winnow_containment" -> TextCtes.winnowContainment,
     "t_code_detect" -> TextCtes.codeDetect,
     "pipe_dsir" -> TextCtes.dsirWeights,
     "pipe_source_mix" -> TextCtes.sourceMix,

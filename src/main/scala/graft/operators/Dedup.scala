@@ -666,6 +666,30 @@ object Dedup {
   def winnowPairsOf(corpus: DataFrame): DataFrame =
     winnowPairsFromFps(TextOps.winnowSelectedOf(corpus))
 
+  /** MOSS-style directional containment over winnowed fingerprints:
+    * for each surviving pair, n_shared / |fps(a)| and / |fps(b)| —
+    * the asymmetry that tells "b quotes a paragraph of a" apart from
+    * "a and b are near-copies" (a report's match percentage). Reuses
+    * the memoized selection and the df-capped pair stage; the only
+    * additions are one per-doc fingerprint-count aggregate (tiny,
+    * broadcast) joined onto the pair table. Ratios are doubles from
+    * exact integer counts. */
+  def winnowContainment(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.ensureRegistered(spark)
+    val fps = TextOps.winnowSelected(spark, dir)
+      .select(col("doc_id"), col("h")).distinct()
+    val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+    // no broadcast hint: the per-doc size table is corpus-sized at
+    // scale (unlike a dimension) — AQE picks broadcast at sf size and
+    // a shuffle join at 100 TB, both correct
+    winnowPairsFromFps(TextOps.winnowSelected(spark, dir))
+      .join(sizes.select(col("doc_id").as("a"), col("nfp").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("nfp").as("nb")), "b")
+      .select(col("a"), col("b"), col("n_shared"),
+        (col("n_shared") / col("na").cast("double")).as("cont_a"),
+        (col("n_shared") / col("nb").cast("double")).as("cont_b"))
+  }
+
   /** the pair stage alone, over already-selected fingerprints — lets
     * the scale harness reuse one persisted selection pass for both
     * the selection and pair measurements. */

@@ -1829,6 +1829,28 @@ object TextCtes {
        |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared""".stripMargin
   }
 
+  /** twin of [[graft.operators.Dedup.winnowContainment]]: pair table
+    * plus per-doc fingerprint counts → directional containment. */
+  val winnowContainment: String = {
+    import graft.operators.Dedup.{WinnowMaxDf, WinnowMinShared}
+    s"""WITH $winnowCtes,
+       |fps AS (SELECT DISTINCT doc_id, h FROM wsel),
+       |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp FROM fps GROUP BY 1),
+       |rare AS (SELECT h FROM fps GROUP BY h
+       |  HAVING count(*) BETWEEN 2 AND $WinnowMaxDf),
+       |pr AS (SELECT a.doc_id AS a, b.doc_id AS b,
+       |    CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM (SELECT f.doc_id, f.h FROM fps f JOIN rare r USING (h)) a
+       |  JOIN (SELECT f.doc_id, f.h FROM fps f JOIN rare r USING (h)) b
+       |    ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared)
+       |SELECT pr.a, pr.b, pr.n_shared,
+       |  pr.n_shared / CAST(sa.nfp AS DOUBLE) AS cont_a,
+       |  pr.n_shared / CAST(sb.nfp AS DOUBLE) AS cont_b
+       |FROM pr JOIN sizes sa ON pr.a = sa.doc_id
+       |JOIN sizes sb ON pr.b = sb.doc_id""".stripMargin
+  }
+
   /** twin of [[graft.operators.TextOps.codeDetect]]: probe-suffixed
     * corpus, line/symbol-shape counts, integer-threshold flag. */
   val codeDetect: String = {
