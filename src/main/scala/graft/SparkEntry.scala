@@ -124,8 +124,10 @@ object SparkEntry {
     quiet(graft.operators.Iterative.shortestPaths(s, dir).count())
     quiet(graft.operators.Iterative.coreness(s, dir).count())
     // round-8b: shared winnowed-fingerprint selection (t_winnow +
-    // dd_winnow_pairs both start from it)
+    // dd_winnow_pairs both start from it) and the pair table
+    // (dd_winnow_pairs + dd_winnow_containment)
     quiet(TextOps.winnowSelected(s, dir).count())
+    quiet(Dedup.winnowPairs(s, dir).count())
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -654,9 +654,14 @@ object Dedup {
     * cap bounds per-key occupancy at [[WinnowMaxDf]], so the self
     * equi-join emits ≤ df²/2 pairs per key — never all-pairs. One
     * partial-agg groupBy rolls shared counts up. */
+  /** Session-memoized pair table — `dd_winnow_pairs` and
+    * `dd_winnow_containment` both consume it (same lifecycle as the
+    * verified-pairs memo behind the Jaccard family). */
+  private val winnowPairsMemo = new graft.SessionMemo[DataFrame]
   def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
     TextOps.ensureRegistered(spark)
-    winnowPairsFromFps(TextOps.winnowSelected(spark, dir))
+    winnowPairsMemo.getOrElseUpdate(spark, dir)(
+      winnowPairsFromFps(TextOps.winnowSelected(spark, dir)).persist())
   }
 
   /** [[winnowPairs]] over an arbitrary (doc_id, text) corpus — used by
@@ -682,7 +687,7 @@ object Dedup {
     // no broadcast hint: the per-doc size table is corpus-sized at
     // scale (unlike a dimension) — AQE picks broadcast at sf size and
     // a shuffle join at 100 TB, both correct
-    winnowPairsFromFps(TextOps.winnowSelected(spark, dir))
+    winnowPairs(spark, dir)
       .join(sizes.select(col("doc_id").as("a"), col("nfp").as("na")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("nfp").as("nb")), "b")
       .select(col("a"), col("b"), col("n_shared"),
