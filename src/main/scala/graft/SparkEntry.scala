@@ -128,6 +128,7 @@ object SparkEntry {
     // (dd_winnow_pairs + dd_winnow_containment)
     quiet(TextOps.winnowSelected(s, dir).count())
     quiet(Dedup.winnowPairs(s, dir).count())
+    quiet(graft.operators.Pipeline.dsirWeights(s, dir).count())
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -914,6 +915,8 @@ object SparkEntry {
     "t_code_detect" -> ((s, dir) => TextOps.codeDetect(s, dir)),
     // DSIR: hashed-ngram importance weights vs the en target slice
     "pipe_dsir" -> ((s, dir) => graft.operators.Pipeline.dsirWeights(s, dir)),
+    // the resampling step the weights exist for: per-lang selection rates
+    "pipe_dsir_sample" -> ((s, dir) => graft.operators.Pipeline.dsirSample(s, dir)),
     // temperature-scaled source mixture weights (mT5/XLM-R sampling rule)
     "pipe_source_mix" -> ((s, dir) => graft.operators.Pipeline.sourceMix(s, dir)),
     "g_link_prediction" -> ((s, dir) => GraphOps.linkPrediction(s, dir)),
@@ -1552,6 +1555,7 @@ object SparkEntry {
     "dd_winnow_containment" -> TextCtes.winnowContainment,
     "t_code_detect" -> TextCtes.codeDetect,
     "pipe_dsir" -> TextCtes.dsirWeights,
+    "pipe_dsir_sample" -> TextCtes.dsirSample,
     "pipe_source_mix" -> TextCtes.sourceMix,
     "emb_matryoshka" -> TextCtes.matryoshka,
     "g_link_prediction" ->

@@ -443,10 +443,39 @@ object Pipeline {
     * table is ≤ 4096 rows → BROADCAST; per-doc scoring is one
     * partial-agg groupBy over (doc, bucket) counts — linear in corpus
     * size, one shuffle on doc_id. */
+  /** Session-memoized: `pipe_dsir` and `pipe_dsir_sample` share the
+    * per-doc weight table (same lifecycle as the dedup pair memos). */
+  private val dsirMemo = new graft.SessionMemo[DataFrame]
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
     TextOps.ensureRegistered(spark)
-    dsirWeightsOf(TextOps.tokenTable(spark, dir),
-      TextOps.docs(spark, dir).filter(col("lang") === "en").select(col("doc_id")))
+    dsirMemo.getOrElseUpdate(spark, dir)(
+      dsirWeightsOf(TextOps.tokenTable(spark, dir),
+        TextOps.docs(spark, dir).filter(col("lang") === "en")
+          .select(col("doc_id")))
+        .persist())
+  }
+
+  /** The resampling step DSIR's weights exist for: keep documents
+    * whose mean per-token likelihood ratio beats the CORPUS MEAN
+    * (threshold = ⌊Σ avg_micro / n⌋ — exact BIGINT arithmetic, so the
+    * keep decision is deterministic and engine-identical; an absolute
+    * ratio ≥ 1 cut is degenerate under add-one smoothing, which pulls
+    * every small-corpus ratio below 1). Reported as per-language
+    * selection rates; the gate the table proves: the en slice selects
+    * at a higher rate than every other language, i.e. the weights
+    * actually steer the mixture toward the target. One 1-row
+    * broadcast threshold and a partial-agg groupBy over the memoized
+    * weight table. */
+  def dsirSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = dsirWeights(spark, dir)
+    val thr = w.agg(expr("sum(avg_micro) div count(1)").as("thr"))
+    w.crossJoin(broadcast(thr))
+      .join(TextOps.docs(spark, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("avg_micro") >= col("thr"), 1L).otherwise(0L))
+          .as("n_selected"))
+      .withColumn("sel_rate", col("n_selected") / col("n_docs").cast("double"))
   }
 
   /** [[dsirWeights]] over an arbitrary tokenized corpus (doc_id, t)

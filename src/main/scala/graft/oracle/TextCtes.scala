@@ -1906,6 +1906,19 @@ object TextCtes {
        |FROM db JOIN lr USING (bucket) GROUP BY db.doc_id""".stripMargin
   }
 
+  /** twin of [[graft.operators.Pipeline.dsirSample]]: per-language
+    * selection rates at the integer corpus-mean threshold. */
+  val dsirSample: String =
+    s"""WITH w AS ($dsirWeights),
+       |thr AS (SELECT CAST(sum(avg_micro) // count(*) AS BIGINT) AS thr FROM w)
+       |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN w.avg_micro >= t.thr THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_selected,
+       |  sum(CASE WHEN w.avg_micro >= t.thr THEN 1 ELSE 0 END)
+       |    / CAST(count(*) AS DOUBLE) AS sel_rate
+       |FROM w JOIN documents d USING (doc_id), thr t
+       |GROUP BY d.lang""".stripMargin
+
   /** twin of [[graft.operators.Pipeline.sourceMix]]: per-source token
     * mass, temperature-scaled sampling weight, epoch boost. */
   val sourceMix: String = {

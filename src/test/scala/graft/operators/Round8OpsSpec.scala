@@ -164,6 +164,21 @@ class Round8OpsSpec extends SparkTestBase {
     assert(by.values.forall(_ > 0.0))
   }
 
+  test("dsirSample: en selects above its share, every other lang below") {
+    val rows = graft.operators.Pipeline.dsirSample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val en = rows.find(_._1 == "en").get
+    val others = rows.filter(_._1 != "en")
+    assert(en._4 > 0.5, s"en rate ${en._4}")
+    others.foreach { o =>
+      assert(o._4 < en._4, s"${o._1} rate ${o._4} >= en ${en._4}")
+    }
+    // the threshold partitions the corpus non-trivially
+    val sel = rows.map(_._3).sum
+    val tot = rows.map(_._2).sum
+    assert(sel > 0 && sel < tot)
+  }
+
   test("sourceMix: q is a distribution, temperature flattens toward uniform") {
     val rows = graft.operators.Pipeline.sourceMix(spark, dir).collect()
     assert(rows.length > 1)
