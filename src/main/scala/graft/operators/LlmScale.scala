@@ -341,14 +341,19 @@ object TextScale {
     val strongHits = strong
       .filter(pmod(col("a"), lit(10L)) === 8L && col("b") === col("a") + 1)
       .count()
-    // phase 3: DSIR scoring throughput
+    // phase 3: DSIR scoring throughput. Fresh executor-time baseline
+    // at t2: the plant-grading counts above (hits/strong/strongHits)
+    // run between the execPairs snapshot and this phase, so a
+    // subtract-prior-phases delta from e0 would misattribute their
+    // executor time to DSIR.
     val t2 = System.nanoTime()
+    val e2 = execMs.get()
     val toks = corpus.select(col("doc_id"), TextOps.toks(col("text")).as("t"))
     val target = corpus.filter(pmod(col("doc_id"), lit(5L)) === 0)
       .select(col("doc_id"))
     val nScored = Pipeline.dsirWeightsOf(toks, target).count()
     val wallDsir = (System.nanoTime() - t2) / 1e9
-    val execDsir = (execMs.get() - e0) / 1e3 - execSel - execPairs
+    val execDsir = (execMs.get() - e2) / 1e3
     println(s"""{"harness":"text_scale","n_docs":$n,"fingerprints":$nSel,""" +
       s""""pairs":$nPairs,"planted":$planted,"plant_hits":$hits,""" +
       s""""recall":${hits.toDouble / planted},""" +

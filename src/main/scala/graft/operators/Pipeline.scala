@@ -500,15 +500,32 @@ object Pipeline {
     val ratio = rc.join(tc, Seq("bucket"), "left")
       .select(col("bucket"), col("rc"), coalesce(col("tc"), lit(0L)).as("tc"))
     val totals = ratio.agg(sum("tc").as("tt"), sum("rc").as("rt"))
+    // DECIMAL(38,0) intermediates (HUGEINT in the DuckDB twin): the
+    // int64 product Scale·(tc+1)·(rt+B) wraps once (tc+1)·(rt+B)
+    // exceeds ~9.2e12 — a hot bucket holding a few percent of a
+    // 1e8-token corpus is enough, and Spark (ANSI off) wraps SILENTLY
+    // where DuckDB raises, so the engines would diverge exactly where
+    // integer parity is claimed. The 38-digit envelope holds to
+    // ~1e32 ≫ any corpus (1e6 scale · tc ≤ 1e13 · rt ≤ 1e13);
+    // the quotient itself is ≤ Scale·(rt+B)/(tt+B), back in int64 for
+    // any non-degenerate target slice. PipelineSpec pins the overflow
+    // regime with a one-hot-bucket corpus.
     val lr = ratio.crossJoin(broadcast(totals))
       .select(col("bucket"),
-        expr(s"($DsirScale * (tc + 1) * (rt + $b)) div ((rc + 1) * (tt + $b))")
-          .as("lr_micro"))
+        expr(s"""(cast($DsirScale as decimal(38,0)) * (tc + 1) * (rt + $b))
+                | div (cast(rc + 1 as decimal(38,0)) * (tt + $b))"""
+          .stripMargin).as("lr_micro"))
+    // per-doc sums likewise in decimal: Σ cnt·lr can pass 2^63 on the
+    // same corpora; avg divides before narrowing (avg ≤ max lr fits
+    // int64), score narrows after — its own int64 envelope
+    // (tokens-per-doc · max lr) is documented rather than load-bearing
     docBuck.join(broadcast(lr), "bucket")
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_tokens"),
-        sum(col("cnt") * col("lr_micro")).as("score_micro"))
-      .withColumn("avg_micro", expr("score_micro div n_tokens"))
+        sum(col("cnt").cast("decimal(38,0)") * col("lr_micro")).as("score_dec"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("score_dec").cast("long").as("score_micro"),
+        expr("cast(score_dec div n_tokens as bigint)").as("avg_micro"))
   }
 
   /** Temperature exponent for [[sourceMix]] — the α of

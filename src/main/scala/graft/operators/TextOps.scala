@@ -1033,10 +1033,14 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sel"), countDistinct("h").as("n_fp"))
     // gram count is a pure function of text length — no second pass
-    // over the gram stream (the memoized selection is the only one)
+    // over the gram stream (the memoized selection is the only one).
+    // OCTET length, not char length: graft_gram_hashes iterates UTF-8
+    // bytes, so on non-ASCII text the gram stream has n_bytes−(K−1)
+    // entries — a char-based count would let n_sel exceed n_windows
+    // and density exceed 1.
     docs(spark, dir)
       .select(col("doc_id"),
-        greatest(length(col("text")).cast("long") - (WinnowK - 1), lit(0L))
+        greatest(octet_length(col("text")).cast("long") - (WinnowK - 1), lit(0L))
           .as("n_grams"))
       .join(sel, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),

@@ -1798,7 +1798,7 @@ object TextCtes {
     import graft.operators.TextOps.WinnowW
     s"""WITH $winnowCtes,
        |g AS (SELECT doc_id,
-       |    greatest(CAST(length(text) AS BIGINT) - ${graft.operators.TextOps.WinnowK - 1}, 0) AS n_grams
+       |    greatest(CAST(strlen(text) AS BIGINT) - ${graft.operators.TextOps.WinnowK - 1}, 0) AS n_grams
        |  FROM documents),
        |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sel,
        |    CAST(count(DISTINCT h) AS BIGINT) AS n_fp FROM wsel GROUP BY 1)
@@ -1897,12 +1897,12 @@ object TextCtes {
        |tot AS (SELECT CAST(sum(tc) AS BIGINT) AS tt, CAST(sum(rc) AS BIGINT) AS rt
        |  FROM ratio),
        |lr AS (SELECT bucket,
-       |    CAST(($DsirScale * (tc + 1) * (rt + $DsirBuckets))
-       |         // ((rc + 1) * (tt + $DsirBuckets)) AS BIGINT) AS lr_micro
+       |    CAST((CAST($DsirScale AS HUGEINT) * (tc + 1) * (rt + $DsirBuckets))
+       |         // (CAST(rc + 1 AS HUGEINT) * (tt + $DsirBuckets)) AS BIGINT) AS lr_micro
        |  FROM ratio, tot)
        |SELECT db.doc_id, CAST(sum(db.cnt) AS BIGINT) AS n_tokens,
-       |  CAST(sum(db.cnt * lr.lr_micro) AS BIGINT) AS score_micro,
-       |  CAST(sum(db.cnt * lr.lr_micro) // sum(db.cnt) AS BIGINT) AS avg_micro
+       |  CAST(sum(CAST(db.cnt AS HUGEINT) * lr.lr_micro) AS BIGINT) AS score_micro,
+       |  CAST(sum(CAST(db.cnt AS HUGEINT) * lr.lr_micro) // sum(db.cnt) AS BIGINT) AS avg_micro
        |FROM db JOIN lr USING (bucket) GROUP BY db.doc_id""".stripMargin
   }
 
