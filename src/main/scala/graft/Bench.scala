@@ -77,7 +77,12 @@ object Bench {
         }
       })
     val runDetail = scala.collection.mutable.LinkedHashMap[String, Seq[(Double, Double, Double)]]()
+    // queries whose timed runs read >=1 output-layer memo — tagged from
+    // observed reads, not a hand-kept list, so the set can't drift from
+    // the code (the r8 verdict's "29 queries with exec-median 0.0")
+    val memoWarmed = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
+      val reads0 = SessionMemo.outputReads.get()
       val triples = (0 until runs).map { _ =>
         val (e0, g0) = (execMs.get(), gcMs.get())
         val t0 = System.nanoTime()
@@ -88,9 +93,37 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9,
           (execMs.get() - e0) / 1e3, (gcMs.get() - g0) / 1e3)
       }
+      if (SessionMemo.outputReads.get() > reads0) memoWarmed += name
       runDetail(name) = triples
       name -> triples.map(_._1).sorted
     }
+    // Cold pass: ONE memo-BYPASSED execution per query. The per-query
+    // medians above are steady-state — deliberately so — but 29 of them
+    // had become pure memo reads (exec-median 0.0 s, the computation in
+    // untimed warm()), hollowing the headline out as a measure of
+    // computation. coldMode makes output-layer memos rebuild on read
+    // while the shared input layer (graph/store/token/shingle tables —
+    // warm in every round's baseline incl. the r5 0.99 s/q basis) stays
+    // cached, so cold_sec is the memo-policy-proof total: it cannot
+    // improve by moving work into warm(). Runs AFTER the timed suite so
+    // steady-state numbers are unaffected; opt out for local iteration
+    // with SPARK_GRAFT_BENCH_COLD=0.
+    val coldDetail: Map[String, (Double, Double)] =
+      if (sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("0")) Map.empty
+      else {
+        SessionMemo.coldMode = true
+        val m = SparkEntry.queries.map { case (name, fn) =>
+          val e0 = execMs.get()
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] cold $name failed: ${e.getMessage}")
+          }
+          name -> (((System.nanoTime() - t0) / 1e9, (execMs.get() - e0) / 1e3))
+        }
+        SessionMemo.coldMode = false
+        m
+      }
     def r3(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def fmt(sel: Seq[Double] => Double) = results
       .map { case (k, ts) => "\"" + k + "\":" + r3(sel(ts)) }
@@ -121,9 +154,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val execMedJson = execMed
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val coldTotal = coldDetail.values.map(_._1).sum
+    val coldExecTotal = coldDetail.values.map(_._2).sum
+    val coldJson = coldDetail
+      .map { case (k, (w, e)) => "\"" + k + s"""\":[${r3(w)},${r3(e)}]""" }
+      .mkString("{", ",", "}")
+    val memoJson = memoWarmed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail =
       s"""{"queries_med":${fmt(med)},"queries_min":${fmt(_.head)},"queries_max":${fmt(_.last)},""" +
       s""""queries_exec_med":$execMedJson,""" +
+      s""""queries_cold_wall_exec":$coldJson,"memo_warmed":$memoJson,""" +
       s""""input_rows":$inputRows,"runs":$runs,"warmup_sec":${r3(warmupSec)},""" +
       s""""runs_wall_exec_gc":$runsJson,"sf":"$sfDir"}"""
     try {
@@ -131,7 +171,9 @@ object Bench {
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","records_per_s":${r3(recsPerSec)},"exec_sec":${r3(execTotal)},"runs":$runs,"warmup_sec":${r3(warmupSec)},"sf":"$sfDir"}""")
+    // cold_sec / cold_exec_sec: the memo-policy-proof totals (one
+    // bypassed pass per query); e2e_sec = warm fill + timed suite
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","records_per_s":${r3(recsPerSec)},"exec_sec":${r3(execTotal)},"cold_sec":${r3(coldTotal)},"cold_exec_sec":${r3(coldExecTotal)},"e2e_sec":${r3(warmupSec + total)},"runs":$runs,"warmup_sec":${r3(warmupSec)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -19,11 +19,23 @@ object Prof {
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // cumulative executor task time alongside wall: wall swings 2-3x
+    // with box contention, exec is the load-independent basis
+    val execMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) { execMs.addAndGet(m.executorRunTime); () }
+        }
+      })
     for (name <- args; fn <- SparkEntry.queries.get(name)) {
       for (pass <- Seq("cold", "warm")) {
+        val e0 = execMs.get()
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        println(f"[prof] $name $pass ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        println(f"[prof] $name $pass ${(System.nanoTime() - t0) / 1e9}%.2fs exec ${(execMs.get() - e0) / 1e3}%.1fs")
       }
     }
     spark.stop()

@@ -16,12 +16,29 @@ import org.apache.spark.sql.SparkSession
   * (usually an sf dir) are immutable for the session's lifetime — true
   * for the driver-generated testdata. A dir whose contents change
   * requires a new session.
+  *
+  * Two memo layers, one class: `outputMemo = true` marks memos whose
+  * value IS a query result (or a result-equivalent artifact — an
+  * iterative fixpoint, a verified pair table, an ANN top-k). Those
+  * honor [[SessionMemo.coldMode]]: while the flag is set, reads bypass
+  * the cache and rebuild (without storing), so a benchmark can measure
+  * what each query COSTS rather than what a memo read costs. The
+  * default `outputMemo = false` layer — graph/store/token/shingle/
+  * signature tables, the shared input surface every query family scans
+  * — ignores the flag: those caches were warm in every round's
+  * baseline, so bypassing them would not make numbers comparable,
+  * just slow. Bypassed builds may leave orphan persisted DataFrames;
+  * Spark's ContextCleaner reclaims them once unreferenced.
   */
-final class SessionMemo[V] {
+final class SessionMemo[V](outputMemo: Boolean = false) {
   private val entries = TrieMap[(SparkSession, String), V]()
   private val hooked = TrieMap[SparkSession, Unit]()
 
   def getOrElseUpdate(spark: SparkSession, tag: String)(build: => V): V = {
+    if (outputMemo) {
+      SessionMemo.outputReads.incrementAndGet()
+      if (SessionMemo.coldMode) return build
+    }
     hooked.getOrElseUpdate(spark, {
       spark.sparkContext.addSparkListener(new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
@@ -33,4 +50,18 @@ final class SessionMemo[V] {
     })
     entries.getOrElseUpdate((spark, tag), build)
   }
+}
+
+object SessionMemo {
+  /** While set, output-layer memos rebuild on every read instead of
+    * serving the cache (input-layer memos are unaffected). Set ONLY by
+    * Bench's cold pass — queries are pure, so the flag changes what is
+    * measured, never what is computed. */
+  @volatile var coldMode: Boolean = false
+
+  /** Counts every read of an output-layer memo (hit or bypass). Bench
+    * snapshots it around each query's timed runs to tag, from observed
+    * behavior rather than a hand-kept list, which queries' steady-state
+    * numbers are memo reads. */
+  val outputReads = new java.util.concurrent.atomic.AtomicLong
 }

@@ -112,7 +112,7 @@ object Dedup {
   /** verified pairs are memoized (and persisted) like the shingle
     * table: both the pair query and cluster canonicalization consume
     * them, and pair generation is the expensive half. */
-  private val pairsMemo = new graft.SessionMemo[DataFrame]
+  private val pairsMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     TextOps.ensureRegistered(spark)
     pairsMemo.getOrElseUpdate(spark, dir)(
@@ -123,7 +123,7 @@ object Dedup {
     * near-dup test Jaccard misses: a short document quoted wholesale
     * inside a long one has tiny Jaccard but containment ≈ 1. */
   val ContainTau = 0.8
-  private val containMemo = new graft.SessionMemo[DataFrame]
+  private val containMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
 
   /** Shingle containment near-dup (quote/subset detection): same
     * df-capped inverted index and pair expansion as [[ngramJaccard]] —
@@ -164,7 +164,7 @@ object Dedup {
     * touches candidates only ([[scoreCandidates]]). */
   /** memoized like [[ngramJaccard]]: the output is tiny and the bench
     * median should measure steady-state, not a third recompute. */
-  private val prefixMemo = new graft.SessionMemo[DataFrame]
+  private val prefixMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
   def prefixJaccard(spark: SparkSession, dir: String): DataFrame = {
     TextOps.ensureRegistered(spark)
     prefixMemo.getOrElseUpdate(spark, dir)(
@@ -237,7 +237,7 @@ object Dedup {
     * and the curation pipeline consume the identical computation (three
     * checkpointed min-propagation rounds) in one session — r3 paid for
     * it twice (pipe_curation 15.4 s, mostly this recompute). */
-  private val clustersMemo = new graft.SessionMemo[DataFrame]
+  private val clustersMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     clustersMemo.getOrElseUpdate(spark, dir) {
       val pairs = ngramJaccard(spark, dir).select(col("a"), col("b"))
@@ -343,8 +343,8 @@ object Dedup {
 
   /** Pair outputs are small (near-dup survivors only) and consumed on
     * every bench repetition — memoized like [[ngramJaccard]]'s. */
-  private val simPairsMemo = new graft.SessionMemo[DataFrame]
-  private val lshPairsMemo = new graft.SessionMemo[DataFrame]
+  private val simPairsMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
+  private val lshPairsMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
 
   def simhashDup(spark: SparkSession, dir: String): DataFrame = {
     TextOps.ensureRegistered(spark)
@@ -481,7 +481,7 @@ object Dedup {
     * index would hold it; same verify). The oracle IS the full
     * recompute, filtered — the hash equality proves incremental ≡
     * batch. */
-  private val incPairsMemo = new graft.SessionMemo[DataFrame]
+  private val incPairsMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
   def incrementalPairs(spark: SparkSession, dir: String): DataFrame = {
     TextOps.ensureRegistered(spark)
     incPairsMemo.getOrElseUpdate(spark, dir) {
@@ -657,7 +657,7 @@ object Dedup {
   /** Session-memoized pair table — `dd_winnow_pairs` and
     * `dd_winnow_containment` both consume it (same lifecycle as the
     * verified-pairs memo behind the Jaccard family). */
-  private val winnowPairsMemo = new graft.SessionMemo[DataFrame]
+  private val winnowPairsMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
   def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
     TextOps.ensureRegistered(spark)
     winnowPairsMemo.getOrElseUpdate(spark, dir)(

@@ -135,7 +135,7 @@ object GraphOps {
     * bench run. SCALE.md records why the lazy PageRank-style chain is
     * not safe here (two consumers per frontier race to materialize a
     * lazy checkpoint inside one action). */
-  private val pathMemo = new graft.SessionMemo[DataFrame]
+  private val pathMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
 
   def pathExpand(spark: SparkSession, dir: String): DataFrame =
     pathMemo.getOrElseUpdate(spark, dir)(pathExpandCompute(spark, dir).persist())
@@ -272,7 +272,7 @@ object GraphOps {
     * cannot trigger quadratic blowup; exact Jaccard from integer
     * intersection/size counts; top-k by (jacc desc, pair) is
     * TakeOrdered — no global sort. */
-  private val supSimMemo = new graft.SessionMemo[DataFrame]
+  private val supSimMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
   def supplierSimilarity(spark: SparkSession, dir: String): DataFrame =
     supSimMemo.getOrElseUpdate(spark, dir)(supplierSimilarityCompute(spark, dir))
 
@@ -316,7 +316,7 @@ object GraphOps {
     * otherwise cost a quadratic pair expansion); the weight rides the
     * part→supplier postings so scoring adds NO join beyond the pair
     * self-join. Top-k by (score desc, pair) is TakeOrdered. */
-  private val linkPredMemo = new graft.SessionMemo[DataFrame]
+  private val linkPredMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
   def linkPrediction(spark: SparkSession, dir: String): DataFrame =
     linkPredMemo.getOrElseUpdate(spark, dir)(linkPredictionCompute(spark, dir))
 
@@ -370,7 +370,7 @@ object GraphOps {
     * each query re-enumerated it (~5 s apiece at sf0.1). Same
     * memoize-the-shared-artifact move as [[HyperBall]]'s pyramid
     * outputs; the result is one eagerly-checkpointed row. */
-  private val triStatsMemo = new graft.SessionMemo[DataFrame]
+  private val triStatsMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
   private def triangleScalarsCached(spark: SparkSession,
       dir: String): DataFrame =
     triStatsMemo.getOrElseUpdate(spark, dir) {

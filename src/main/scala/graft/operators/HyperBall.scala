@@ -54,7 +54,7 @@ object HyperBall {
   /** All three outputs are tiny (TopN or Iters+1 rows) — memoize them
     * as a tuple (one register pyramid feeds them all) and drop the big
     * intermediates once all are materialized. */
-  private val memo = new graft.SessionMemo[(DataFrame, DataFrame, DataFrame)]
+  private val memo = new graft.SessionMemo[(DataFrame, DataFrame, DataFrame)](outputMemo = true)
 
   def hyperball(spark: SparkSession, dir: String): DataFrame =
     memo.getOrElseUpdate(spark, dir)(compute(spark, dir))._1

@@ -290,24 +290,188 @@ object Iterative {
   }
 
   /** Bound for the CONVERGED component run: generous margin over the
-    * measured convergence (~12 rounds at sf0.1); the early-exit stops
-    * at the true fixpoint, and the oracle's extra unrolled rounds are
-    * no-ops, so the bound only caps a pathological chain graph. */
+    * measured convergence (5 hook+shortcut rounds at sf0.1); the
+    * early-exit stops at the true fixpoint, and the oracle reaches the
+    * same fixpoint by plain propagation, so the bound only caps a
+    * pathological graph (one whose component count still shrinks after
+    * 2^24 pointer hops — no such corpus exists). */
   val CcConvergeIters = 24
+
+  /** Min-label fixpoint in O(log n) rounds: every round is one
+    * frontier-driven min-propagation over the edges (HOOK) followed by
+    * one pointer shortcut l(v) <- l(l(v)) over the label table
+    * (Shiloach-Vishkin SHORTCUT; Kiveris et al. SOCC'14 reach the same
+    * bound with star contractions). Propagation alone needs rounds ~
+    * eccentricity of each component's min node — on this bipartite
+    * order<->part corpus the frontier oscillates rather than shrinking
+    * (SCALE.md), 12+ edge-table joins and the r8 suite's #1 spender
+    * (61.4 exec-s). The shortcut squares the pointer reach each round,
+    * so the edge table is joined O(log n) times instead.
+    *
+    * Correctness is FIXPOINT-only (unlike [[iterateMin]], whose
+    * round-k labels equal the oracle's unrolled round k): l(v) only
+    * ever moves to the id of another node in v's component and never
+    * increases, so the empty-frontier fixpoint — no change by hook OR
+    * shortcut anywhere — is the component-min labeling, the same
+    * fixpoint the oracle's plain unrolled rounds reach. Do not use it
+    * where bounded-round trajectory semantics are the contract.
+    *
+    * Scale shape per round: ONE job, like [[iterateCost]]'s rounds —
+    * the hook's message aggregation (frontier broadcast when small,
+    * co-partitioned against the cached edge table otherwise) plus the
+    * shortcut as a second left join against the PREVIOUS round's
+    * already-checkpointed label table (|V| rows, broadcast under
+    * [[BroadcastMaxRowsKey]]). Jumping on the pre-hook pointers (not
+    * this round's fresh ones) keeps the round single-job — the fresh
+    * table would need its own eager materialization first (a
+    * first-cut implementation measured that at 2 jobs + an extra
+    * broadcast per round: 9.1 s warm, WORSE than the propagation
+    * loop it replaced) — and costs at most one extra round of lag on
+    * the doubling. */
+  private[graft] def iterateMinJump(v0: DataFrame, edges: DataFrame,
+                                    iters: Int): DataFrame = {
+    val maxRows = broadcastMaxRows(v0.sparkSession)
+    var v = v0.localCheckpoint(false)
+    var frontier = v
+    var frontierRows = frontier.count()
+    val nNodes = frontierRows
+    var round = 0
+    while (round < iters && frontierRows > 0) {
+      val t0 = System.nanoTime()
+      // hook messages: min frontier-neighbor label per node
+      val m = edges
+        .join(hinted(frontier.select(col("node").as("src"), col("label")),
+          frontierRows, maxRows), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("label")).as("minl"))
+      // shortcut pointers: node -> label of the previous round
+      val lookup = hinted(v.select(col("node").as("jn"),
+        col("label").as("jl")), nNodes, maxRows)
+      val joined = v
+        .join(hinted(m, frontierRows, maxRows), Seq("node"), "left")
+        .join(lookup, col("label") === col("jn"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"),
+            coalesce(col("minl"), col("label")),
+            coalesce(col("jl"), col("label"))).as("newl"))
+        .localCheckpoint(false)
+      frontier = joined.filter(col("newl") < col("label"))
+        .select(col("node"), col("newl").as("label"))
+      frontierRows = frontier.count()
+      itLog(s"jump round $round (frontier=$frontierRows): ${(System.nanoTime() - t0) / 1e9}s")
+      v = joined.select(col("node"), col("newl").as("label"))
+      round += 1
+    }
+    v
+  }
 
   /** Converged connected components of the order↔part subgraph: unlike
     * [[connectedComponents]] (bounded hops — the reference-faithful
-    * incremental form), this runs min-propagation to the FIXPOINT
-    * (frontier empty), so `label` IS the component id. The spec proves
-    * it: zero label-crossing edges. Cost is rounds ≈ eccentricity of
-    * each component's min node — on a bipartite corpus the frontier
-    * oscillates rather than shrinking monotonically (SCALE.md), which
-    * is exactly why the early-exit, not a fixed count, must decide. */
+    * incremental form), this runs to the FIXPOINT, so `label` IS the
+    * component id (canonical: the component's min node id). The spec
+    * proves it: zero label-crossing edges, every label a member node.
+    *
+    * HAS_PART is bipartite (order → part), which the r8 #1-spender
+    * measurement says to exploit rather than iterate around: running
+    * min-propagation (or even the jump loop) over the full 2|E|
+    * symmetric edge table pays the per-round constant on ~|orders|+
+    * |parts| label rows for every round of a frontier that oscillates
+    * (SCALE.md). Instead CONTRACT to the small side first: all parts
+    * of an order are connected through that order's min part, so the
+    * edge set {(p, minPart(o)) : (o,p) ∈ E} — one partial-agg + one
+    * co-keyed join, LINEAR in |E|, never the Σd² projection — has the
+    * same part-connectivity, and the fixpoint loop then runs on a
+    * graph of only |parts| nodes (~12% of the bipartite node count
+    * here; every round's tables broadcast). Orders rejoin through
+    * their connector, and labels canonicalize to the component min
+    * via one tiny rep table. At 100 TB the contraction is the same
+    * two exchanges over the edge list, and the loop iterates on the
+    * contracted graph that is orders of magnitude smaller. */
   private[graft] def ccLabelsConverged(spark: SparkSession, dir: String): DataFrame = {
-    val edges = symHasPartSrc(spark, dir)
-    val vertices = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-    iterateMin(vertices, edges, CcConvergeIters, 0L, prepared = true)
+    val op = TpchGraph.relsLite(spark, dir).filter(col("type") === "HAS_PART")
+      .select(col("src").as("o"), col("dst").as("p"))
+    val mo = op.groupBy("o").agg(min("p").as("mp")).persist()
+    // raw connector pairs, duplicates kept: the union-find absorbs
+    // duplicates for free and the loop path dedups below — a distinct
+    // here is a whole extra |E| shuffle on the common path
+    val ep = op.join(mo, "o")
+      .filter(col("p") =!= col("mp")).select(col("p"), col("mp"))
+    // |op| >= |pairs|: the cutoff decision needs only an upper bound,
+    // and counting the cached source costs one scan, not a persist of
+    // the pair table
+    val nPairs = op.count()
+    val pv = op.select(col("p").as("node")).distinct()
+    val cutoff = spark.conf.getOption(CcLocalEdgeCutoffKey).map(_.toLong)
+      .getOrElse(CcLocalEdgeCutoffDefault)
+    // part labels, eagerly pinned (both paths) so the persisted
+    // intermediates can be released before the caller consumes us
+    val lp =
+      if (nPairs <= cutoff) {
+        val uf = unionFindLabels(ep).localCheckpoint(true)
+        // parts whose only edges were self-connectors (p == mp) never
+        // reach the union-find — they are their own component
+        pv.join(uf, Seq("node"), "left")
+          .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+      } else {
+        val dep = ep.distinct()
+        val sym = dep.select(col("p").as("src"), col("mp").as("dst"))
+          .unionAll(dep.select(col("mp").as("src"), col("p").as("dst")))
+          .repartition(col("src")).persist()
+        val r = iterateMinJump(pv.select(col("node"),
+          col("node").as("label")), sym, CcConvergeIters)
+        sym.unpersist()
+        r
+      }
+    // orders adopt their connector part's label; then every node takes
+    // the component's true min id (an order id can undercut every part
+    // id in its component) from the <=|components| rep table
+    val lo = mo.join(lp.withColumnRenamed("node", "mp"), "mp")
+      .select(col("o").as("node"), col("label"))
+    val all = lp.unionAll(lo)
+    val rep = all.groupBy("label").agg(min("node").as("rep"))
+    val out = all.join(rep, "label")
+      .select(col("node"), col("rep").as("label"))
+      .localCheckpoint(true)
+    mo.unpersist()
+    out
+  }
+
+  /** Edge bound under which [[ccLabelsConverged]] solves the CONTRACTED
+    * part graph in one union-find task instead of the jump loop — the
+    * same escape hatch as [[Scc]]'s sequential cutoff (its comment has
+    * the policy rationale). 20M pair rows ≈ 320 MB in one task's heap;
+    * above it the jump loop is the distributed path. The spec runs the
+    * same corpus through BOTH paths and asserts identical labels. */
+  val CcLocalEdgeCutoffKey = "graft.cc.localEdgeCutoff"
+  val CcLocalEdgeCutoffDefault = 20000000L
+
+  /** Min-root union-find over the contracted pair list in a SINGLE
+    * task (mapPartitions after a coalesce-to-one exchange — no driver
+    * collect): path-compressed finds, roots chosen by min id so the
+    * emitted label is already the part-side component min. Output is
+    * one (node, label) row per node that appears in a pair. */
+  private def unionFindLabels(ep: DataFrame): DataFrame = {
+    val spark = ep.sparkSession
+    import spark.implicits._
+    ep.select(col("p"), col("mp")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        parent.keysIterator.map(k => (k, find(k)))
+      }
+      .toDF("node", "label")
   }
 
   def connectedComponentsConverged(spark: SparkSession, dir: String): DataFrame =
@@ -350,7 +514,7 @@ object Iterative {
     * size the rounds are compile-bound, not data-bound). Same
     * output-memo lifecycle as [[graft.operators.Stress.topStress]];
     * the fill lands in [[graft.SparkEntry.warm]]. */
-  private val ssspMemo = new graft.SessionMemo[DataFrame]
+  private val ssspMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
 
   private def shortestPathsCompute(spark: SparkSession, dir: String): DataFrame = {
     val g = TpchGraph(spark, dir)
@@ -454,7 +618,7 @@ object Iterative {
   /** [[coreness]]'s cascade (CorenessMaxK levels × KcoreIters delta
     * rounds) — same memo rationale as [[shortestPaths]] (r8: 11.8 s
     * median, 2.7-24 s run spread, compile-bound at sf size). */
-  private val corenessMemo = new graft.SessionMemo[DataFrame]
+  private val corenessMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
 
   private def corenessCompute(spark: SparkSession, dir: String): DataFrame = {
     val g = TpchGraph(spark, dir)

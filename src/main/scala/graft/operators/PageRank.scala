@@ -50,7 +50,7 @@ object PageRank {
     * driver median 7.08 s vs 1.9 s idle on the same commit). The fill
     * lands in [[graft.SparkEntry.warm]]; per-query numbers are
     * steady-state like [[HyperBall.hyperball]]. */
-  private val outMemo = new graft.SessionMemo[DataFrame]
+  private val outMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
 
   def topRanks(spark: SparkSession, dir: String): DataFrame =
     outMemo.getOrElseUpdate(spark, s"$dir#all")(

@@ -445,7 +445,7 @@ object Pipeline {
     * size, one shuffle on doc_id. */
   /** Session-memoized: `pipe_dsir` and `pipe_dsir_sample` share the
     * per-doc weight table (same lifecycle as the dedup pair memos). */
-  private val dsirMemo = new graft.SessionMemo[DataFrame]
+  private val dsirMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
     TextOps.ensureRegistered(spark)
     dsirMemo.getOrElseUpdate(spark, dir)(

@@ -75,10 +75,10 @@ object Similarity {
     * Memoizing the outputs means the recall probe reads four cached
     * top-K tables instead of re-executing four kernels (r4 ran the
     * whole ANN family twice). */
-  private val bruteMemo = new graft.SessionMemo[DataFrame]
-  private val lshMemo = new graft.SessionMemo[DataFrame]
-  private val ivfMemo = new graft.SessionMemo[DataFrame]
-  private val ivfTrainedMemo = new graft.SessionMemo[DataFrame]
+  private val bruteMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
+  private val lshMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
+  private val ivfMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
+  private val ivfTrainedMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
 
   /** Brute-force cosine top-k: tiny query set broadcast against all
     * candidates; exact baseline for the ANN surface. */
@@ -301,7 +301,7 @@ object Similarity {
     * stage, so wrong-label candidates are skipped before the dot
     * product, and at scale the kernel composes with the IVF/LSH
     * bucketing the same way the plain top-k does. */
-  private val hardNegMemo = new graft.SessionMemo[DataFrame]
+  private val hardNegMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
   def hardNegatives(spark: SparkSession, dir: String): DataFrame =
     hardNegMemo.getOrElseUpdate(spark, dir)(
       hardNegativesCompute(spark, dir).persist())
@@ -363,7 +363,7 @@ object Similarity {
   val SemTauNum = 361L
   val SemTauDen = 400L
 
-  private val semMemo = new graft.SessionMemo[DataFrame]
+  private val semMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
 
   /** SemDeDup (Abbas et al. 2023): cluster the corpus by nearest
     * centroid, then look for semantic duplicates ONLY inside each
@@ -583,7 +583,8 @@ object Similarity {
     * emb_pca run-3 blowup); it is corpus-derived but constant per
     * (session, dir). */
   private val pcaMemo =
-    new graft.SessionMemo[(Array[Double], Double, Array[Long], Long, Int)]
+    new graft.SessionMemo[(Array[Double], Double, Array[Long], Long, Int)](
+      outputMemo = true)
 
   def pcaProject(spark: SparkSession, dir: String): DataFrame = {
     val (v, lambda, s, n, d) = pcaMemo.getOrElseUpdate(spark, dir) {
@@ -636,7 +637,7 @@ object Similarity {
   def annPq(spark: SparkSession, dir: String): DataFrame =
     pqMemo.getOrElseUpdate(spark, dir)(annPqCompute(spark, dir).persist())
 
-  private val pqMemo = new graft.SessionMemo[DataFrame]
+  private val pqMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
 
   private def annPqCompute(spark: SparkSession, dir: String): DataFrame = {
     val e = quantizedCached(spark, dir)
@@ -925,7 +926,7 @@ object Similarity {
       .select(col("label"), col("rank"), col("vec_id"), col("d2"), col("z"))
   }
 
-  private val mprobeMemo = new graft.SessionMemo[DataFrame]
+  private val mprobeMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
 
   /** Multi-probe LSH ANN — [[annLsh]] plus ONE extra probe per query:
     * the bucket with the query's weakest hyperplane bit flipped

@@ -48,7 +48,7 @@ object Stress {
     * [[Similarity.annMultiprobe]]. The fill lands in
     * [[graft.SparkEntry.warm]] so per-query bench numbers stay
     * steady-state. */
-  private val outMemo = new graft.SessionMemo[DataFrame]
+  private val outMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
 
   def topStress(spark: SparkSession, dir: String): DataFrame =
     outMemo.getOrElseUpdate(spark, dir)(topStressCompute(spark, dir).persist())

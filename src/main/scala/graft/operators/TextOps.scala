@@ -716,7 +716,7 @@ object TextOps {
     * count tables on their hash keys. At 100 TB both count tables are
     * Zipf-headed — AQE's skew-join split handles the hot head, and the
     * tables themselves stay ≪ corpus size (vocabulary², sparse). */
-  private val lmMemo = new graft.SessionMemo[DataFrame]
+  private val lmMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
   def lmScore(spark: SparkSession, dir: String): DataFrame =
     lmMemo.getOrElseUpdate(spark, dir)(lmScoreCompute(spark, dir))
 
@@ -902,7 +902,7 @@ object TextOps {
     * state). States are long-format (w, wc, pos, sym). Memoized per
     * (session, dir) — the train and apply queries consume the same
     * loop, and the bench runs each 3×. */
-  private val bpeMemo = new graft.SessionMemo[(DataFrame, DataFrame, DataFrame)]
+  private val bpeMemo = new graft.SessionMemo[(DataFrame, DataFrame, DataFrame)](outputMemo = true)
   private def bpeCore(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) =
     bpeMemo.getOrElseUpdate(spark, dir) {
@@ -1006,7 +1006,7 @@ object TextOps {
     * set — one persisted selection pass per (session, dir) instead of
     * re-paying the gram explode + frame aggregate per query (the
     * shared-intermediate lifecycle of [[tokenTable]]). */
-  private val winnowMemo = new graft.SessionMemo[DataFrame]
+  private val winnowMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
   private[graft] def winnowSelected(spark: SparkSession, dir: String): DataFrame = {
     ensureRegistered(spark)
     winnowMemo.getOrElseUpdate(spark, dir)(

@@ -36,7 +36,7 @@ object Walks {
     Sketch.mix(pmod(col("node") * 1009L + col("seed") * 31L +
       col("walk") * 7L + step, lit(Sketch.HashMod)))
 
-  private val memo = new graft.SessionMemo[DataFrame]
+  private val memo = new graft.SessionMemo[DataFrame](outputMemo = true)
 
   def walkVisits(spark: SparkSession, dir: String): DataFrame =
     memo.getOrElseUpdate(spark, dir)(compute(spark, dir))

@@ -38,6 +38,16 @@ class IterativeSpec extends SparkTestBase {
       .count() === 0L)
   }
 
+  test("converged cc: union-find cutoff and jump-loop paths agree exactly") {
+    val uf = Iterative.ccLabelsConverged(spark, dir) // default cutoff: union-find
+    spark.conf.set(Iterative.CcLocalEdgeCutoffKey, "0") // force the loop
+    try {
+      val loop = Iterative.ccLabelsConverged(spark, dir)
+      assert(uf.exceptAll(loop).count() === 0L)
+      assert(loop.exceptAll(uf).count() === 0L)
+    } finally spark.conf.unset(Iterative.CcLocalEdgeCutoffKey)
+  }
+
   test("lpa on a path graph walks the hand-computed synchronous trajectory") {
     import spark.implicits._
     // path 1-2-3, symmetric. Synchronous min-tie LPA:
