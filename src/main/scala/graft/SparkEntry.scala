@@ -126,7 +126,7 @@ object SparkEntry {
     // round-8b: shared winnowed-fingerprint selection (t_winnow +
     // dd_winnow_pairs both start from it) and the pair table
     // (dd_winnow_pairs + dd_winnow_containment)
-    quiet(TextOps.winnowSelected(s, dir).count())
+    quiet(TextOps.winnowPacked(s, dir).count())
     quiet(Dedup.winnowPairs(s, dir).count())
     quiet(graft.operators.Pipeline.dsirWeights(s, dir).count())
   }

@@ -661,7 +661,7 @@ object Dedup {
   def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
     TextOps.ensureRegistered(spark)
     winnowPairsMemo.getOrElseUpdate(spark, dir)(
-      winnowPairsFromFps(TextOps.winnowSelected(spark, dir)).persist())
+      winnowPairsFromPacked(TextOps.winnowPacked(spark, dir)).persist())
   }
 
   /** [[winnowPairs]] over an arbitrary (doc_id, text) corpus — used by
@@ -669,7 +669,18 @@ object Dedup {
     * ([[graft.operators.TextScale]]). Callers must
     * [[TextOps.ensureRegistered]] first. */
   def winnowPairsOf(corpus: DataFrame): DataFrame =
-    winnowPairsFromFps(TextOps.winnowSelectedOf(corpus))
+    winnowPairsFromPacked(TextOps.winnowPackedOf(corpus))
+
+  /** the pair stage over the PACKED per-doc selection: the doc-distinct
+    * fingerprint stream comes from a map-side array_distinct, so the
+    * only corpus-scale exchange left is the one hash(h) shuffle that
+    * the df count and the inverted-index join SHARE (identical child
+    * plan + partitioning -> Catalyst plans the second consumer as a
+    * ReusedExchange; plan-pinned in WinnowSpec). At 1M docs this
+    * removed the (doc,h) distinct over 275.8M exploded rows that
+    * dominated the r8 pair phase. */
+  def winnowPairsFromPacked(packed: DataFrame): DataFrame =
+    pairsFromDistinctFps(TextOps.winnowFps(packed))
 
   /** MOSS-style directional containment over winnowed fingerprints:
     * for each surviving pair, n_shared / |fps(a)| and / |fps(b)| —
@@ -681,9 +692,11 @@ object Dedup {
     * exact integer counts. */
   def winnowContainment(spark: SparkSession, dir: String): DataFrame = {
     TextOps.ensureRegistered(spark)
-    val fps = TextOps.winnowSelected(spark, dir)
-      .select(col("doc_id"), col("h")).distinct()
-    val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
+    // per-doc fingerprint counts straight off the packed arrays —
+    // map-side, like t_winnow's n_fp
+    val sizes = TextOps.winnowPacked(spark, dir)
+      .select(col("doc_id"), size(array_distinct(expr(
+        "transform(packed, x -> x & 2147483647L)"))).cast("long").as("nfp"))
     // no broadcast hint: the per-doc size table is corpus-sized at
     // scale (unlike a dimension) — AQE picks broadcast at sf size and
     // a shuffle join at 100 TB, both correct
@@ -698,8 +711,12 @@ object Dedup {
   /** the pair stage alone, over already-selected fingerprints — lets
     * the scale harness reuse one persisted selection pass for both
     * the selection and pair measurements. */
-  def winnowPairsFromFps(selected: DataFrame): DataFrame = {
-    val fps = selected.select(col("doc_id"), col("h")).distinct()
+  def winnowPairsFromFps(selected: DataFrame): DataFrame =
+    pairsFromDistinctFps(selected.select(col("doc_id"), col("h")).distinct())
+
+  /** df cap -> inverted-index self-join over an ALREADY (doc,h)-unique
+    * fingerprint stream. */
+  private def pairsFromDistinctFps(fps: DataFrame): DataFrame = {
     val rare = fps.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= WinnowMaxDf && col("df") >= 2)
       .select(col("h"))

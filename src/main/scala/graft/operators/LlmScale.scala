@@ -48,25 +48,40 @@ object DedupScale {
     * ~2^32 vocabulary so char-gram fingerprints are globally rare
     * (the winnowing pipeline's operating regime). */
   def corpus(spark: SparkSession, n: Long, vocab: Long = VocabSize): DataFrame =
-    spark.range(n).select(col("id").as("doc_id"))
-      .withColumn("cid",
-        when(pmod(col("doc_id"), lit(10L)) === 9L, col("doc_id") - 1)
-          .otherwise(col("doc_id")))
-      .withColumn("len",
-        when(pmod(col("doc_id"), lit(10L)) === 9L, lit(DocLen - 3))
-          .otherwise(lit(DocLen)))
-      // degski-mixed (cid, j) → token id: the xor-shift rounds break
-      // the arithmetic progressions a linear congruential map leaves
-      // (which read as genuine high-Jaccard doc pairs and flood the
-      // verify stage with generator artifacts)
-      // reduce mod 2^32 BEFORE the mix multiply — (2^32−1)·73244475
-      // stays under Long.Max; an unreduced id·1000003 seed does not
+    textFor(
+      spark.range(n).select(col("id").as("doc_id"))
+        .withColumn("cid",
+          when(pmod(col("doc_id"), lit(10L)) === 9L, col("doc_id") - 1)
+            .otherwise(col("doc_id")))
+        .withColumn("len",
+          when(pmod(col("doc_id"), lit(10L)) === 9L, lit(DocLen - 3))
+            .otherwise(lit(DocLen))),
+      vocab)
+      .select(col("doc_id"), col("text"))
+
+  /** Appends `text` generated from a `cid` column (and a `len` column
+    * if present; [[DocLen]] otherwise) — the generator is a pure
+    * function of (cid, j), so any consumer can regenerate a doc's
+    * token stream from its cid ([[DedupStream]] builds its delta
+    * slices this way).
+    *
+    * degski-mixed (cid, j) → token id: the xor-shift rounds break the
+    * arithmetic progressions a linear congruential map leaves (which
+    * read as genuine high-Jaccard doc pairs and flood the verify stage
+    * with generator artifacts). Reduce mod 2^32 BEFORE the mix
+    * multiply — (2^32−1)·73244475 stays under Long.Max; an unreduced
+    * id·1000003 seed does not. */
+  def textFor(in: DataFrame, vocab: Long = VocabSize): DataFrame = {
+    val withLen = if (in.columns.contains("len")) in
+                  else in.withColumn("len", lit(DocLen))
+    withLen
       .withColumn("h0", expr("transform(sequence(0, len - 1), j -> (cid * 1000003 + j) % 4294967296)"))
       .withColumn("h1", expr("transform(h0, h -> (h ^ shiftright(h, 16)) * 73244475 % 4294967296)"))
       .withColumn("h2", expr("transform(h1, h -> (h ^ shiftright(h, 16)) * 73244475 % 4294967296)"))
-      .select(col("doc_id"), expr(
-        s"array_join(transform(h2, h -> concat('w', CAST((h ^ shiftright(h, 16)) % $vocab AS STRING))), ' ')")
-        .as("text"))
+      .withColumn("text", expr(
+        s"array_join(transform(h2, h -> concat('w', CAST((h ^ shiftright(h, 16)) % $vocab AS STRING))), ' ')"))
+      .drop("h0", "h1", "h2", "len")
+  }
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
@@ -314,16 +329,18 @@ object TextScale {
     val corpus = DedupScale.corpus(spark, n, vocab = 4294967296L).persist()
     corpus.count() // corpus build outside the timed paths
     val e0 = execMs.get()
-    // phase 1: fingerprint selection (linear scan + frame aggregate)
+    // phase 1: fingerprint selection (linear scan, kept PACKED — one
+    // array row per doc; nSel counts selected positions like the old
+    // exploded form did)
     val t0 = System.nanoTime()
-    val sel = TextOps.winnowSelectedOf(corpus).persist()
-    val nSel = sel.count()
+    val sel = TextOps.winnowPackedOf(corpus).persist()
+    val nSel = sel.agg(sum(size(col("packed")))).head.getLong(0)
     val wallSel = (System.nanoTime() - t0) / 1e9
     val execSel = (execMs.get() - e0) / 1e3
     // phase 2: overlap pairs + planted recall (reuses the persisted
     // selection — the pair stage is measured alone, no double count)
     val t1 = System.nanoTime()
-    val pairs = Dedup.winnowPairsFromFps(sel).persist()
+    val pairs = Dedup.winnowPairsFromPacked(sel).persist()
     val nPairs = pairs.count()
     val wallPairs = (System.nanoTime() - t1) / 1e9
     val execPairs = (execMs.get() - e0) / 1e3 - execSel

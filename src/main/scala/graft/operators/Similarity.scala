@@ -81,7 +81,11 @@ object Similarity {
   private val ivfTrainedMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
 
   /** Brute-force cosine top-k: tiny query set broadcast against all
-    * candidates; exact baseline for the ANN surface. */
+    * candidates; exact baseline for the ANN surface. 100 TB contract:
+    * as an eval truth it runs over SAMPLED queries (broadcast, one
+    * linear corpus pass — see [[matryoshkaRecall]]'s note); as a
+    * serving path it is the fallback below LSH/IVF scale, never the
+    * plan at corpus size. */
   def annBruteForce(spark: SparkSession, dir: String): DataFrame =
     bruteMemo.getOrElseUpdate(spark, dir)(annBruteForceCompute(spark, dir).persist())
 
@@ -938,7 +942,17 @@ object Similarity {
     * query-surface twin at the sf corpus. Still equi-joins only: the
     * probe set is two rows per query, the corpus never pairs with
     * itself. A candidate matches at most one probe (its single bucket;
-    * the flip is always nonzero), so no dedup pass is needed. */
+    * the flip is always nonzero), so no dedup pass is needed.
+    *
+    * Why the QUERY path needs no occupancy cap (the knnGraph
+    * refine-then-slice guard, [[knnCandidates]], does not apply
+    * here): the r7 blowup was corpus×corpus — candidate volume
+    * Σ_buckets |bucket|², quadratic in an over-full bucket. The query
+    * path joins a FIXED probe set against the bucketed corpus, so
+    * candidate volume is Σ_probes |bucket(probe)| ≤ probes × max
+    * bucket ≤ probes × corpus — LINEAR in the corpus no matter how
+    * skewed the buckets get; a worst-case bucket only makes a probe
+    * into a partial brute-force scan, never a quadratic join. */
   def annMultiprobe(spark: SparkSession, dir: String): DataFrame =
     mprobeMemo.getOrElseUpdate(spark, dir)(annMultiprobeCompute(spark, dir).persist())
 
@@ -993,7 +1007,17 @@ object Similarity {
     * Scale shape: inherits the ANN kernel's (queries broadcast,
     * corpus linear); both prefix levels come off ONE pass over the
     * candidate table (the m-level explode happens on the broadcast
-    * side), and the final intersection joins queries×K rows. */
+    * side), and the final intersection joins queries×K rows.
+    *
+    * 100 TB contract: this is an EVAL, not a serving path — it grades
+    * against the brute-force truth, so it is deliberately linear in
+    * the corpus per query. At scale the query set is a SAMPLE (the
+    * recall estimate is a per-query mean, so a few hundred sampled
+    * queries bound the confidence interval regardless of corpus
+    * size): queries broadcast, one linear corpus pass total, truth
+    * graded on the sample — never all queries × all vectors. The same
+    * sampled-query contract covers [[annBruteForce]] wherever it
+    * serves as truth ([[annRecall]], [[matryoshkaRecall]]). */
   def matryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
     val e = quantizedCached(spark, dir)
     val levels = MatryoshkaDims.map(m =>

@@ -1001,24 +1001,42 @@ object TextOps {
     * still runs, cross-validating the deque against the frame
     * semantics at every gate) shuffled and sorted EVERY gram by
     * (doc, pos). Output: distinct selected (doc_id, pos, h). */
-  /** Session-memoized: both `t_winnow`'s stats and
-    * `dd_winnow_pairs`' inverted index start from the same selected
-    * set — one persisted selection pass per (session, dir) instead of
-    * re-paying the gram explode + frame aggregate per query (the
-    * shared-intermediate lifecycle of [[tokenTable]]). */
+  /** Session-memoized PACKED selection — one row per doc holding the
+    * selected (pos·2³¹+h) array, NOT the exploded per-position rows:
+    * every consumer (`t_winnow`'s stats, `dd_winnow_pairs`' inverted
+    * index, containment's per-doc sizes) needs either per-doc
+    * aggregates of the array (size / distinct size — map-side) or the
+    * doc-DISTINCT fingerprints (array_distinct — map-side), so the
+    * 276-selections-per-doc explode and the (doc,h) distinct exchange
+    * it forced (the pair stage's single largest cost at 1M docs:
+    * 275.8M rows hash-aggregated and shuffled just to dedup) never
+    * need to exist. One persisted pass per (session, dir). */
   private val winnowMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
-  private[graft] def winnowSelected(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def winnowPacked(spark: SparkSession, dir: String): DataFrame = {
     ensureRegistered(spark)
     winnowMemo.getOrElseUpdate(spark, dir)(
-      winnowSelectedOf(docs(spark, dir)).persist())
+      winnowPackedOf(docs(spark, dir)).persist())
   }
 
+  /** (doc_id, packed: array<long>) — packed = pos·2³¹ + h (pos
+    * 1-based, h < 1e9+7 < 2³¹), one array element per selected
+    * window position. */
+  private[graft] def winnowPackedOf(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), expr(
+      s"graft_winnow(graft_gram_hashes(text, $WinnowK), $WinnowW)")
+      .as("packed"))
+
+  /** doc-locally-DISTINCT selected fingerprints, (doc_id, h) — global
+    * (doc,h) uniqueness for free because the dedup happens inside each
+    * doc's array (map-only; no exchange, unlike a distinct() over the
+    * exploded positions). */
+  private[graft] def winnowFps(packed: DataFrame): DataFrame =
+    packed.select(col("doc_id"), explode(array_distinct(expr(
+      "transform(packed, x -> x & 2147483647L)"))).as("h"))
+
   private[operators] def winnowSelectedOf(corpus: DataFrame): DataFrame =
-    corpus
-      .select(col("doc_id"), explode(expr(
-        s"graft_winnow(graft_gram_hashes(text, $WinnowK), $WinnowW)"))
-        .as("packed"))
-      // packed = pos·2³¹ + h (pos 1-based, h < 1e9+7 < 2³¹)
+    winnowPackedOf(corpus)
+      .select(col("doc_id"), explode(col("packed")).as("packed"))
       .select(col("doc_id"),
         shiftright(col("packed"), 31).as("pos"),
         (col("packed").bitwiseAND(lit(2147483647L))).as("h"))
@@ -1029,9 +1047,12 @@ object TextOps {
     * density (expected ≈ 2/(W+1) per the paper). Two linear
     * partial-agg groupBys joined on doc_id. */
   def winnow(spark: SparkSession, dir: String): DataFrame = {
-    val sel = winnowSelected(spark, dir)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_sel"), countDistinct("h").as("n_fp"))
+    // per-doc aggregates read straight off the packed array — map-side,
+    // no explode, no exchange
+    val sel = winnowPacked(spark, dir)
+      .select(col("doc_id"), size(col("packed")).cast("long").as("n_sel"),
+        size(array_distinct(expr("transform(packed, x -> x & 2147483647L)")))
+          .cast("long").as("n_fp"))
     // gram count is a pure function of text length — no second pass
     // over the gram stream (the memoized selection is the only one).
     // OCTET length, not char length: graft_gram_hashes iterates UTF-8

@@ -76,4 +76,23 @@ class WinnowSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("pair stage: doc-distinct is map-side; df count and index join share one fps exchange") {
+    TextOps.ensureRegistered(spark)
+    val corpus = TextOps.docs(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val plan = graft.operators.Dedup.winnowPairsOf(corpus)
+      .queryExecution.executedPlan.toString
+    // the packed path never plans a (doc_id, h) dedup aggregate — the
+    // distinct lives inside array_distinct on the map side. The r8
+    // form's distinct() was a corpus-wide HashAggregate over the
+    // exploded positions (275.8M rows at the 1M-doc harness, the pair
+    // phase's single largest stage); its reappearance is the
+    // regression this pins out.
+    assert(plan.contains("array_distinct"), plan.take(2000))
+    assert(!plan.contains("keys=[doc_id"), plan.take(3000))
+    // the only aggregates are the df count (keys=[h]) and the final
+    // shared-count (keys=[a, b])
+    assert(!plan.contains("keys=[a#") || plan.contains("keys=[h#"), plan.take(3000))
+  }
 }
