@@ -53,15 +53,21 @@ object Dedup {
       .filter(col("n") > 1)
   }
 
-  /** distinct (doc_id, shingle-fingerprint) pairs, df-capped. */
-  def shingles(corpus: DataFrame): DataFrame = {
-    val sh = corpus
+  /** distinct (doc_id, 3-token-shingle fingerprint) postings, UNCAPPED
+    * — the raw inverted-index rows a maintained index stores
+    * ([[graft.operators.DedupStream]]'s persisted base table). */
+  def rawPostings(corpus: DataFrame): DataFrame =
+    corpus
       .withColumn("t", toks(col("text")))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"),
         explode(expr("transform(sequence(0, size(t) - 3), k -> concat(t[k], ' ', t[k+1], ' ', t[k+2]))")).as("sh"))
       .select(col("doc_id"), expr(fpSql("sh")).as("sfp"))
       .distinct()
+
+  /** distinct (doc_id, shingle-fingerprint) pairs, df-capped. */
+  def shingles(corpus: DataFrame): DataFrame = {
+    val sh = rawPostings(corpus)
     val df = sh.groupBy("sfp").agg(count(lit(1)).as("df"))
     // reused by signatures, sizes and pair verification — persist once
     sh.join(df.filter(col("df") <= MaxDf).select("sfp"), "sfp").persist()
@@ -499,6 +505,28 @@ object Dedup {
       val pairs = scoreCandidates(sh, cand).persist()
       pairs.count() // materialize before releasing the shingle cache
       sh.unpersist()
+      pairs
+    }
+  }
+
+  /** The maintained-index form of [[incrementalPairs]], via
+    * [[graft.operators.DedupStream.batchPairs]]: the base corpus's
+    * UNCAPPED posting table + df sidecar (what a production index
+    * persists) probed by the delta slice, df and scoring sizes
+    * reconstituted as base+delta. Result is provably identical to the
+    * union recompute — the oracle is the SAME SQL as
+    * `dd_incremental`, so the gate hash-proves the maintained-index
+    * split against DuckDB's one-shot computation every run. */
+  private val streamBatchMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
+  def streamBatchPairs(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.ensureRegistered(spark)
+    streamBatchMemo.getOrElseUpdate(spark, dir) {
+      val basePost = rawPostings(nearCorpus(spark, dir)).persist()
+      val baseDf = basePost.groupBy("sfp").agg(count(lit(1)).as("df"))
+      val pairs = DedupStream.batchPairs(basePost, baseDf,
+        deltaCorpus(spark, dir)).persist()
+      pairs.count() // materialize before releasing the posting cache
+      basePost.unpersist()
       pairs
     }
   }

@@ -72,31 +72,37 @@ object DedupStream {
   }
 
   /** the per-batch incremental probe: delta postings against the
-    * persisted base index, df = base + delta capped at
-    * [[Dedup.MaxDf]], exact-Jaccard verify on candidates only. */
+    * persisted base index, df = base + delta capped at [[Dedup.MaxDf]]
+    * (candidate keys AND scoring sizes — exactly the union df the
+    * batch recompute uses, so the result is provably
+    * [[Dedup.incrementalPairs]]' restricted-recompute contract;
+    * `dd_stream_batch` hash-gates the equality against the SAME DuckDB
+    * oracle as `dd_incremental`), exact-Jaccard verify on candidates
+    * only. The capped-size pass re-reads the cached base postings once
+    * per batch; a production index stores per-doc sizes and running df
+    * incrementally — here the cached columnar scan stands in for that
+    * sidecar. */
   def batchPairs(basePost: DataFrame, baseDf: DataFrame,
                  delta: DataFrame): DataFrame = {
-    val deltaPost = delta
-      .withColumn("t", TextOps.toks(col("text")))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(t) - 3), k -> concat(t[k], ' ', t[k+1], ' ', t[k+2]))")).as("sh"))
-      .select(col("doc_id"), expr(TextOps.fpSql("sh")).as("sfp"))
-      .distinct()
+    val deltaPost = Dedup.rawPostings(delta)
     val dfDelta = deltaPost.groupBy("sfp").agg(count(lit(1)).as("dfd"))
-    // total df for the PROBED keys only (delta keys are few)
-    val keep = dfDelta.join(baseDf, Seq("sfp"), "left")
-      .filter(coalesce(col("df"), lit(0L)) + col("dfd") <= Dedup.MaxDf)
+    // union df for the PROBED keys (delta keys are few -> broadcast)
+    val keepDelta = dfDelta.join(baseDf, Seq("sfp"), "left")
+      .filter(col("dfd") + coalesce(col("df"), lit(0L)) <= Dedup.MaxDf)
       .select(col("sfp"))
-    val probe = deltaPost.join(broadcast(keep), "sfp")
-    val allPost = basePost.unionAll(deltaPost)
+    val probe = deltaPost.join(broadcast(keepDelta), "sfp")
+    // union df over ALL keys, for the scoring denominators
+    val keepAll = baseDf.join(dfDelta, Seq("sfp"), "full_outer")
+      .filter(coalesce(col("df"), lit(0L)) + coalesce(col("dfd"), lit(0L)) <= Dedup.MaxDf)
+      .select(col("sfp"))
+    val capped = basePost.unionAll(deltaPost).join(keepAll, "sfp")
     val cand = broadcast(probe.select(col("doc_id").as("x"), col("sfp")))
-      .join(allPost.select(col("doc_id").as("y"), col("sfp")), "sfp")
+      .join(capped.select(col("doc_id").as("y"), col("sfp")), "sfp")
       .filter(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
       .distinct()
-    Dedup.scoreCandidates(allPost, cand)
+    Dedup.scoreCandidates(capped, cand)
   }
 
   /** Drive `nBatches` micro-batches through a foreachBatch probe;
@@ -110,13 +116,7 @@ object DedupStream {
     TextOps.ensureRegistered(spark)
     // the maintained index: built once, persisted — NOT on any batch's clock
     val base = DedupScale.corpus(spark, nBase)
-    val basePost = base
-      .withColumn("t", TextOps.toks(col("text")))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(0, size(t) - 3), k -> concat(t[k], ' ', t[k+1], ' ', t[k+2]))")).as("sh"))
-      .select(col("doc_id"), expr(TextOps.fpSql("sh")).as("sfp"))
-      .distinct().persist()
+    val basePost = Dedup.rawPostings(base).persist()
     val baseDf = basePost.groupBy("sfp").agg(count(lit(1)).as("df")).persist()
     baseDf.count()
     val stream = MemoryStream[Long]

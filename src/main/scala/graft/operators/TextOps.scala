@@ -986,9 +986,19 @@ object TextOps {
     * the MOSS fingerprinting algorithm): char k-gram length, window
     * width in grams. Guarantee: any shared substring of length
     * ≥ [[WinnowK]]+[[WinnowW]]−1 chars yields at least one shared
-    * selected fingerprint. */
+    * selected fingerprint — the paper's noise threshold t = K+W−1.
+    *
+    * W sets the density/guarantee trade directly: expected selections
+    * per window are 2/(W+1) (paper §3), and EVERY downstream pair-stage
+    * exchange (df count, inverted-index join, shared-count aggregate)
+    * is linear in the selected rows. W=4 (t=11 chars) ran r8's 1M-doc
+    * pair stage at 275.8M fingerprint rows / 13.9-23.3k exec-s; for a
+    * training-data dedup pass, sub-16-char matches are noise, so W=9
+    * (t=16, density 0.2) halves the fingerprint volume with the
+    * guarantee intact. The DuckDB twins derive from these constants,
+    * so both engines move together. */
   val WinnowK = 8
-  val WinnowW = 4
+  val WinnowW = 9
 
   /** Winnowed fingerprint selection: in every window of [[WinnowW]]
     * consecutive gram hashes, select the minimum (rightmost on ties —

@@ -112,7 +112,7 @@ class Round8OpsSpec extends SparkTestBase {
       assert(nFp <= nSel)
       if (nWin > 0) assert(nSel >= 1L)  // the winnowing guarantee
     }
-    // expected density of random hashes is 2/(w+1) = 0.4; real text
+    // expected density of random hashes is 2/(w+1) = 0.2; real text
     // repeats grams so allow a wide band, but catch degenerate
     // select-everything / select-nothing bugs
     val d = rows.filter(_.getLong(2) > 0)
