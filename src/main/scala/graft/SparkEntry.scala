@@ -924,6 +924,12 @@ object SparkEntry {
     "pipe_dsir_sample" -> ((s, dir) => graft.operators.Pipeline.dsirSample(s, dir)),
     // temperature-scaled source mixture weights (mT5/XLM-R sampling rule)
     "pipe_source_mix" -> ((s, dir) => graft.operators.Pipeline.sourceMix(s, dir)),
+    // per-source vocabulary shift vs the corpus (KL + TV over hashed unigrams)
+    "pipe_source_shift" -> ((s, dir) => graft.operators.Pipeline.sourceShift(s, dir)),
+    // independent-gate curation ablation funnel per source
+    "pipe_filter_funnel" -> ((s, dir) => graft.operators.Pipeline.filterFunnel(s, dir)),
+    // cross-source near-duplication flow matrix (winnow pairs × source labels)
+    "dd_source_flow" -> ((s, dir) => Dedup.sourceFlow(s, dir)),
     "g_link_prediction" -> ((s, dir) => GraphOps.linkPrediction(s, dir)),
     "ann_topk" -> ((s, dir) => Similarity.annBruteForce(s, dir)),
     "ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
@@ -1563,6 +1569,9 @@ object SparkEntry {
     "pipe_dsir" -> TextCtes.dsirWeights,
     "pipe_dsir_sample" -> TextCtes.dsirSample,
     "pipe_source_mix" -> TextCtes.sourceMix,
+    "pipe_source_shift" -> TextCtes.sourceShift,
+    "pipe_filter_funnel" -> TextCtes.filterFunnel,
+    "dd_source_flow" -> TextCtes.sourceFlow,
     "emb_matryoshka" -> TextCtes.matryoshka,
     "g_link_prediction" ->
       s"""WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),

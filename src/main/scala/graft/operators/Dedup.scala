@@ -736,6 +736,34 @@ object Dedup {
         (col("n_shared") / col("nb").cast("double")).as("cont_b"))
   }
 
+  /** Cross-source near-duplication flow matrix — where a corpus's
+    * redundancy LIVES: [[winnowPairs]]' overlap pairs joined to each
+    * document's source label and aggregated per unordered source
+    * pair. The diagonal (source_a = source_b) is intra-source
+    * duplication (crawl re-visits, mirrored pages); off-diagonal
+    * cells are syndication between sources — the table that decides
+    * whether dedup should run per-source (cheap) or global
+    * (necessary). Sources are ordered lexicographically per cell so
+    * the matrix is direction-free: the pair table's (a < b) doc-id
+    * order says nothing about sources.
+    *
+    * Scale shape: the pair table is ≪ corpus by construction
+    * ([[WinnowMaxDf]] bounds it); the two source lookups join a
+    * pair-sized stream against the (doc_id, source) projection — no
+    * hint, AQE broadcasts whichever side is small at the running
+    * scale — and the final groupBy is over ≤ |sources|² cells. All
+    * counts exact integers. */
+  def sourceFlow(spark: SparkSession, dir: String): DataFrame = {
+    val src = TextOps.docs(spark, dir).select(col("doc_id"), col("source"))
+    winnowPairs(spark, dir)
+      .join(src.select(col("doc_id").as("a"), col("source").as("sa")), "a")
+      .join(src.select(col("doc_id").as("b"), col("source").as("sb")), "b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"), col("n_shared"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"), sum("n_shared").as("shared_fps"))
+  }
+
   /** the pair stage alone, over already-selected fingerprints — lets
     * the scale harness reuse one persisted selection pass for both
     * the selection and pair measurements. */

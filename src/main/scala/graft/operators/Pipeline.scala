@@ -510,22 +510,32 @@ object Pipeline {
     // the quotient itself is ≤ Scale·(rt+B)/(tt+B), back in int64 for
     // any non-degenerate target slice. PipelineSpec pins the overflow
     // regime with a one-hot-bucket corpus.
+    // the QUOTIENT narrows back to int64 immediately: lr_micro ≤
+    // Scale·(rt+B)/(tt+B) — ≤ 2.4e15 even in the degenerate tt=0 case
+    // at rt = 1e13 reference tokens, far under 2^63
     val lr = ratio.crossJoin(broadcast(totals))
       .select(col("bucket"),
-        expr(s"""(cast($DsirScale as decimal(38,0)) * (tc + 1) * (rt + $b))
-                | div (cast(rc + 1 as decimal(38,0)) * (tt + $b))"""
+        expr(s"""cast((cast($DsirScale as decimal(38,0)) * (tc + 1) * (rt + $b))
+                | div (cast(rc + 1 as decimal(38,0)) * (tt + $b)) as bigint)"""
           .stripMargin).as("lr_micro"))
-    // per-doc sums likewise in decimal: Σ cnt·lr can pass 2^63 on the
-    // same corpora; avg divides before narrowing (avg ≤ max lr fits
-    // int64), score narrows after — its own int64 envelope
-    // (tokens-per-doc · max lr) is documented rather than load-bearing
+    // per-doc sums stay LONG: the aggregation state is a primitive
+    // 8-byte accumulator inside whole-stage codegen instead of a
+    // 16-byte Decimal per group (1M groups × ~200M input rows at the
+    // scale harness), and the int64 envelope is generous — Σ cnt·lr ≤
+    // tokens(doc) · max lr, and with any non-degenerate target (≥1% of
+    // reference mass) max lr ≤ 100·Scale = 1e8, so docs up to 1e10
+    // tokens sum exactly. (Measured 1M-doc DSIR walls are parity
+    // within this box's same-commit drift — the narrowing is a scale
+    // argument, not a measured-win claim; see BASELINE.md.) The
+    // decimal widening above is the one that matters: it protects
+    // GLOBAL counts (tc·rt), which wrap at realistic corpus sizes
+    // (ADVICE r8). The DuckDB twin sums in HUGEINT and casts — equal
+    // wherever the envelope holds; Round9OpsSpec pins the wrap regime.
     docBuck.join(broadcast(lr), "bucket")
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_tokens"),
-        sum(col("cnt").cast("decimal(38,0)") * col("lr_micro")).as("score_dec"))
-      .select(col("doc_id"), col("n_tokens"),
-        col("score_dec").cast("long").as("score_micro"),
-        expr("cast(score_dec div n_tokens as bigint)").as("avg_micro"))
+        sum(col("cnt") * col("lr_micro")).as("score_micro"))
+      .withColumn("avg_micro", expr("score_micro div n_tokens"))
   }
 
   /** Temperature exponent for [[sourceMix]] — the α of
@@ -558,5 +568,99 @@ object Pipeline {
       .select(col("source"), col("n_docs"), col("n_tokens"), col("p"),
         (col("pa") / col("z")).as("q"),
         ((col("pa") / col("z")) / col("p")).as("boost"))
+  }
+
+  /** Bucket count for [[sourceShift]]'s hashed-vocabulary histograms.
+    * 4096 buckets keep the per-source audit table ≤ |sources|·4096
+    * rows (bounded, never corpus-sized) while the birthday collision
+    * rate stays low enough that a real vocabulary shift dominates
+    * hash-collision noise. */
+  val ShiftBuckets = 4096L
+
+  /** Distribution-shift audit between each source and the corpus —
+    * the table a mixture designer reads BEFORE trusting
+    * [[sourceMix]]'s token-mass weights: two sources with equal mass
+    * but divergent vocabularies are different training data. Per
+    * source, over hashed-unigram histograms ([[ShiftBuckets]]
+    * buckets): KL(source ‖ corpus) in nats and total-variation
+    * distance. The TV term handles buckets where the source has no
+    * mass without materializing them: Σ_{b∉s} p_c(b) = 1 − Σ_{b∈s}
+    * p_c(b), so TV = ½(Σ_{b∈s} |p_s − p_c| + 1 − Σ_{b∈s} p_c). KL
+    * needs no such term (0·ln 0 = 0), and p_c > 0 wherever p_s > 0
+    * because the corpus histogram contains the source's own counts.
+    *
+    * Scale shape: ONE corpus-sized partial-agg shuffle
+    * (groupBy(source, bucket)); everything after operates on the
+    * bounded histogram table — bucket totals (≤4096 rows) and source
+    * totals (≤|sources| rows) broadcast back onto it. Probabilities
+    * are doubles derived from exact integer counts in a fixed op
+    * order; the oracle mirrors the op order so both engines round
+    * identically at the gate's 6-dp canonicalization. */
+  def sourceShift(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.ensureRegistered(spark)
+    val sb = TextOps.docs(spark, dir)
+      .select(col("source"), explode(TextOps.toks(col("text"))).as("tok"))
+      .select(col("source"),
+        pmod(expr(TextOps.fpSql("tok")), lit(ShiftBuckets)).as("bucket"))
+      .groupBy("source", "bucket").agg(count(lit(1)).as("sc"))
+    val cb = sb.groupBy("bucket").agg(sum("sc").as("cc"))
+    val st = sb.groupBy("source").agg(sum("sc").as("stot"))
+    val ct = cb.agg(sum("cc").as("ctot"))
+    sb.join(broadcast(cb), "bucket")
+      .join(broadcast(st), "source")
+      .crossJoin(broadcast(ct))
+      .withColumn("ps", col("sc") / col("stot").cast("double"))
+      .withColumn("pc", col("cc") / col("ctot").cast("double"))
+      .groupBy("source")
+      .agg(min("stot").as("n_tokens"),
+        count(lit(1)).as("n_buckets"),
+        sum(col("ps") * log(col("ps") / col("pc"))).as("kl_nats"),
+        ((sum(abs(col("ps") - col("pc"))) + lit(1.0) - sum(col("pc"))) / 2.0)
+          .as("tv_dist"))
+  }
+
+  /** Independent-gate ablation funnel per source — the companion view
+    * to [[curateLineage]]'s first-fail verdicts: every curation gate
+    * (quality ≥ τ, repetition keep, not a near-dup loser, not
+    * benchmark-contaminated) evaluated on ALL documents, counted per
+    * source, plus the intersection. First-fail lineage tells you what
+    * the pipeline DID; the ablation table tells you what each gate
+    * WOULD do alone — the numbers threshold tuning actually needs
+    * (a gate whose independent pass rate is 0.99 on one source and
+    * 0.40 on another is mis-calibrated, which first-fail counts hide
+    * behind earlier gates).
+    *
+    * Scale shape: identical to [[curateFull]] — the two drop sides
+    * are small (near-dup losers, contaminated docs) and left-join
+    * against one linear pass; the gate columns are per-doc flags
+    * summed in a single partial-agg groupBy(source). Documents too
+    * short for the repetition statistics (< 3 tokens — the operator
+    * emits no row) count as failing that gate, mirrored in the
+    * oracle. */
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextOps.quality(spark, dir).select(col("doc_id"),
+      when(col("quality") >= QualityTau, 1L).otherwise(0L).as("pq"))
+    val r = TextOps.repetition(spark, dir)
+      .select(col("doc_id"), col("keep").as("pr0"))
+    val dup = Dedup.dedupClusters(spark, dir)
+      .filter(col("doc_id") < Dedup.IdOffset)
+      .select(col("doc_id"), lit(1L).as("is_dup"))
+    val cont = Dedup.decontaminate(spark, dir)
+      .select(col("doc_id"), lit(1L).as("is_cont"))
+    TextOps.docs(spark, dir).select(col("doc_id"), col("source"))
+      .join(q, "doc_id")
+      .join(r, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .withColumn("pr", coalesce(col("pr0"), lit(0L)))
+      .withColumn("pd", when(col("is_dup").isNull, 1L).otherwise(0L))
+      .withColumn("pc", when(col("is_cont").isNull, 1L).otherwise(0L))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("pq").as("pass_quality"),
+        sum("pr").as("pass_repetition"),
+        sum("pd").as("pass_dedup"),
+        sum("pc").as("pass_decontam"),
+        sum(col("pq") * col("pr") * col("pd") * col("pc")).as("pass_all"))
   }
 }

@@ -1972,4 +1972,73 @@ object TextCtes {
        |FROM ptop p JOIN truth USING (qid, nid), t
        |GROUP BY p.m, t.n_truth""".stripMargin
   }
+
+  /** twin of [[graft.operators.Pipeline.sourceShift]]: per-source
+    * hashed-unigram histogram vs the corpus histogram — KL in nats +
+    * total-variation distance (missing-bucket mass folded in as
+    * 1 − Σ_{b∈s} p_c). Division/ln op order mirrors the Spark side so
+    * both engines round identically at 6 dp. */
+  val sourceShift: String = {
+    import graft.operators.Pipeline.ShiftBuckets
+    s"""WITH dtok AS (SELECT source, ${fp("tok")} % $ShiftBuckets AS bucket
+       |  FROM (SELECT source, unnest(${toks("text")}) AS tok FROM documents) u),
+       |sb AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS sc
+       |  FROM dtok GROUP BY 1, 2),
+       |cb AS (SELECT bucket, CAST(sum(sc) AS BIGINT) AS cc FROM sb GROUP BY 1),
+       |st AS (SELECT source, CAST(sum(sc) AS BIGINT) AS stot FROM sb GROUP BY 1),
+       |ct AS (SELECT CAST(sum(cc) AS BIGINT) AS ctot FROM cb)
+       |SELECT sb.source,
+       |  min(st.stot) AS n_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_buckets,
+       |  sum((sc / CAST(stot AS DOUBLE)) *
+       |      ln((sc / CAST(stot AS DOUBLE)) / (cc / CAST(ctot AS DOUBLE))))
+       |    AS kl_nats,
+       |  (sum(abs(sc / CAST(stot AS DOUBLE) - cc / CAST(ctot AS DOUBLE)))
+       |      + 1.0 - sum(cc / CAST(ctot AS DOUBLE))) / 2.0 AS tv_dist
+       |FROM sb JOIN cb USING (bucket) JOIN st USING (source), ct
+       |GROUP BY sb.source""".stripMargin
+  }
+
+  /** twin of [[graft.operators.Dedup.sourceFlow]]: winnow overlap
+    * pairs labelled by source, aggregated per unordered source pair. */
+  val sourceFlow: String =
+    s"""WITH wp AS ($winnowPairs)
+       |SELECT least(x.source, y.source) AS source_a,
+       |  greatest(x.source, y.source) AS source_b,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(wp.n_shared) AS BIGINT) AS shared_fps
+       |FROM wp JOIN documents x ON wp.a = x.doc_id
+       |JOIN documents y ON wp.b = y.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
+  /** twin of [[graft.operators.Pipeline.filterFunnel]]: every curation
+    * gate evaluated independently on all documents, per source. Docs
+    * too short for the repetition statistics (no rep row) fail that
+    * gate, matching the Spark side's left-join + coalesce(keep, 0). */
+  val filterFunnel: String = {
+    import graft.operators.{Dedup, Pipeline}
+    s"""WITH $qualityCtes,
+       |rep AS ($repetition),
+       |cl AS ($dedupClusters),
+       |dec AS ($decontaminate),
+       |flags AS (
+       |  SELECT d.doc_id, d.source,
+       |    CASE WHEN q.quality >= ${Pipeline.QualityTau} THEN 1 ELSE 0 END AS pq,
+       |    coalesce(r.keep, 0) AS pr,
+       |    CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END AS pd,
+       |    CASE WHEN x.doc_id IS NULL THEN 1 ELSE 0 END AS pc
+       |  FROM documents d
+       |  JOIN qual q USING (doc_id)
+       |  LEFT JOIN rep r USING (doc_id)
+       |  LEFT JOIN (SELECT doc_id FROM cl WHERE doc_id < ${Dedup.IdOffset}) c
+       |    USING (doc_id)
+       |  LEFT JOIN dec x USING (doc_id))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(pq) AS BIGINT) AS pass_quality,
+       |  CAST(sum(pr) AS BIGINT) AS pass_repetition,
+       |  CAST(sum(pd) AS BIGINT) AS pass_dedup,
+       |  CAST(sum(pc) AS BIGINT) AS pass_decontam,
+       |  CAST(sum(pq * pr * pd * pc) AS BIGINT) AS pass_all
+       |FROM flags GROUP BY source""".stripMargin
+  }
 }

@@ -57,4 +57,60 @@ class Round9OpsSpec extends SparkTestBase {
       assert(r.getLong(3) === expAvg.toLong, s"avg_micro doc ${r.getLong(0)}")
     }
   }
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("sourceShift: Gibbs and Pinsker hold per source; histogram mass closes") {
+    val docs = TextOps.docs(spark, dir)
+    val nSources = docs.select("source").distinct().count()
+    val rows = Pipeline.sourceShift(spark, dir).collect()
+    assert(rows.length === nSources)
+    rows.foreach { r =>
+      val (kl, tv) = (r.getDouble(3), r.getDouble(4))
+      // KL(p‖q) ≥ 0 (Gibbs) — a sign/op-order bug goes negative
+      assert(kl >= 0.0, s"KL negative for ${r.getString(0)}")
+      assert(tv >= 0.0 && tv <= 1.0, s"TV out of [0,1] for ${r.getString(0)}")
+      // Pinsker: TV ≤ sqrt(KL/2) — ties the two statistics to each
+      // other, so a bucket-mass bug must break one of them
+      assert(tv <= math.sqrt(kl / 2.0) + 1e-12,
+        s"Pinsker violated for ${r.getString(0)}: tv=$tv kl=$kl")
+    }
+    // per-source token totals must close over the whole corpus
+    val totalTokens = rows.map(_.getLong(1)).sum
+    val expected = docs
+      .agg(sum(size(TextOps.toks(col("text")))).cast("long")).head.getLong(0)
+    assert(totalTokens === expected)
+  }
+
+  test("filterFunnel: gate counts reconcile with the operators they summarize") {
+    val f = Pipeline.filterFunnel(spark, dir).collect()
+    val byName = f.map(r => r.getString(0) -> r).toMap
+    val nDocs = TextOps.docs(spark, dir).count()
+    assert(f.map(_.getLong(1)).sum === nDocs, "n_docs closes over corpus")
+    f.foreach { r =>
+      val n = r.getLong(1)
+      val gates = Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      gates.foreach(g => assert(g >= 0 && g <= n))
+      assert(r.getLong(6) <= gates.min, s"pass_all > a gate for ${r.getString(0)}")
+    }
+    // independent-rate columns must equal the gate operators run alone
+    val passQ = TextOps.quality(spark, dir)
+      .filter(col("quality") >= Pipeline.QualityTau).count()
+    assert(f.map(_.getLong(2)).sum === passQ, "pass_quality total")
+    val dropped = Dedup.dedupClusters(spark, dir)
+      .filter(col("doc_id") < Dedup.IdOffset).select("doc_id").distinct().count()
+    assert(f.map(_.getLong(4)).sum === nDocs - dropped, "pass_dedup total")
+    assert(byName.nonEmpty)
+  }
+
+  test("sourceFlow: matrix closes over the pair table and is direction-free") {
+    TextOps.ensureRegistered(spark)
+    val pairs = Dedup.winnowPairs(spark, dir)
+    val flow = Dedup.sourceFlow(spark, dir).collect()
+    assert(flow.map(_.getLong(2)).sum === pairs.count(), "n_pairs closes")
+    assert(flow.map(_.getLong(3)).sum ===
+      pairs.agg(sum("n_shared")).head.getLong(0), "shared_fps closes")
+    flow.foreach(r => assert(r.getString(0) <= r.getString(1),
+      "cells ordered lexicographically"))
+  }
 }
