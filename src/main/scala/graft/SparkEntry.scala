@@ -944,6 +944,8 @@ object SparkEntry {
     "dd_semantic" -> ((s, dir) => Similarity.semDedup(s, dir)),
     // per-dimension embedding stats (drift monitoring)
     "emb_dim_stats" -> ((s, dir) => Similarity.dimStats(s, dir)),
+    // per-class centroid audit: norm + cosine to the corpus-mean direction
+    "emb_class_centroids" -> ((s, dir) => Similarity.classCentroids(s, dir)),
     "emb_whiten" -> ((s, dir) => Similarity.whitenNorms(s, dir)),
     "emb_knn_graph" -> ((s, dir) => Similarity.knnGraph(s, dir)),
     "emb_bucket_stats" -> ((s, dir) => Similarity.bucketStats(s, dir)),
@@ -1593,6 +1595,7 @@ object SparkEntry {
     "dd_embedding" -> TextCtes.embeddingDup,
     "dd_semantic" -> TextCtes.semDedup,
     "emb_dim_stats" -> TextCtes.dimStats,
+    "emb_class_centroids" -> TextCtes.classCentroids,
     "emb_whiten" -> TextCtes.whitenNorms,
     "emb_knn_graph" -> TextCtes.knnGraph,
     "emb_bucket_stats" -> TextCtes.bucketStats,

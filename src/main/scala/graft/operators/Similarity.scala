@@ -434,6 +434,50 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum("x").as("sum_q"),
         min("x").as("min_q"), max("x").as("max_q"))
 
+  /** Per-class centroid audit — the embedding-space twin of
+    * `Pipeline.sourceShift`'s text-side drift table: for each label
+    * class, the centroid's L2 norm and its cosine to the corpus-mean
+    * direction. A class whose centroid cosine sits near 0 occupies
+    * its own region (healthy separation); one near 1 with a small
+    * norm is collapsing into the corpus mean — the QC signal an
+    * embedding-table release checks before training retrieval on the
+    * labels. ALL vectors count as class members (no nrm>0 filter —
+    * zero vectors pull a centroid toward the origin, which is
+    * exactly what the audit should see).
+    *
+    * Engine-exact shape: per-(label, dim) integer sums s (one
+    * posexplode partial-agg pass — the ONLY corpus-sized op), the
+    * global per-dim sums g derive from s (bounded: |labels|·d rows),
+    * and the three quadratics ss = Σs², sg = Σs·g, gg = Σg² widen to
+    * decimal128 BEFORE the multiply (s ~ n·10³ per class wraps s² at
+    * n ≳ 3e6 — the DSIR global-count lesson). Doubles appear only in
+    * the last projection, in the same op order as the oracle:
+    * centroid_norm = √ss/n (norm of the MEAN vector, scaled back to
+    * float units), cos = sg/(√ss·√gg). */
+  def classCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tpch.table(spark, dir, "embeddings")
+    val lbl = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+    val el = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
+    val sl = el.join(lbl, "vec_id")
+      .groupBy("label", "i").agg(sum("x").as("s"))
+    val g = sl.groupBy("i").agg(sum("s").as("g"))
+    val per = sl.join(broadcast(g), "i")
+      .groupBy("label")
+      .agg(sum(col("s").cast("decimal(38,0)") * col("s")).as("ss"),
+        sum(col("s").cast("decimal(38,0)") * col("g")).as("sg"))
+    val gg = g.agg(sum(col("g").cast("decimal(38,0)") * col("g")).as("gg"))
+    val cnt = lbl.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+    per.join(broadcast(cnt), "label").crossJoin(broadcast(gg))
+      .select(col("label"), col("n_vecs"),
+        (sqrt(col("ss").cast("double")) / col("n_vecs") / 1000.0)
+          .as("centroid_norm"),
+        (col("sg").cast("double") /
+          (sqrt(col("ss").cast("double")) * sqrt(col("gg").cast("double"))))
+          .as("cos_to_global"))
+  }
+
   /** Per-dimension whitening (z-scoring) of the quantized embeddings,
     * reported as each vector's whitened squared norm — the
     * normalization step between encoder output and any

@@ -1973,6 +1973,36 @@ object TextCtes {
        |GROUP BY p.m, t.n_truth""".stripMargin
   }
 
+  /** twin of [[graft.operators.Similarity.classCentroids]]: per-label
+    * centroid norm + cosine to the corpus-mean direction, quadratics
+    * in HUGEINT, doubles only in the final projection (same op order
+    * as the Spark side). No nrm>0 filter — every vector is a class
+    * member. */
+  val classCentroids: String =
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q,
+       |    CAST(label AS BIGINT) AS label
+       |  FROM embeddings),
+       |el AS (SELECT vec_id, label, unnest(q) AS x,
+       |    unnest(generate_series(1, len(q))) AS i FROM e),
+       |sl AS (SELECT label, i, CAST(sum(x) AS BIGINT) AS s
+       |  FROM el GROUP BY 1, 2),
+       |g AS (SELECT i, CAST(sum(s) AS BIGINT) AS g FROM sl GROUP BY 1),
+       |per AS (SELECT label,
+       |    sum(CAST(sl.s AS HUGEINT) * sl.s) AS ss,
+       |    sum(CAST(sl.s AS HUGEINT) * g.g) AS sg
+       |  FROM sl JOIN g USING (i) GROUP BY 1),
+       |gg AS (SELECT sum(CAST(g AS HUGEINT) * g) AS gg FROM g),
+       |cnt AS (SELECT CAST(label AS BIGINT) AS label,
+       |    CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY 1)
+       |SELECT per.label, cnt.n_vecs,
+       |  sqrt(CAST(per.ss AS DOUBLE)) / cnt.n_vecs / 1000.0 AS centroid_norm,
+       |  CAST(per.sg AS DOUBLE) /
+       |    (sqrt(CAST(per.ss AS DOUBLE)) * sqrt(CAST(gg.gg AS DOUBLE)))
+       |    AS cos_to_global
+       |FROM per JOIN cnt USING (label), gg""".stripMargin
+
   /** twin of [[graft.operators.Pipeline.sourceShift]]: per-source
     * hashed-unigram histogram vs the corpus histogram — KL in nats +
     * total-variation distance (missing-bucket mass folded in as

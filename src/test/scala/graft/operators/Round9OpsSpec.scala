@@ -103,6 +103,38 @@ class Round9OpsSpec extends SparkTestBase {
     assert(byName.nonEmpty)
   }
 
+  test("classCentroids: exact-BigInt recomputation matches; cosines bounded") {
+    val out = Similarity.classCentroids(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // ground truth in exact BigInt arithmetic straight off the parquet
+    val raw = graft.sources.Tpch.table(spark, dir, "embeddings")
+      .selectExpr("CAST(label AS BIGINT) AS label",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val dims = raw.head._2.length
+    val byLabel = raw.groupBy(_._1)
+    val s = byLabel.map { case (l, vs) =>
+      l -> Array.tabulate(dims)(i => BigInt(vs.map(_._2(i)).sum))
+    }
+    val g = Array.tabulate(dims)(i => s.values.map(_(i)).sum)
+    val gg = g.map(x => x * x).sum
+    assert(out.keySet === s.keySet)
+    s.foreach { case (l, sv) =>
+      val ss = sv.map(x => x * x).sum
+      val sg = sv.zip(g).map { case (a, b) => a * b }.sum
+      val n = byLabel(l).length
+      val (nOut, normOut, cosOut) = out(l)
+      assert(nOut === n.toLong)
+      val expNorm = math.sqrt(ss.toDouble) / n / 1000.0
+      val expCos = sg.toDouble / (math.sqrt(ss.toDouble) * math.sqrt(gg.toDouble))
+      assert(normOut === expNorm, s"centroid_norm label $l")
+      assert(cosOut === expCos, s"cos_to_global label $l")
+      assert(cosOut >= -1.0 - 1e-12 && cosOut <= 1.0 + 1e-12)
+    }
+  }
+
   test("sourceFlow: matrix closes over the pair table and is direction-free") {
     TextOps.ensureRegistered(spark)
     val pairs = Dedup.winnowPairs(spark, dir)
