@@ -385,3 +385,60 @@ object TextScale {
     spark.stop()
   }
 }
+
+/** Distribution-shift audit at generated-corpus scale:
+  * [[Pipeline.sourceShiftOf]] over n documents assigned to 20 sources
+  * by doc id, with sources 0-4 PLANTED as shifted — their token
+  * stream draws from a disjoint vocabulary slice (hash offset), so
+  * the audit must rank them strictly above the 15 unshifted sources
+  * on both KL and TV or the operator is broken at scale. Reports
+  * wall/exec for the one corpus-sized partial-agg pass plus the
+  * separation margin. */
+object ShiftScale {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val spark = LlmScale.session("ShiftScale")
+    TextOps.ensureRegistered(spark)
+    import org.apache.spark.sql.functions._
+    val execMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            ev: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = ev.taskMetrics
+          if (m != null) { execMs.addAndGet(m.executorRunTime); () }
+        }
+      })
+    // shifted sources re-draw every token from a disjoint vocab slice:
+    // same doc length, same token shape, different distribution
+    val base = DedupScale.corpus(spark, n).persist()
+    val corpus = base
+      .withColumn("src_id", pmod(col("doc_id"), lit(20L)))
+      .withColumn("text",
+        when(col("src_id") < 5,
+          // corpus tokens are digit strings; translating digits to
+          // letters gives the shifted sources a fully disjoint
+          // vocabulary surface with identical lengths and counts
+          translate(col("text"), "0123456789", "abcdefghij"))
+          .otherwise(col("text")))
+      .select(concat(lit("s"), col("src_id")).as("source"), col("text"))
+    corpus.count() // build outside the timed path
+    val e0 = execMs.get()
+    val t0 = System.nanoTime()
+    val out = Pipeline.sourceShiftOf(corpus).collect()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val exec = (execMs.get() - e0) / 1e3
+    val (shifted, rest) = out.partition(r => r.getString(0).stripPrefix("s").toInt < 5)
+    val minShiftKl = shifted.map(_.getDouble(3)).min
+    val maxRestKl = rest.map(_.getDouble(3)).max
+    val minShiftTv = shifted.map(_.getDouble(4)).min
+    val maxRestTv = rest.map(_.getDouble(4)).max
+    println(s"""{"harness":"shift_scale","n_docs":$n,"n_sources":${out.length},""" +
+      f""""wall_s":$wall%.1f,"exec_s":$exec%.1f,""" +
+      f""""min_shifted_kl":$minShiftKl%.4f,"max_unshifted_kl":$maxRestKl%.4f,""" +
+      f""""min_shifted_tv":$minShiftTv%.4f,"max_unshifted_tv":$maxRestTv%.4f,""" +
+      s""""separated":${minShiftKl > maxRestKl && minShiftTv > maxRestTv}}""")
+    base.unpersist()
+    spark.stop()
+  }
+}

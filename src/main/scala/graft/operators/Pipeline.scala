@@ -598,7 +598,15 @@ object Pipeline {
     * identically at the gate's 6-dp canonicalization. */
   def sourceShift(spark: SparkSession, dir: String): DataFrame = {
     TextOps.ensureRegistered(spark)
-    val sb = TextOps.docs(spark, dir)
+    sourceShiftOf(TextOps.docs(spark, dir))
+  }
+
+  /** [[sourceShift]] over an arbitrary (source, text) corpus — used by
+    * the generated-corpus scale harness
+    * ([[graft.operators.ShiftScale]]). Callers must
+    * [[TextOps.ensureRegistered]] first. */
+  def sourceShiftOf(docs: DataFrame): DataFrame = {
+    val sb = docs
       .select(col("source"), explode(TextOps.toks(col("text"))).as("tok"))
       .select(col("source"),
         pmod(expr(TextOps.fpSql("tok")), lit(ShiftBuckets)).as("bucket"))
