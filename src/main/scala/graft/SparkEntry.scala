@@ -946,6 +946,8 @@ object SparkEntry {
     "emb_dim_stats" -> ((s, dir) => Similarity.dimStats(s, dir)),
     // per-class centroid audit: norm + cosine to the corpus-mean direction
     "emb_class_centroids" -> ((s, dir) => Similarity.classCentroids(s, dir)),
+    // nearest-centroid classification confusion matrix (embedding-geometry probe)
+    "emb_centroid_eval" -> ((s, dir) => Similarity.centroidEval(s, dir)),
     "emb_whiten" -> ((s, dir) => Similarity.whitenNorms(s, dir)),
     "emb_knn_graph" -> ((s, dir) => Similarity.knnGraph(s, dir)),
     "emb_bucket_stats" -> ((s, dir) => Similarity.bucketStats(s, dir)),
@@ -1596,6 +1598,7 @@ object SparkEntry {
     "dd_semantic" -> TextCtes.semDedup,
     "emb_dim_stats" -> TextCtes.dimStats,
     "emb_class_centroids" -> TextCtes.classCentroids,
+    "emb_centroid_eval" -> TextCtes.centroidEval,
     "emb_whiten" -> TextCtes.whitenNorms,
     "emb_knn_graph" -> TextCtes.knnGraph,
     "emb_bucket_stats" -> TextCtes.bucketStats,

@@ -460,8 +460,7 @@ object Similarity {
     val el = emb.select(col("vec_id"),
         expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
       .select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
-    val sl = el.join(lbl, "vec_id")
-      .groupBy("label", "i").agg(sum("x").as("s"))
+    val sl = classSums(el, lbl)
     val g = sl.groupBy("i").agg(sum("s").as("g"))
     val per = sl.join(broadcast(g), "i")
       .groupBy("label")
@@ -476,6 +475,61 @@ object Similarity {
         (col("sg").cast("double") /
           (sqrt(col("ss").cast("double")) * sqrt(col("gg").cast("double"))))
           .as("cos_to_global"))
+  }
+
+  /** per-(label, dim) integer centroid sums — the shared kernel of
+    * [[classCentroids]] and [[centroidEval]]. */
+  private def classSums(el: DataFrame, lbl: DataFrame): DataFrame =
+    el.join(lbl, "vec_id").groupBy("label", "i").agg(sum("x").as("s"))
+
+  /** Nearest-centroid classification eval — the standard probe of
+    * whether an embedding table's geometry supports its labels: each
+    * (nonzero) vector is assigned to the class centroid with the
+    * highest cosine, reported as a confusion matrix (label, pred, n).
+    * Per-class accuracy is the diagonal over the row sum; a label
+    * whose rows scatter across predictions is not linearly clustered
+    * and will not train a retrieval head. Centroids INCLUDE each
+    * query vector (the n≫1 convention; at 500+ vectors per class the
+    * self-term moves a centroid by <0.2%).
+    *
+    * Engine shape: the dot of every vector against every centroid is
+    * one equi-join on the dim index — |corpus|·d rows against the
+    * broadcast (|labels|·d)-row sum table, so the pair volume is
+    * |corpus|·|labels| — linear in the corpus for the bounded label
+    * sets this eval exists for. Dots are exact integers (envelope:
+    * d·10³·n_l·10³ per class wraps int64 only past ~10¹¹ vectors per
+    * class); the cosine ranking divides each dot by the class's √ss
+    * in doubles, argmax tie-breaking to the smaller label — the
+    * query's own norm is constant per vector and cancels out of the
+    * ranking entirely. */
+  def centroidEval(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tpch.table(spark, dir, "embeddings")
+    val lbl = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+    val elAll = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("q"))
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
+    val sl = classSums(elAll, lbl)
+    val ssOf = sl.groupBy("label")
+      .agg(sum(col("s").cast("decimal(38,0)") * col("s")).as("ss"))
+    // query side: nonzero vectors only (a zero vector has no direction
+    // to classify), same valid-set rule as the ANN family
+    val el = quantizedCached(spark, dir)
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
+    val dots = el
+      .join(broadcast(sl.withColumnRenamed("label", "cand")), "i")
+      .groupBy("vec_id", "cand")
+      .agg(sum(col("x") * col("s")).as("dot"))
+    val scored = dots
+      .join(broadcast(ssOf.select(col("label").as("cand"), col("ss"))), "cand")
+      .withColumn("score", col("dot").cast("double") / sqrt(col("ss").cast("double")))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("score").desc, col("cand"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(lbl, "vec_id")
+      .groupBy(col("label"), col("cand").as("pred"))
+      .agg(count(lit(1)).as("n"))
   }
 
   /** Per-dimension whitening (z-scoring) of the quantized embeddings,

@@ -2003,6 +2003,39 @@ object TextCtes {
        |    AS cos_to_global
        |FROM per JOIN cnt USING (label), gg""".stripMargin
 
+  /** twin of [[graft.operators.Similarity.centroidEval]]: nearest-
+    * centroid confusion matrix — centroids over ALL vectors, queries
+    * restricted to nonzero norms, ranking by dot/√ss with ties to the
+    * smaller label. */
+  val centroidEval: String =
+    s"""WITH e0 AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |el0 AS (SELECT vec_id, label, unnest(q) AS x,
+       |    unnest(generate_series(1, len(q))) AS i FROM e0),
+       |sl AS (SELECT label, i, CAST(sum(x) AS BIGINT) AS s
+       |  FROM el0 GROUP BY 1, 2),
+       |ssx AS (SELECT label, sum(CAST(s AS HUGEINT) * s) AS ss
+       |  FROM sl GROUP BY 1),
+       |vq AS (SELECT vec_id FROM el0 GROUP BY vec_id
+       |  HAVING sum(x * x) > 0),
+       |dots AS (SELECT q.vec_id, sl.label AS cand,
+       |    CAST(sum(q.x * sl.s) AS BIGINT) AS dot
+       |  FROM el0 q JOIN vq USING (vec_id) JOIN sl ON q.i = sl.i
+       |  GROUP BY 1, 2),
+       |scored AS (SELECT d.vec_id, d.cand,
+       |    CAST(d.dot AS DOUBLE) / sqrt(CAST(s.ss AS DOUBLE)) AS score
+       |  FROM dots d JOIN ssx s ON d.cand = s.label),
+       |pick AS (SELECT vec_id, cand,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, cand) AS rn
+       |  FROM scored)
+       |SELECT l.label, p.cand AS pred, CAST(count(*) AS BIGINT) AS n
+       |FROM pick p JOIN (SELECT vec_id, CAST(label AS BIGINT) AS label
+       |  FROM embeddings) l USING (vec_id)
+       |WHERE p.rn = 1 GROUP BY 1, 2""".stripMargin
+
   /** twin of [[graft.operators.Pipeline.sourceShift]]: per-source
     * hashed-unigram histogram vs the corpus histogram — KL in nats +
     * total-variation distance (missing-bucket mass folded in as
