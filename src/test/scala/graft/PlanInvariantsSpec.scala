@@ -253,4 +253,28 @@ class PlanInvariantsSpec extends SparkTestBase {
     val hJoin = raw"Join \[h#\d+L\], \[h#\d+L\]".r
     assert(hJoin.findFirstIn(p).isDefined, p)
   }
+
+  test("pipe_source_shift: one partial-agg corpus pass; histogram joins broadcast") {
+    val p = plan("pipe_source_shift")
+    // the (source, bucket) histogram aggregate must combine map-side —
+    // without partials the corpus-sized token stream shuffles raw
+    assert(p.contains("partial"), p)
+    // bucket totals / source totals / grand total are bounded tables:
+    // they broadcast back onto the histogram, never a shuffle join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("emb_centroid_eval: centroid table broadcasts; argmax windows per vector") {
+    val p = plan("emb_centroid_eval")
+    // the dots join streams |corpus|·d rows against the (labels·d)-row
+    // centroid-sum table — a shuffle join there re-exchanges the whole
+    // exploded corpus for a broadcast-sized build side
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the argmax window partitions by vec_id — a SinglePartition
+    // window would serialize the whole eval
+    assert(!p.contains("Window [") || !p.contains("SinglePartition"), p)
+  }
 }
