@@ -60,6 +60,10 @@ object SparkEntry {
     quiet(Dedup.prefixJaccard(s, dir).count())
     quiet(TextOps.tokenTable(s, dir).count())
     quiet(TextOps.lmScore(s, dir).count())
+    // round-9 output memos (3-4 consumers each): verdict tables are
+    // pure functions of (session, dir); the cold pass rebuilds them
+    quiet(TextOps.repetition(s, dir).count())
+    quiet(Dedup.decontaminate(s, dir).count())
     quiet(GraphOps.linkPrediction(s, dir).count())
     quiet(Similarity.warm(s, dir))
     quiet(graft.operators.Bucketing.warm(s, dir))

@@ -443,7 +443,15 @@ object TextOps {
     * size. n-grams travel as polyhash longs, never strings. */
   val RepTop2Tau = 0.18
   val RepDup3Tau = 0.30
-  def repetition(spark: SparkSession, dir: String): DataFrame = {
+  // output memo: three consumers (t_repetition, curateV2, filterFunnel)
+  // re-derived the 2-/3-gram explosion per run (~10 exec-s each at
+  // sf0.1); the verdict table is a pure function of (session, dir) —
+  // same lifecycle as dedupClusters, rebuilt by the bench's cold pass
+  private val repetitionMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionMemo.getOrElseUpdate(spark, dir)(repetitionCompute(spark, dir).persist())
+
+  private[operators] def repetitionCompute(spark: SparkSession, dir: String): DataFrame = {
     ensureRegistered(spark)
     val t = tokenTable(spark, dir)
     // per-(doc, n-gram) occurrence counts; filter BEFORE sequence()
