@@ -76,7 +76,31 @@ object Bench {
           }
         }
       })
-    val runDetail = scala.collection.mutable.LinkedHashMap[String, Seq[(Double, Double, Double)]]()
+    // Per-run load covariate: 1-min /proc/loadavg captured at each
+    // run's START. The r9 round's whole perf story was "the box
+    // oscillated" (4 same-day runs spread 133.8-187.4 s suite on
+    // identical code) but the artifacts carried no load signal, so
+    // weather could not be separated from a regression by anyone but
+    // the builder. -1.0 = capture failed (non-Linux).
+    def load1(): Double = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split(" ")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+    // Storage snapshot after each query's runs: total cached MB, RDD
+    // count, and PARTIALLY-cached RDD count (0 < cachedPartitions <
+    // partitions — the eviction signature). The r9 "in-suite inflation"
+    // question (6 queries' warm medians >3x their own cold wall) needs
+    // exactly this to decide eviction-of-shared-inputs vs box weather.
+    def storageSnap(): (Long, Int, Int) = try {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      (infos.map(_.memSize).sum / (1024L * 1024L), infos.length,
+        infos.count(i => i.numCachedPartitions > 0 &&
+          i.numCachedPartitions < i.numPartitions))
+    } catch { case _: Throwable => (-1L, -1, -1) }
+    val loadStart = load1()
+    val runDetail = scala.collection.mutable.LinkedHashMap[String, Seq[(Double, Double, Double, Double)]]()
+    val storageDetail = scala.collection.mutable.LinkedHashMap[String, (Long, Int, Int)]()
     // queries whose timed runs read >=1 output-layer memo — tagged from
     // observed reads, not a hand-kept list, so the set can't drift from
     // the code (the r8 verdict's "29 queries with exec-median 0.0")
@@ -84,6 +108,7 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val reads0 = SessionMemo.outputReads.get()
       val triples = (0 until runs).map { _ =>
+        val ld = load1()
         val (e0, g0) = (execMs.get(), gcMs.get())
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -91,10 +116,11 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         ((System.nanoTime() - t0) / 1e9,
-          (execMs.get() - e0) / 1e3, (gcMs.get() - g0) / 1e3)
+          (execMs.get() - e0) / 1e3, (gcMs.get() - g0) / 1e3, ld)
       }
       if (SessionMemo.outputReads.get() > reads0) memoWarmed += name
       runDetail(name) = triples
+      storageDetail(name) = storageSnap()
       name -> triples.map(_._1).sorted
     }
     // Cold pass: ONE memo-BYPASSED execution per query. The per-query
@@ -108,18 +134,33 @@ object Bench {
     // improve by moving work into warm(). Runs AFTER the timed suite so
     // steady-state numbers are unaffected; opt out for local iteration
     // with SPARK_GRAFT_BENCH_COLD=0.
-    val coldDetail: Map[String, (Double, Double)] =
+    // Each cold entry: Some((wall, exec, load-at-start)) or None on
+    // failure — a failed query must NOT flow a near-zero timing into
+    // the cold totals unmarked (ADVICE r9); failures are named in
+    // bench_detail's "cold_failed" and their timings excluded/nulled.
+    val coldFailed = scala.collection.mutable.LinkedHashSet[String]()
+    val coldDetail: Map[String, Option[(Double, Double, Double)]] =
       if (sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("0")) Map.empty
       else {
         SessionMemo.coldMode = true
         val m = SparkEntry.queries.map { case (name, fn) =>
+          val ld = load1()
           val e0 = execMs.get()
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] cold $name failed: ${e.getMessage}")
-          }
-          name -> (((System.nanoTime() - t0) / 1e9, (execMs.get() - e0) / 1e3))
+          val ok =
+            try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] cold $name failed: ${e.getMessage}")
+              coldFailed += name
+              false
+            }
+          // release the bypass-rebuilt persisted frames NOW: ~50
+          // accumulated orphans evict the warm input layer and skew
+          // every later cold timing (ADVICE r9)
+          SessionMemo.drainColdOrphans()
+          name -> (if (ok)
+            Some(((System.nanoTime() - t0) / 1e9, (execMs.get() - e0) / 1e3, ld))
+          else None)
         }
         SessionMemo.coldMode = false
         m
@@ -145,27 +186,39 @@ object Bench {
     // line was decapitated -> BENCH parsed:null, perf gate ungraded. The
     // per-query medians now live ONLY in target/bench_detail.json
     // ("queries_med"); stdout carries the <200-byte summary.
-    // per-run [wall_sec, executor_sec, gc_sec] in arrival order — the
-    // attribution data for any max-run outlier
+    // per-run [wall_sec, executor_sec, gc_sec, load1_at_start] in
+    // arrival order — the attribution data for any max-run outlier
     val runsJson = runDetail.map { case (k, ts) =>
-      "\"" + k + "\":[" + ts.map { case (w, e, g) =>
-        s"[${r3(w)},${r3(e)},${r3(g)}]"
+      "\"" + k + "\":[" + ts.map { case (w, e, g, ld) =>
+        s"[${r3(w)},${r3(e)},${r3(g)},${r3(ld)}]"
       }.mkString(",") + "]"
     }.mkString("{", ",", "}")
     val execMedJson = execMed
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val coldTotal = coldDetail.values.map(_._1).sum
-    val coldExecTotal = coldDetail.values.map(_._2).sum
+    val coldTotal = coldDetail.values.flatten.map(_._1).sum
+    val coldExecTotal = coldDetail.values.flatten.map(_._2).sum
+    // [wall, exec, load1] per query; null marks a cold failure
     val coldJson = coldDetail
-      .map { case (k, (w, e)) => "\"" + k + s"""\":[${r3(w)},${r3(e)}]""" }
+      .map {
+        case (k, Some((w, e, ld))) => "\"" + k + s"""\":[${r3(w)},${r3(e)},${r3(ld)}]"""
+        case (k, None) => "\"" + k + "\":null"
+      }
       .mkString("{", ",", "}")
+    val coldFailedJson = coldFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val memoJson = memoWarmed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // post-runs cache state per query: [cached_mb, n_rdds, n_partial]
+    val storageJson = storageDetail.map { case (k, (mb, n, p)) =>
+      "\"" + k + s"""\":[$mb,$n,$p]"""
+    }.mkString("{", ",", "}")
     val detail =
       s"""{"queries_med":${fmt(med)},"queries_min":${fmt(_.head)},"queries_max":${fmt(_.last)},""" +
       s""""queries_exec_med":$execMedJson,""" +
-      s""""queries_cold_wall_exec":$coldJson,"memo_warmed":$memoJson,""" +
+      s""""queries_cold_wall_exec":$coldJson,"cold_failed":$coldFailedJson,""" +
+      s""""memo_warmed":$memoJson,""" +
+      s""""load_start":${r3(loadStart)},"load_end":${r3(load1())},""" +
+      s""""storage_mb_rdds_partial":$storageJson,""" +
       s""""input_rows":$inputRows,"runs":$runs,"warmup_sec":${r3(warmupSec)},""" +
-      s""""runs_wall_exec_gc":$runsJson,"sf":"$sfDir"}"""
+      s""""runs_wall_exec_gc_load":$runsJson,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("target", "bench_detail.json")
       java.nio.file.Files.createDirectories(p.getParent)
@@ -173,7 +226,9 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // cold_sec / cold_exec_sec: the memo-policy-proof totals (one
     // bypassed pass per query); e2e_sec = warm fill + timed suite
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","records_per_s":${r3(recsPerSec)},"exec_sec":${r3(execTotal)},"cold_sec":${r3(coldTotal)},"cold_exec_sec":${r3(coldExecTotal)},"e2e_sec":${r3(warmupSec + total)},"runs":$runs,"warmup_sec":${r3(warmupSec)},"sf":"$sfDir"}""")
+    // load_1m_start/_end ride the stdout line so even the driver-parsed
+    // artifact carries the box-weather covariate (VERDICT r9 Missing #1)
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","records_per_s":${r3(recsPerSec)},"exec_sec":${r3(execTotal)},"cold_sec":${r3(coldTotal)},"cold_exec_sec":${r3(coldExecTotal)},"e2e_sec":${r3(warmupSec + total)},"runs":$runs,"warmup_sec":${r3(warmupSec)},"load_1m_start":${r3(loadStart)},"load_1m_end":${r3(load1())},"cold_failed":${coldFailed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,7 +37,20 @@ final class SessionMemo[V](outputMemo: Boolean = false) {
   def getOrElseUpdate(spark: SparkSession, tag: String)(build: => V): V = {
     if (outputMemo) {
       SessionMemo.outputReads.incrementAndGet()
-      if (SessionMemo.coldMode) return build
+      if (SessionMemo.coldMode) {
+        val v = build
+        // builds usually end in .persist(); the bypass stores nothing,
+        // so without this the orphaned cache block lives until GC —
+        // ~50 such rebuilds in one cold pass evict the warm input
+        // layer and skew the very timings the pass exists for
+        // (ADVICE r9). Bench unpersists after each query's sink.
+        v match {
+          case ds: org.apache.spark.sql.Dataset[_] =>
+            SessionMemo.coldOrphans.add(ds)
+          case _ =>
+        }
+        return v
+      }
     }
     hooked.getOrElseUpdate(spark, {
       spark.sparkContext.addSparkListener(new SparkListener {
@@ -64,4 +77,19 @@ object SessionMemo {
     * behavior rather than a hand-kept list, which queries' steady-state
     * numbers are memo reads. */
   val outputReads = new java.util.concurrent.atomic.AtomicLong
+
+  /** DataFrames rebuilt (and usually persisted) by a cold-mode bypass;
+    * Bench drains and unpersists after each cold query so orphan cache
+    * blocks cannot accumulate across the pass. */
+  val coldOrphans =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Dataset[_]]
+
+  /** Unpersist every queued cold-rebuilt frame (non-blocking). */
+  def drainColdOrphans(): Unit = {
+    var ds = coldOrphans.poll()
+    while (ds != null) {
+      try { ds.unpersist(false); () } catch { case _: Throwable => () }
+      ds = coldOrphans.poll()
+    }
+  }
 }

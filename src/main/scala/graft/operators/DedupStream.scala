@@ -155,7 +155,10 @@ object DedupStream {
       }
     } finally q.stop()
     basePost.unpersist(); baseDf.unpersist()
-    (timings.toVector, pairs, hits, nBatches.toLong * ((docsPerBatch + 1) / 2))
+    // evens over the GLOBAL k range [0, nBatches·dpb): per-batch
+    // ceil(dpb/2) overcounts when dpb is odd (odd batches start at an
+    // odd k and hold only floor(dpb/2) evens — ADVICE r9)
+    (timings.toVector, pairs, hits, (nBatches.toLong * docsPerBatch + 1) / 2)
   }
 
   def main(args: Array[String]): Unit = {
@@ -164,7 +167,9 @@ object DedupStream {
     val nBase = args.lift(2).map(_.toLong).getOrElse(200000L)
     val spark = LlmScale.session("DedupStream")
     val (ts, pairs, hits, expected) = run(spark, nBatches, docsPerBatch, nBase)
-    val steady = ts.drop(1).sorted
+    // nBatches=1 leaves no steady batches — fall back to the first
+    // batch's timing rather than indexing an empty Vector (ADVICE r9)
+    val steady = { val s = ts.drop(1).sorted; if (s.isEmpty) ts.sorted else s }
     def pct(p: Double) =
       steady((p * (steady.size - 1)).round.toInt.min(steady.size - 1))
     def r3(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP)

@@ -347,8 +347,13 @@ object Iterative {
       // shortcut pointers: node -> label of the previous round
       val lookup = hinted(v.select(col("node").as("jn"),
         col("label").as("jl")), nNodes, maxRows)
+      // m's row bound is nNodes (one row per dst), NOT frontierRows:
+      // a small frontier on high-degree nodes can message most of the
+      // graph, so hinting by frontier size risks an over-threshold
+      // broadcast (ADVICE r9). When nNodes > maxRows AQE still
+      // converts the join at runtime from m's measured size.
       val joined = v
-        .join(hinted(m, frontierRows, maxRows), Seq("node"), "left")
+        .join(hinted(m, nNodes, maxRows), Seq("node"), "left")
         .join(lookup, col("label") === col("jn"), "left")
         .select(col("node"), col("label"),
           least(col("label"),
