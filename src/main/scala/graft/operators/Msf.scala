@@ -43,6 +43,20 @@ object Msf {
   val AScale = 100000L
   val E10 = 10000000000L
 
+  /** Edge bound under which the REMAINING Borůvka rounds finish in one
+    * sequential task ([[boruvkaTail]]) instead of the distributed loop
+    * — the same escape-hatch policy as [[Scc]]'s sequential cutoff and
+    * [[Iterative.CcLocalEdgeCutoffKey]]: each distributed round costs a
+    * window + pointer doubling + two contraction joins (~8 jobs) even
+    * when the live edge table has shrunk to a size one task holds
+    * trivially (6 primitive long columns × 20M rows ≈ 1 GB). At 100 TB
+    * the initial co-purchase table is far over the cutoff, so early
+    * rounds run distributed and the tail takes over once contraction
+    * has done its (geometric) work. MsfSpec runs every fixture through
+    * BOTH paths and asserts identical edge sets. */
+  val MsfLocalEdgeCutoffKey = "graft.msf.localEdgeCutoff"
+  val MsfLocalEdgeCutoffDefault = 20000000L
+
   /** (a, b, w, wu) undirected co-purchase edges, a < b, w = number of
     * orders containing both parts, wu strictly unique. */
   def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
@@ -91,6 +105,8 @@ object Msf {
   def msfOf(spark: SparkSession, edges0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val maxRows = Iterative.broadcastMaxRows(spark)
+    val cutoff = spark.conf.getOption(MsfLocalEdgeCutoffKey).map(_.toLong)
+      .getOrElse(MsfLocalEdgeCutoffDefault)
     // component-labeled live edges: (ca, cb) start as the endpoints
     var ec = edges0.select(col("a").as("ca"), col("b").as("cb"),
         col("wu"), col("a"), col("b"), col("w"))
@@ -99,6 +115,12 @@ object Msf {
     var round = 1
     var done = false
     while (round <= MsfRounds && !done) {
+      // ec is pinned (materialized) each round, so this count is a
+      // cached-block scan, not a recompute
+      if (ec.count() <= cutoff) {
+        parts ::= boruvkaTail(ec, round)
+        done = true
+      } else {
       val cand = ec.select(col("ca").as("c"), col("cb").as("d"),
           col("wu"), col("a"), col("b"), col("w"))
         .unionByName(ec.select(col("cb").as("c"), col("ca").as("d"),
@@ -152,13 +174,19 @@ object Msf {
           .localCheckpoint(false)
         round += 1
       }
+      }
     }
     val mst = parts match {
       case Nil => null
       case head :: tail => tail.foldLeft(head)(_ unionByName _)
     }
     if (mst == null)
-      spark.createDataFrame(
+      emptyMsf(spark)
+    else mst
+  }
+
+  private def emptyMsf(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("round",
@@ -169,6 +197,81 @@ object Msf {
             org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("w",
             org.apache.spark.sql.types.LongType))))
-    else mst
+
+  /** Sequential Borůvka over the (already contracted) live edge table
+    * in a SINGLE task — mapPartitions after a coalesce-to-one exchange,
+    * no driver collect; the same escape-hatch shape as
+    * [[Iterative]]'s union-find and [[Scc]]'s tail solve. Semantics
+    * are EXACTLY the distributed rounds': per round, every live
+    * component picks its min-wu incident edge (wu strictly unique, so
+    * mutual picks are the same edge and dedup by identity), picked
+    * edges are emitted tagged with the round number, picked edges'
+    * components merge (union-find over the picks = the hook-forest
+    * collapse — both partition components by connectivity under the
+    * round's picked edge set), and the round counter respects the same
+    * [[MsfRounds]] cap. MsfSpec asserts both paths agree edge-for-edge
+    * and round-for-round. Memory: six primitive long arrays, ~48 B per
+    * edge — 1 GB at the 20M-row default cutoff. */
+  private[operators] def boruvkaTail(ec: DataFrame, startRound: Int): DataFrame = {
+    val spark = ec.sparkSession
+    import spark.implicits._
+    ec.select(col("ca"), col("cb"), col("wu"), col("a"), col("b"), col("w"))
+      .as[(Long, Long, Long, Long, Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        // primitive columns, not an Array[Tuple6] (Tuple6 boxes all
+        // six longs — 3× the heap at the cutoff bound)
+        val caB = Array.newBuilder[Long]; val cbB = Array.newBuilder[Long]
+        val wuB = Array.newBuilder[Long]; val aB = Array.newBuilder[Long]
+        val bB = Array.newBuilder[Long]; val wB = Array.newBuilder[Long]
+        it.foreach { case (ca, cb, wu, a, b, w) =>
+          caB += ca; cbB += cb; wuB += wu; aB += a; bB += b; wB += w
+        }
+        val ca = caB.result(); val cb = cbB.result(); val wu = wuB.result()
+        val ea = aB.result(); val eb = bB.result(); val ew = wB.result()
+        val n = ca.length
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+        var round = startRound
+        var moving = true
+        while (round <= MsfRounds && moving) {
+          // per-component min-wu live edge (root -> edge index)
+          val best = scala.collection.mutable.LongMap.empty[Int]
+          var i = 0
+          while (i < n) {
+            val ra = find(ca(i)); val rb = find(cb(i))
+            if (ra != rb) {
+              val curA = best.getOrElse(ra, -1)
+              if (curA < 0 || wu(curA) > wu(i)) best(ra) = i
+              val curB = best.getOrElse(rb, -1)
+              if (curB < 0 || wu(curB) > wu(i)) best(rb) = i
+            }
+            i += 1
+          }
+          if (best.isEmpty) moving = false
+          else {
+            // distinct picked edges (a mutual pick is the same index)
+            val picks = new java.util.TreeSet[Integer]()
+            best.valuesIterator.foreach(picks.add(_))
+            val pit = picks.iterator()
+            while (pit.hasNext) {
+              val idx: Int = pit.next()
+              out += ((round.toLong, ea(idx), eb(idx), ew(idx)))
+              val ra = find(ca(idx)); val rb = find(cb(idx))
+              if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+            }
+            round += 1
+          }
+        }
+        out.iterator
+      }
+      .toDF("round", "src", "dst", "w")
   }
 }

@@ -22,9 +22,23 @@ class MsfSpec extends SparkTestBase {
         Row(a, b, w, w * 1000L + a * 10L + b)
       }: _*), schema)
 
+  /** run BOTH paths — sequential tail (default cutoff) and forced
+    * distributed rounds (cutoff 0) — assert full-row agreement
+    * (round tag included), return the default path's rows */
+  private def bothPaths(es: Seq[(Long, Long, Long)]): Set[(Long, Long, Long, Long)] = {
+    def rows() = Msf.msfOf(spark, edgesDf(es)).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("src"),
+        r.getAs[Long]("dst"), r.getAs[Long]("w"))).toSet
+    spark.conf.unset(Msf.MsfLocalEdgeCutoffKey)
+    val tail = rows()
+    spark.conf.set(Msf.MsfLocalEdgeCutoffKey, "0")
+    val dist = try rows() finally spark.conf.unset(Msf.MsfLocalEdgeCutoffKey)
+    assert(tail === dist, "sequential tail vs distributed rounds")
+    tail
+  }
+
   private def runMsf(es: Seq[(Long, Long, Long)]): Set[(Long, Long)] =
-    Msf.msfOf(spark, edgesDf(es)).collect()
-      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    bothPaths(es).map(e => (e._2, e._3))
 
   test("triangle keeps the two light edges") {
     // 1-2 (w1), 2-3 (w2), 1-3 (w9): MST = {1-2, 2-3}
@@ -54,9 +68,7 @@ class MsfSpec extends SparkTestBase {
       (1L, 2L, 4L), (1L, 3L, 3L), (2L, 3L, 2L), (2L, 4L, 7L),
       (3L, 4L, 1L), (3L, 5L, 8L), (4L, 5L, 6L), (4L, 6L, 5L),
       (5L, 6L, 9L), (6L, 7L, 2L), (5L, 7L, 3L), (1L, 7L, 9L))
-    val msf = Msf.msfOf(spark, edgesDf(es)).collect()
-      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"),
-        r.getAs[Long]("w")))
+    val msf = bothPaths(es).toSeq.map(e => (e._2, e._3, e._4))
     // Kruskal with the same (w, a, b) order
     val parent = scala.collection.mutable.Map((1L to 7L).map(i => i -> i): _*)
     def find(x: Long): Long =
