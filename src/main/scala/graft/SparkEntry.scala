@@ -88,6 +88,7 @@ object SparkEntry {
     quiet(GraphOps.supplierSimilarity(s, dir).count())
     quiet(Dedup.incrementalPairs(s, dir).count())
     quiet(Dedup.streamBatchPairs(s, dir).count())
+    quiet(graft.operators.DedupShard.shardProbe(s, dir).count())
     // round-7: the remaining memoized ANN/dedup/eval outputs — their
     // fills landed on the first timed run and showed up as the r6
     // max/median outliers (dd_containment 31×, dd_semantic 24×,
@@ -885,6 +886,11 @@ object SparkEntry {
     // probe) — hash-gated against the SAME oracle as dd_incremental:
     // the gate proves split-index == union-recompute on every run
     "dd_stream_batch" -> ((s, dir) => Dedup.streamBatchPairs(s, dir)),
+    // SHARDED maintained index (postings/df/size sidecars partitioned
+    // on key resp. doc shards; probes read only the delta's shards) —
+    // hash-gated against the SAME oracle again: pruned probe ==
+    // union recompute, every run
+    "dd_shard_probe" -> ((s, dir) => graft.operators.DedupShard.shardProbe(s, dir)),
     // canonicalization-aware exact dedup (case/whitespace variants)
     "dd_exact_norm" -> ((s, dir) => Dedup.exactNormalized(s, dir)),
     // equi-width integer histogram (profile/viz primitive)
@@ -1537,6 +1543,7 @@ object SparkEntry {
     "q17_trimmed" -> OlapCtes.trimmedMean,
     "dd_incremental" -> TextCtes.incrementalPairs,
     "dd_stream_batch" -> TextCtes.incrementalPairs,
+    "dd_shard_probe" -> TextCtes.incrementalPairs,
     "dd_exact_norm" -> TextCtes.exactNormalized,
     "q14_histogram" ->
       s"""WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents

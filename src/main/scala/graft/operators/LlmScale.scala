@@ -386,6 +386,97 @@ object TextScale {
   }
 }
 
+/** DSIR at generated-corpus scale in the WRAP-PRONE regime: the r8/r9
+  * TextScale corpus is uniform-vocabulary, so no hashed bucket ever
+  * accumulates the mass that makes the int64 product
+  * Scale·(tc+1)·(rt+B) overflow — the exact regime the decimal128
+  * widening in [[Pipeline.dsirWeightsOf]] exists for (ADVICE r8,
+  * VERDICT r9 Missing #3). This harness generates a ZIPFIAN corpus
+  * (log-uniform inverse-CDF over the token ranks, exponent ≈ 1): the
+  * rank-1 token carries ln 2 / ln V of all unigram mass (~5% at
+  * V = 10⁶), so its bucket's (tc+1)·(rt+B) product exceeds 2⁶³/Scale
+  * from ~1M docs up — int64 would wrap SILENTLY (ANSI off) right where
+  * integer parity is claimed.
+  *
+  * The harness measures the weights pass (wall + exec), reports the
+  * hot bucket's mass share and whether the int64 product would have
+  * wrapped, and dumps corpus + weights parquet plus the DuckDB HUGEINT
+  * twin SQL ([[graft.oracle.TextCtes.dsirWeightsOver]]) so
+  * `tools/check_zipf_dsir.py` can prove full-table equality on the
+  * same rows — the gate-scale hash check in the wrap regime.
+  *
+  * `runMain graft.operators.ZipfScale [nDocs]`, then
+  * `python3 tools/check_zipf_dsir.py target/zipf_dsir`
+  */
+object ZipfScale {
+  val Vocab = 1000000L
+
+  /** Zipf(≈1) corpus: same degski-mixed (doc, j) hash stream as
+    * [[DedupScale.textFor]], mapped through the log-uniform inverse
+    * CDF rank = ⌊exp(u · ln V)⌋ ∈ [1, V) so P(rank) ∝ 1/rank. Pure
+    * column expressions, no RNG; doubles are fine here — the corpus
+    * is WRITTEN to parquet and both engines read the same tokens. */
+  def corpus(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(col("id").as("doc_id"))
+      .withColumn("h0", expr(s"transform(sequence(0, ${DedupScale.DocLen - 1}), j -> (doc_id * 1000003 + j) % 4294967296)"))
+      .withColumn("h1", expr("transform(h0, h -> (h ^ shiftright(h, 16)) * 73244475 % 4294967296)"))
+      .withColumn("h2", expr("transform(h1, h -> (h ^ shiftright(h, 16)) * 73244475 % 4294967296)"))
+      .withColumn("text", expr(
+        s"""array_join(transform(h2, h -> concat('z', CAST(CAST(floor(exp(
+           |  (((h ^ shiftright(h, 16)) % 4294967296) / 4294967296.0) * ln($Vocab)
+           |)) AS BIGINT) AS STRING))), ' ')""".stripMargin))
+      .select("doc_id", "text")
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val spark = LlmScale.session("ZipfScale")
+    TextOps.ensureRegistered(spark)
+    import org.apache.spark.sql.functions._
+    val execMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            ev: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = ev.taskMetrics
+          if (m != null) { execMs.addAndGet(m.executorRunTime); () }
+        }
+      })
+    val outDir = "target/zipf_dsir"
+    val c = corpus(spark, n).persist()
+    c.write.mode("overwrite").parquet(s"$outDir/corpus.parquet")
+    val toksDf = c.select(col("doc_id"), TextOps.toks(col("text")).as("t"))
+    val target = c.filter(pmod(col("doc_id"), lit(5L)) === 0).select("doc_id")
+    val e0 = execMs.get()
+    val t0 = System.nanoTime()
+    val w = Pipeline.dsirWeightsOf(toksDf, target)
+    w.write.mode("overwrite").parquet(s"$outDir/weights.parquet")
+    val wall = (System.nanoTime() - t0) / 1e9
+    val exec = (execMs.get() - e0) / 1e3
+    // wrap diagnostics from the ratio table: would the int64 product
+    // Scale·(tc+1)·(rt+B) have overflowed for the hottest bucket?
+    val ratio = Pipeline.dsirRatioOf(Pipeline.dsirDocBuckets(toksDf), target)
+      .agg(max("tc").as("max_tc"), max("rc").as("max_rc"),
+        sum("rc").as("rt")).head
+    val (maxTc, maxRc, rt) = (ratio.getLong(0), ratio.getLong(1), ratio.getLong(2))
+    val prod = BigInt(Pipeline.DsirScale) * BigInt(maxTc + 1) *
+      BigInt(rt + Pipeline.DsirBuckets)
+    val wraps = prod > BigInt(Long.MaxValue)
+    val oracle = graft.oracle.TextCtes.dsirWeightsOver("corpus",
+      "WHERE b.doc_id % 5 = 0")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outDir, "oracle_sql.txt"),
+      oracle.getBytes("UTF-8"))
+    println(s"""{"harness":"zipf_dsir","n_docs":$n,"vocab":$Vocab,""" +
+      f""""wall_s":$wall%.1f,"exec_s":$exec%.1f,""" +
+      s""""max_bucket_rc":$maxRc,"max_bucket_tc":$maxTc,"rt":$rt,""" +
+      s""""hot_share":${maxRc.toDouble / rt},""" +
+      s""""int64_product_digits":${prod.toString.length},""" +
+      s""""int64_would_wrap":$wraps,"out_dir":"$outDir"}""")
+    c.unpersist()
+    spark.stop()
+  }
+}
+
 /** Distribution-shift audit at generated-corpus scale:
   * [[Pipeline.sourceShiftOf]] over n documents assigned to 20 sources
   * by doc id, with sources 0-4 PLANTED as shifted — their token

@@ -484,21 +484,8 @@ object Pipeline {
     * Callers must [[TextOps.ensureRegistered]] first. */
   def dsirWeightsOf(t: DataFrame, target: DataFrame): DataFrame = {
     val b = DsirBuckets
-    val uni = t.select(col("doc_id"), explode(col("t")).as("g"))
-    val bi = t.filter(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, size(t) - 2),
-          |  j -> concat_ws(' ', element_at(t, j + 1), element_at(t, j + 2)))"""
-          .stripMargin)).as("g"))
-    val docBuck = uni.unionAll(bi)
-      .select(col("doc_id"),
-        pmod(expr(TextOps.fpSql("g")), lit(b)).as("bucket"))
-      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
-    val tc = docBuck.join(target, "doc_id")
-      .groupBy("bucket").agg(sum("cnt").as("tc"))
-    val rc = docBuck.groupBy("bucket").agg(sum("cnt").as("rc"))
-    val ratio = rc.join(tc, Seq("bucket"), "left")
-      .select(col("bucket"), col("rc"), coalesce(col("tc"), lit(0L)).as("tc"))
+    val docBuck = dsirDocBuckets(t)
+    val ratio = dsirRatioOf(docBuck, target)
     val totals = ratio.agg(sum("tc").as("tt"), sum("rc").as("rt"))
     // DECIMAL(38,0) intermediates (HUGEINT in the DuckDB twin): the
     // int64 product Scale·(tc+1)·(rt+B) wraps once (tc+1)·(rt+B)
@@ -536,6 +523,32 @@ object Pipeline {
       .agg(sum("cnt").as("n_tokens"),
         sum(col("cnt") * col("lr_micro")).as("score_micro"))
       .withColumn("avg_micro", expr("score_micro div n_tokens"))
+  }
+
+  /** per-(doc, hashed-bucket) n-gram counts (n ≤ 2) — the corpus-sized
+    * pass [[dsirWeightsOf]] starts from; exposed for the Zipfian
+    * wrap-regime scale harness ([[ZipfScale]]). */
+  private[operators] def dsirDocBuckets(t: DataFrame): DataFrame = {
+    val uni = t.select(col("doc_id"), explode(col("t")).as("g"))
+    val bi = t.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(t) - 2),
+          |  j -> concat_ws(' ', element_at(t, j + 1), element_at(t, j + 2)))"""
+          .stripMargin)).as("g"))
+    uni.unionAll(bi)
+      .select(col("doc_id"),
+        pmod(expr(TextOps.fpSql("g")), lit(DsirBuckets)).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** per-bucket (rc, tc) counts from the doc-bucket table. */
+  private[operators] def dsirRatioOf(docBuck: DataFrame,
+                                     target: DataFrame): DataFrame = {
+    val tc = docBuck.join(target, "doc_id")
+      .groupBy("bucket").agg(sum("cnt").as("tc"))
+    val rc = docBuck.groupBy("bucket").agg(sum("cnt").as("rc"))
+    rc.join(tc, Seq("bucket"), "left")
+      .select(col("bucket"), col("rc"), coalesce(col("tc"), lit(0L)).as("tc"))
   }
 
   /** Temperature exponent for [[sourceMix]] — the α of

@@ -1877,9 +1877,17 @@ object TextCtes {
   /** twin of [[graft.operators.Pipeline.dsirWeights]]: hashed-unigram
     * buckets, add-one-smoothed target/raw likelihood ratio in integer
     * micro-units, per-doc ratio-weighted sums. */
-  val dsirWeights: String = {
+  val dsirWeights: String = dsirWeightsOver("documents",
+    "JOIN documents d USING (doc_id) WHERE d.lang = 'en'")
+
+  /** [[dsirWeights]] over any (doc_id, text) table with an arbitrary
+    * target-slice clause for the tcb CTE — the Zipfian wrap-regime
+    * harness ([[graft.operators.ZipfScale]]) emits this SQL next to
+    * its generated corpus so the HUGEINT twin runs on the exact same
+    * rows. */
+  def dsirWeightsOver(table: String, targetClause: String): String = {
     import graft.operators.Pipeline.{DsirBuckets, DsirScale}
-    s"""WITH dt AS (SELECT doc_id, ${toks("text")} AS t FROM documents),
+    s"""WITH dt AS (SELECT doc_id, ${toks("text")} AS t FROM $table),
        |dtok AS (
        |  SELECT doc_id, unnest(t) AS g FROM dt
        |  UNION ALL
@@ -1890,7 +1898,7 @@ object TextCtes {
        |    SELECT doc_id, ${fp("g")} % $DsirBuckets AS bucket FROM dtok) t
        |  GROUP BY 1, 2),
        |tcb AS (SELECT b.bucket, CAST(sum(b.cnt) AS BIGINT) AS tc FROM db b
-       |  JOIN documents d USING (doc_id) WHERE d.lang = 'en' GROUP BY 1),
+       |  $targetClause GROUP BY 1),
        |ratio AS (SELECT r.bucket, r.rc, coalesce(t.tc, 0) AS tc FROM
        |  (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS rc FROM db GROUP BY 1) r
        |  LEFT JOIN tcb t USING (bucket)),

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BASELINE.md's headline numbers drifted from the shipped artifacts
+  * once already (r8: the winnow-phase prose said ~35 s while the
+  * measured chain was 652 → 228 s — fixed by hand in r9). This spec
+  * kills the class the CoverageDocSpec way: the LATEST
+  * `BENCH_BUILDER_rN.json` in the repo root must have a matching
+  * machine-readable pin line in BASELINE.md,
+  *
+  *   `<!-- bench_pin rN: queries=Q suite_sec=S cold_sec=C exec_sec=E -->`
+  *
+  * whose values are copied verbatim from the artifact's headline — so
+  * the doc's round-N section can never describe numbers the artifact
+  * does not carry. */
+class BaselineDocSpec extends AnyFunSuite {
+
+  private lazy val latest: (Int, java.io.File) = {
+    val re = "BENCH_BUILDER_r(\\d+)\\.json".r
+    val fs = new java.io.File(".").listFiles.toSeq.flatMap { f =>
+      f.getName match {
+        case re(n) => Some((n.toInt, f))
+        case _ => None
+      }
+    }
+    assert(fs.nonEmpty, "no BENCH_BUILDER_rN.json artifact in repo root")
+    fs.maxBy(_._1)
+  }
+
+  test("BASELINE.md pins the latest builder artifact's headline") {
+    val (round, file) = latest
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val root = mapper.readTree(file)
+    val h = root.get("headline")
+    assert(h != null, s"${file.getName} has no headline object")
+    val q = root.get("queries_med").size()
+    val pin = s"<!-- bench_pin r$round: queries=$q " +
+      s"suite_sec=${h.get("value").asText} " +
+      s"cold_sec=${h.get("cold_sec").asText} " +
+      s"exec_sec=${h.get("exec_sec").asText} -->"
+    val doc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BASELINE.md")), "UTF-8")
+    assert(doc.contains(pin),
+      s"BASELINE.md is missing the pin line for ${file.getName}:\n  $pin")
+  }
+}

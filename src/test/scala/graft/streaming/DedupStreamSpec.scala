@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
-import graft.operators.{Dedup, DedupScale, DedupStream, TextOps}
+import graft.operators.{Dedup, DedupScale, DedupShard, DedupStream, TextOps}
 
 /** The streaming wiring must be a pure re-packaging of the incremental
   * probe: the pairs the micro-batch loop admits are exactly the pairs
@@ -36,6 +36,37 @@ class DedupStreamSpec extends SparkTestBase {
     TextOps.ensureRegistered(spark)
     val dir = "/root/testdata/sf0.001"
     val a = Dedup.streamBatchPairs(spark, dir)
+    val b = Dedup.incrementalPairs(spark, dir)
+    assert(a.exceptAll(b).count() === 0L)
+    assert(b.exceptAll(a).count() === 0L)
+  }
+
+  test("SHARDED probe (partition-pruned scans + size sidecar) equals the full-scan batch probe") {
+    TextOps.ensureRegistered(spark)
+    val nBase = 2000L
+    val docsPerBatch = 30
+    val base = DedupScale.corpus(spark, nBase)
+    val idx = java.nio.file.Files
+      .createTempDirectory("shard_idx").toString
+    DedupShard.buildIndex(spark, base, idx, nShards = 16)
+    val basePost = Dedup.rawPostings(base).persist()
+    val baseDf = basePost.groupBy("sfp").agg(count(lit(1)).as("df"))
+    (0L until 2L).foreach { b =>
+      val delta = DedupStream.deltaDocs(spark, b, docsPerBatch, nBase)
+      val full = DedupStream.batchPairs(basePost, baseDf, delta)
+      val (sharded, stats) = DedupShard.probe(spark, idx, 16, delta)
+      assert(sharded.exceptAll(full).count() === 0L, s"batch $b: extra pairs")
+      assert(full.exceptAll(sharded).count() === 0L, s"batch $b: missing pairs")
+      assert(stats.shardsTouched <= stats.nShards)
+      assert(stats.postingsScanned > 0L)
+    }
+    basePost.unpersist()
+  }
+
+  test("sharded query path equals the incremental recompute (dd_shard_probe == dd_incremental)") {
+    TextOps.ensureRegistered(spark)
+    val dir = "/root/testdata/sf0.001"
+    val a = DedupShard.shardProbe(spark, dir)
     val b = Dedup.incrementalPairs(spark, dir)
     assert(a.exceptAll(b).count() === 0L)
     assert(b.exceptAll(a).count() === 0L)
