@@ -34,6 +34,22 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Load covariate: 1-min /proc/loadavg. The r9 round's whole perf
+    // story was "the box oscillated" (4 same-day runs spread
+    // 133.8-187.4 s suite on identical code) but the artifacts carried
+    // no load signal, so weather could not be separated from a
+    // regression by anyone but the builder. -1.0 = capture failed.
+    // Interpretation: from warmup on, the bench itself saturates the
+    // 32 threads, so in-suite loadavg ≈ self-load (~15-25) + external;
+    // the PREWARM capture is the one that answers "was the box idle
+    // when this run started", and the per-run captures discriminate
+    // only gross external contention (≫ 32).
+    def load1(): Double = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split(" ")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+    val loadPrewarm = load1()
     // untimed warmup: first-touch costs (FileSystem + parquet reader
     // init, planner/codegen JIT) land here, not on whichever query the
     // map happens to order first — per-query numbers are steady-state,
@@ -76,17 +92,6 @@ object Bench {
           }
         }
       })
-    // Per-run load covariate: 1-min /proc/loadavg captured at each
-    // run's START. The r9 round's whole perf story was "the box
-    // oscillated" (4 same-day runs spread 133.8-187.4 s suite on
-    // identical code) but the artifacts carried no load signal, so
-    // weather could not be separated from a regression by anyone but
-    // the builder. -1.0 = capture failed (non-Linux).
-    def load1(): Double = try {
-      new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
-        .split(" ")(0).toDouble
-    } catch { case _: Throwable => -1.0 }
     // Storage snapshot after each query's runs: total cached MB, RDD
     // count, and PARTIALLY-cached RDD count (0 < cachedPartitions <
     // partitions — the eviction signature). The r9 "in-suite inflation"
@@ -215,6 +220,7 @@ object Bench {
       s""""queries_exec_med":$execMedJson,""" +
       s""""queries_cold_wall_exec":$coldJson,"cold_failed":$coldFailedJson,""" +
       s""""memo_warmed":$memoJson,""" +
+      s""""load_prewarm":${r3(loadPrewarm)},""" +
       s""""load_start":${r3(loadStart)},"load_end":${r3(load1())},""" +
       s""""storage_mb_rdds_partial":$storageJson,""" +
       s""""input_rows":$inputRows,"runs":$runs,"warmup_sec":${r3(warmupSec)},""" +
@@ -228,7 +234,7 @@ object Bench {
     // bypassed pass per query); e2e_sec = warm fill + timed suite
     // load_1m_start/_end ride the stdout line so even the driver-parsed
     // artifact carries the box-weather covariate (VERDICT r9 Missing #1)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","records_per_s":${r3(recsPerSec)},"exec_sec":${r3(execTotal)},"cold_sec":${r3(coldTotal)},"cold_exec_sec":${r3(coldExecTotal)},"e2e_sec":${r3(warmupSec + total)},"runs":$runs,"warmup_sec":${r3(warmupSec)},"load_1m_start":${r3(loadStart)},"load_1m_end":${r3(load1())},"cold_failed":${coldFailed.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","records_per_s":${r3(recsPerSec)},"exec_sec":${r3(execTotal)},"cold_sec":${r3(coldTotal)},"cold_exec_sec":${r3(coldExecTotal)},"e2e_sec":${r3(warmupSec + total)},"runs":$runs,"warmup_sec":${r3(warmupSec)},"load_1m_prewarm":${r3(loadPrewarm)},"load_1m_start":${r3(loadStart)},"load_1m_end":${r3(load1())},"cold_failed":${coldFailed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
