@@ -38,6 +38,20 @@ final class SessionMemo[V](outputMemo: Boolean = false) {
     if (outputMemo) {
       SessionMemo.outputReads.incrementAndGet()
       if (SessionMemo.coldMode) {
+        // UNPERSIST the stored entry first: a declarative build's plan
+        // is identical to the one the memo persisted, and Spark's
+        // CacheManager substitutes cached data for ANY matching
+        // subplan — so without this the "rebuild" of e.g.
+        // dd_incremental read its own warm cache and reported cold
+        // exec 0.0 s (visible in the r9/r10-run-1 artifacts). Cold
+        // semantics are "as if the result cache did not exist"; the
+        // entry stays mapped (the cold pass is the session's last
+        // act) and recomputes lazily if ever read again.
+        entries.get((spark, tag)).foreach {
+          case ds: org.apache.spark.sql.Dataset[_] =>
+            try { ds.unpersist(false); () } catch { case _: Throwable => () }
+          case _ =>
+        }
         val v = build
         // builds usually end in .persist(); the bypass stores nothing,
         // so without this the orphaned cache block lives until GC —
