@@ -173,17 +173,29 @@ object DedupShard {
     val nShards = args.lift(3).map(_.toInt).getOrElse(ScaleShards)
     val spark = LlmScale.session("DedupShard")
     TextOps.ensureRegistered(spark)
+    // per-batch executor task time next to wall (load-independent basis)
+    val execMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            ev: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = ev.taskMetrics
+          if (m != null) { execMs.addAndGet(m.executorRunTime); () }
+        }
+      })
     val path = s"target/shard_index/scale_${nBase}_$nShards"
     val tb = System.nanoTime()
     buildIndex(spark, DedupScale.corpus(spark, nBase), path, nShards)
     val buildSec = (System.nanoTime() - tb) / 1e9
     val totalPostings = spark.read.parquet(s"$path/post").count()
     val ts = scala.collection.mutable.ArrayBuffer[Double]()
+    val es = scala.collection.mutable.ArrayBuffer[Double]()
     val fracs = scala.collection.mutable.ArrayBuffer[Double]()
     val shardFracs = scala.collection.mutable.ArrayBuffer[Double]()
     var pairs = 0L; var hits = 0L
     (0 until nBatches).foreach { b =>
       val t0 = System.nanoTime()
+      val e0 = execMs.get()
       val (p, st) = probe(spark, path, nShards,
         DedupStream.deltaDocs(spark, b.toLong, docsPerBatch, nBase))
       val n = p.count()
@@ -193,12 +205,16 @@ object DedupShard {
           when(pmod(pmod(col("b") - DedupStream.DeltaBase, lit(nBase)),
             lit(10L)) === 9L, 1L).otherwise(0L)).count()
       ts += (System.nanoTime() - t0) / 1e9
+      es += (execMs.get() - e0) / 1e3
       fracs += st.postingsScanned.toDouble / totalPostings
       shardFracs += st.shardsTouched.toDouble / nShards
       pairs += n; hits += h
     }
     val expected = (nBatches.toLong * docsPerBatch + 1) / 2
-    val steady = { val s = ts.drop(1).sorted; if (s.isEmpty) ts.toVector.sorted else s.toVector }
+    def steadyOf(v: Seq[Double]) =
+      { val s = v.drop(1).sorted; if (s.isEmpty) v.sorted.toVector else s.toVector }
+    val steady = steadyOf(ts.toSeq)
+    val steadyE = steadyOf(es.toSeq)
     def pct(v: Vector[Double], p: Double) =
       v((p * (v.size - 1)).round.toInt.min(v.size - 1))
     def r3(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP)
@@ -209,6 +225,7 @@ object DedupShard {
       s""""n_base":$nBase,"n_shards":$nShards,"build_sec":${r3(buildSec)},""" +
       s""""first_batch_sec":${r3(ts.head)},"p50_sec":${r3(pct(steady, 0.5))},""" +
       s""""p95_sec":${r3(pct(steady, 0.95))},"max_sec":${r3(steady.last)},""" +
+      s""""exec_p50_sec":${r3(pct(steadyE, 0.5))},"exec_p95_sec":${r3(pct(steadyE, 0.95))},""" +
       s""""frac_postings_scanned_p50":${r3(pct(fs, 0.5))},""" +
       s""""frac_shards_touched_p50":${r3(pct(ss, 0.5))},""" +
       s""""pairs":$pairs,"planted_hits":$hits,"expected_planted":$expected}""")

@@ -109,11 +109,22 @@ object DedupStream {
     * returns (per-batch seconds, total pairs, planted hits, expected
     * planted). */
   def run(spark: SparkSession, nBatches: Int, docsPerBatch: Int,
-          nBase: Long): (Vector[Double], Long, Long, Long) = {
+          nBase: Long): (Vector[Double], Vector[Double], Long, Long, Long) = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     TextOps.ensureRegistered(spark)
+    // per-batch executor task time next to wall: this box swings 2-5×
+    // wall under external load; task time counts work, not waiting
+    val execMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            ev: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = ev.taskMetrics
+          if (m != null) { execMs.addAndGet(m.executorRunTime); () }
+        }
+      })
     // the maintained index: built once, persisted — NOT on any batch's clock
     val base = DedupScale.corpus(spark, nBase)
     val basePost = Dedup.rawPostings(base).persist()
@@ -121,6 +132,7 @@ object DedupStream {
     baseDf.count()
     val stream = MemoryStream[Long]
     val timings = scala.collection.mutable.ArrayBuffer[Double]()
+    val execs = scala.collection.mutable.ArrayBuffer[Double]()
     var pairs = 0L
     var hits = 0L
     val q = stream.toDS().writeStream
@@ -128,6 +140,7 @@ object DedupStream {
         val ids = batches.collect().toSeq // one control id per batch
         ids.foreach { b =>
           val t0 = System.nanoTime()
+          val e0 = execMs.get()
           val p = batchPairs(basePost, baseDf,
             deltaDocs(spark, b, docsPerBatch, nBase)).persist()
           val n = p.count()
@@ -140,6 +153,7 @@ object DedupStream {
           p.unpersist()
           timings.synchronized {
             timings += (System.nanoTime() - t0) / 1e9
+            execs += (execMs.get() - e0) / 1e3
             pairs += n; hits += h
           }
         }
@@ -158,7 +172,8 @@ object DedupStream {
     // evens over the GLOBAL k range [0, nBatches·dpb): per-batch
     // ceil(dpb/2) overcounts when dpb is odd (odd batches start at an
     // odd k and hold only floor(dpb/2) evens — ADVICE r9)
-    (timings.toVector, pairs, hits, (nBatches.toLong * docsPerBatch + 1) / 2)
+    (timings.toVector, execs.toVector, pairs, hits,
+      (nBatches.toLong * docsPerBatch + 1) / 2)
   }
 
   def main(args: Array[String]): Unit = {
@@ -166,17 +181,22 @@ object DedupStream {
     val docsPerBatch = args.lift(1).map(_.toInt).getOrElse(200)
     val nBase = args.lift(2).map(_.toLong).getOrElse(200000L)
     val spark = LlmScale.session("DedupStream")
-    val (ts, pairs, hits, expected) = run(spark, nBatches, docsPerBatch, nBase)
+    val (ts, es, pairs, hits, expected) = run(spark, nBatches, docsPerBatch, nBase)
     // nBatches=1 leaves no steady batches — fall back to the first
     // batch's timing rather than indexing an empty Vector (ADVICE r9)
-    val steady = { val s = ts.drop(1).sorted; if (s.isEmpty) ts.sorted else s }
-    def pct(p: Double) =
-      steady((p * (steady.size - 1)).round.toInt.min(steady.size - 1))
+    def steadyOf(v: Vector[Double]) =
+      { val s = v.drop(1).sorted; if (s.isEmpty) v.sorted else s }
+    val steady = steadyOf(ts)
+    val steadyE = steadyOf(es)
+    def pctOf(v: Seq[Double], p: Double) =
+      v((p * (v.size - 1)).round.toInt.min(v.size - 1))
+    def pct(p: Double) = pctOf(steady, p)
     def r3(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     println(
       s"""{"metric":"dedup_stream","batches":$nBatches,"docs_per_batch":$docsPerBatch,""" +
       s""""n_base":$nBase,"first_batch_sec":${r3(ts.head)},""" +
       s""""p50_sec":${r3(pct(0.5))},"p95_sec":${r3(pct(0.95))},"max_sec":${r3(steady.last)},""" +
+      s""""exec_p50_sec":${r3(pctOf(steadyE, 0.5))},"exec_p95_sec":${r3(pctOf(steadyE, 0.95))},""" +
       s""""pairs":$pairs,"planted_hits":$hits,"expected_planted":$expected}""")
     spark.stop()
   }

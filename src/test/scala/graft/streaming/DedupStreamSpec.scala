@@ -15,9 +15,10 @@ class DedupStreamSpec extends SparkTestBase {
     TextOps.ensureRegistered(spark)
     val nBase = 2000L
     val docsPerBatch = 20
-    val (timings, pairs, hits, expected) =
+    val (timings, execs, pairs, hits, expected) =
       DedupStream.run(spark, nBatches = 2, docsPerBatch = docsPerBatch, nBase = nBase)
     assert(timings.size === 2)
+    assert(execs.size === 2)
     assert(hits === expected, s"planted recall: $hits of $expected")
 
     // direct (non-streaming) probe over the same two delta slices
