@@ -990,6 +990,9 @@ object SparkEntry {
     "pipe_mixture" -> ((s, dir) => graft.operators.Pipeline.mixtureSample(s, dir)),
     // PII triage counts (email/phone/IPv4 shapes) over the probe corpus
     "t_pii" -> ((s, dir) => TextOps.piiStats(s, dir)),
+    // PII redaction transform (typed placeholders; hash gate compares
+    // the redacted strings byte-for-byte via their fingerprints)
+    "t_pii_redact" -> ((s, dir) => TextOps.piiRedact(s, dir)),
     // tokenizer coverage: per-doc OOV rate vs the broadcast top-K vocab
     "t_oov" -> ((s, dir) => TextOps.oovRate(s, dir)),
     // the complete release pipeline: quality ∧ lang ∧ dedup ∧
@@ -997,6 +1000,9 @@ object SparkEntry {
     "pipe_full" -> ((s, dir) => graft.operators.Pipeline.curateFull(s, dir)),
     // per-doc drop-reason audit for the release pipeline
     "pipe_lineage" -> ((s, dir) => graft.operators.Pipeline.curateLineage(s, dir)),
+    // train/val/test leakage audit: near-dup pairs crossing split
+    // boundaries (internal-contamination complement of decontaminate)
+    "pipe_split_leakage" -> ((s, dir) => graft.operators.Pipeline.splitLeakage(s, dir)),
     "pipe_keep_best" -> ((s, dir) => graft.operators.Pipeline.keepBest(s, dir)),
     // curation v2: repetition ∧ substring-dup ∧ budget, one plan
     "pipe_curation2" -> ((s, dir) => graft.operators.Pipeline.curateV2(s, dir)),
@@ -1630,9 +1636,11 @@ object SparkEntry {
     "pipe_split" -> TextCtes.splitStats,
     "pipe_mixture" -> TextCtes.mixtureSample,
     "t_pii" -> TextCtes.piiStats,
+    "t_pii_redact" -> TextCtes.piiRedact,
     "t_oov" -> TextCtes.oovRate,
     "pipe_full" -> TextCtes.curateFull,
     "pipe_lineage" -> TextCtes.curateLineage,
+    "pipe_split_leakage" -> TextCtes.splitLeakage,
     "pipe_keep_best" -> TextCtes.keepBest,
     "pipe_curation2" -> TextCtes.curationV2,
   )

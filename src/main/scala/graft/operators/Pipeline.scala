@@ -220,6 +220,36 @@ object Pipeline {
         sum("n_chars").as("total_chars"))
   }
 
+  /** Train/val/test LEAKAGE audit — the internal-contamination
+    * complement of [[decontaminate]] (which audits against an external
+    * benchmark): near-dup pairs (the verified ngram-Jaccard table)
+    * whose endpoints land in DIFFERENT splits under the standard
+    * 80/10/10 assignment. A test document near-duplicating a train
+    * document inflates every eval built on the split; the (split_a,
+    * split_b, n_pairs) matrix — cross cells ordered by split rank so
+    * the matrix is canonical — is the audit a dataset release
+    * publishes next to its split stats. Scale shape: pair-table-sized
+    * (bounded by the df cap); split labels derive from doc-id
+    * arithmetic (the [[SplitMult]] multiplicative hash, same integer
+    * expression on both engines), so the audit never rescans the
+    * corpus — two codegen'd projections over the memoized pair table
+    * and one partial-agg groupBy. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.ensureRegistered(spark)
+    def rankOf(c: org.apache.spark.sql.Column) = {
+      val bucket = pmod(pmod(c * SplitMult, lit(SampleMod)), lit(100L))
+      when(bucket < 80, 0L).when(bucket < 90, 1L).otherwise(2L)
+    }
+    def nameOf(r: org.apache.spark.sql.Column) =
+      when(r === 0L, "train").when(r === 1L, "val").otherwise("test")
+    Dedup.ngramJaccard(spark, dir)
+      .select(rankOf(col("a")).as("ra"), rankOf(col("b")).as("rb"))
+      .select(nameOf(least(col("ra"), col("rb"))).as("split_a"),
+        nameOf(greatest(col("ra"), col("rb"))).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Source-mixture resampling — hit a per-domain target mix without
     * RNG: each source keeps its first `target` docs in multiplicative-
     * hash order, where target = n_source · f(source) and the keep

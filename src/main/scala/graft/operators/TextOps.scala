@@ -386,6 +386,40 @@ object TextOps {
       .filter(col("n_email") + col("n_phone") + col("n_ip") > 0)
   }
 
+  /** PII REDACTION — the enforcement transform [[piiStats]] only
+    * measures: emails, phone numbers and dotted IPs replaced by typed
+    * placeholders (the scrub every released training corpus runs).
+    * Same planted probe corpus as piiStats; patterns chain
+    * email → phone → IP (placeholders contain no digits, so later
+    * patterns cannot re-match inside an earlier replacement — the
+    * order is part of the contract and the oracle mirrors it). Output
+    * is (doc_id, n_redacted, red_fp): the polynomial FINGERPRINT of
+    * the redacted text, so the hash gate proves the transformed
+    * string byte-for-byte across engines without shipping text. One
+    * codegen'd projection, zero shuffles — the map-only shape that is
+    * free at any scale. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
+    docs(spark, dir)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(PiiMod)) === 0,
+          concat(col("text"), lit(PiiSuffix))).otherwise(col("text"))
+          .as("text"))
+      .select(col("doc_id"),
+        (size(expr("regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+', 0)")) +
+          size(expr("regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}', 0)")) +
+          size(expr("regexp_extract_all(text, '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+', 0)")))
+          .cast("long").as("n_redacted"),
+        expr("""regexp_replace(regexp_replace(regexp_replace(text,
+          |  '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>'),
+          |  '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>'),
+          |  '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+', '<IP>')""".stripMargin)
+          .as("red"))
+      .filter(col("n_redacted") > 0)
+      .select(col("doc_id"), col("n_redacted"),
+        expr(fpSql("red")).as("red_fp"))
+  }
+
   /** Intra-document dedup (the C4-style repeated-span removal every
     * cleaning pipeline runs BEFORE corpus-level dedup): each document
     * chunks into consecutive [[ChunkTokens]]-token units, units are

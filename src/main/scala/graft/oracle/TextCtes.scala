@@ -1112,6 +1112,29 @@ object TextCtes {
        |WHERE n_email + n_phone + n_ip > 0""".stripMargin
   }
 
+  /** twin of TextOps.piiRedact: same probe corpus, same three chained
+    * regexp_replace passes ('g' = all occurrences, Spark's default),
+    * fingerprint of the redacted text. */
+  val piiRedact: String = {
+    import graft.operators.TextOps.{PiiMod, PiiSuffix}
+    s"""WITH c AS (SELECT doc_id,
+       |    CASE WHEN doc_id % $PiiMod = 0 THEN text || '$PiiSuffix'
+       |         ELSE text END AS text FROM documents),
+       |s AS (SELECT doc_id, text,
+       |  CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+'))
+       |    + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+       |    + len(regexp_extract_all(text, '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+'))
+       |    AS BIGINT) AS n_redacted
+       |FROM c),
+       |r AS (SELECT doc_id, n_redacted,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+       |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+       |    '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+', '<IP>', 'g') AS red
+       |FROM s WHERE n_redacted > 0)
+       |SELECT doc_id, n_redacted, ${fp("red")} AS red_fp FROM r""".stripMargin
+  }
+
   /** twin of Pipeline.sampleBudget: multiplicative-hash order,
     * per-source running char total, budget cut */
   val sampleBudget: String = {
@@ -1872,6 +1895,28 @@ object TextCtes {
        |SELECT doc_id, n_lines, n_code_lines, n_sym, n_camel, n_snake, n_chars,
        |  (n_code_lines * 10 >= n_lines * 3 OR n_sym * 20 >= n_chars) AS is_code
        |FROM sig""".stripMargin
+  }
+
+  /** twin of Pipeline.splitLeakage: ngram-Jaccard pairs labeled with
+    * the 80/10/10 multiplicative-hash split, cross cells canonicalized
+    * by split rank. */
+  val splitLeakage: String = {
+    import graft.operators.Pipeline.{SampleMod, SplitMult}
+    s"""WITH jp AS (SELECT * FROM ($ngramJaccard)),
+       |k AS (SELECT
+       |  CASE WHEN ((a * $SplitMult) % $SampleMod) % 100 < 80 THEN 0
+       |       WHEN ((a * $SplitMult) % $SampleMod) % 100 < 90 THEN 1
+       |       ELSE 2 END AS ra,
+       |  CASE WHEN ((b * $SplitMult) % $SampleMod) % 100 < 80 THEN 0
+       |       WHEN ((b * $SplitMult) % $SampleMod) % 100 < 90 THEN 1
+       |       ELSE 2 END AS rb FROM jp)
+       |SELECT
+       |  CASE least(ra, rb) WHEN 0 THEN 'train' WHEN 1 THEN 'val'
+       |    ELSE 'test' END AS split_a,
+       |  CASE greatest(ra, rb) WHEN 0 THEN 'train' WHEN 1 THEN 'val'
+       |    ELSE 'test' END AS split_b,
+       |  CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM k GROUP BY 1, 2""".stripMargin
   }
 
   /** twin of [[graft.operators.Pipeline.dsirWeights]]: hashed-unigram

@@ -53,6 +53,12 @@ class PlanInvariantsSpec extends SparkTestBase {
     assert(p.contains("regexp_extract_all"), p)
   }
 
+  test("t_pii_redact is one shuffle-free projection (map-only transform)") {
+    val p = plan("t_pii_redact")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("regexp_replace"), p)
+  }
+
   test("pipe_pack and pipe_mixture window per source, never a single partition") {
     for (q <- Seq("pipe_pack", "pipe_mixture")) {
       val p = plan(q)

@@ -31,6 +31,20 @@ class Round10OpsSpec extends SparkTestBase {
     }
   }
 
+  test("split-leakage matrix covers every near-dup pair exactly once, labels canonical") {
+    TextOps.ensureRegistered(spark)
+    val dir = "/root/testdata/sf0.001"
+    val m = Pipeline.splitLeakage(spark, dir).collect()
+    val totalPairs = Dedup.ngramJaccard(spark, dir).count()
+    assert(m.map(_.getAs[Long]("n_pairs")).sum === totalPairs)
+    val rank = Map("train" -> 0, "val" -> 1, "test" -> 2)
+    m.foreach { r =>
+      val (a, b) = (r.getAs[String]("split_a"), r.getAs[String]("split_b"))
+      assert(rank.contains(a) && rank.contains(b), s"$a/$b")
+      assert(rank(a) <= rank(b), s"matrix cell not canonical: ($a, $b)")
+    }
+  }
+
   test("Zipfian corpus: ranks in range, rank-1 token carries a hot share") {
     val c = ZipfScale.corpus(spark, 5000L)
     val toks = c.select(explode(split(col("text"), " ")).as("tok"))
