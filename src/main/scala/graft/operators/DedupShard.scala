@@ -36,6 +36,11 @@ import org.apache.spark.sql.functions._
   * metadata a production probe router holds), same sanction as the
   * per-batch control ids in [[DedupStream]].
   *
+  * Reference analog: the per-transaction contract of the incremental
+  * checker — work bounded by the CHANGE, never the store
+  * (checking/incremental/IncrementalDiffCheck.java:55); here the
+  * change is the crawl delta and the bound is its key shards.
+  *
   * `runMain graft.operators.DedupShard [nBatches docsPerBatch nBase nShards]`
   */
 object DedupShard {
