@@ -84,7 +84,11 @@ object DedupShard {
                               postingsScanned: Long)
 
   /** Probe the sharded index at `path` with a delta document slice;
-    * returns (pairs ≡ batchPairs' (a, b, jacc), stats). */
+    * returns (pairs ≡ batchPairs' (a, b, jacc), stats). Each probe
+    * re-opens the parquet tables (the local-fs listing of nShards
+    * partition dirs is microseconds); on an object store the file
+    * index would be cached once (metastore table / static
+    * InMemoryFileIndex) so per-batch cost stays pruned-scan-only. */
   def probe(spark: SparkSession, path: String, nShards: Int,
             delta: DataFrame): (DataFrame, ProbeStats) = {
     val dp = Dedup.rawPostings(delta)
