@@ -31,7 +31,15 @@ import org.apache.spark.sql.SparkSession
   * Spark's ContextCleaner reclaims them once unreferenced.
   */
 final class SessionMemo[V](outputMemo: Boolean = false) {
-  private val entries = TrieMap[(SparkSession, String), V]()
+  // Entries hold a lazy cell, not the value: TrieMap.getOrElseUpdate is
+  // atomic on the MAP but may still evaluate a losing thread's `op`
+  // side effects. Storing a cell whose body runs on first `.value`
+  // force makes concurrent fills of the same tag single-evaluation —
+  // the loser's unforced cell is garbage, its build never runs. This is
+  // what lets SparkEntry.warm run independent fills on a thread pool
+  // without double-persisting shared intermediates.
+  private final class Cell(build: () => V) { lazy val value: V = build() }
+  private val entries = TrieMap[(SparkSession, String), Cell]()
   private val hooked = TrieMap[SparkSession, Unit]()
 
   def getOrElseUpdate(spark: SparkSession, tag: String)(build: => V): V = {
@@ -46,11 +54,17 @@ final class SessionMemo[V](outputMemo: Boolean = false) {
         // exec 0.0 s (visible in the r9/r10-run-1 artifacts). Cold
         // semantics are "as if the result cache did not exist"; the
         // entry stays mapped (the cold pass is the session's last
-        // act) and recomputes lazily if ever read again.
-        entries.get((spark, tag)).foreach {
-          case ds: org.apache.spark.sql.Dataset[_] =>
-            try { ds.unpersist(false); () } catch { case _: Throwable => () }
-          case _ =>
+        // act) and recomputes lazily if ever read again. Dataset-level
+        // only, deliberately: a checkpoint-backed entry's blocks are
+        // its ONLY copy (lineage truncated), so RDD-level unpersist
+        // here would break any later warm read; such entries are not
+        // CacheManager-registered, so the rebuild cannot alias them.
+        entries.get((spark, tag)).foreach { c =>
+          c.value match {
+            case ds: org.apache.spark.sql.Dataset[_] =>
+              try { ds.unpersist(false); () } catch { case _: Throwable => () }
+            case _ =>
+          }
         }
         val v = build
         // builds usually end in .persist(); the bypass stores nothing,
@@ -75,7 +89,7 @@ final class SessionMemo[V](outputMemo: Boolean = false) {
         }
       })
     })
-    entries.getOrElseUpdate((spark, tag), build)
+    entries.getOrElseUpdate((spark, tag), new Cell(() => build)).value
   }
 }
 
@@ -98,11 +112,25 @@ object SessionMemo {
   val coldOrphans =
     new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Dataset[_]]
 
-  /** Unpersist every queued cold-rebuilt frame (non-blocking). */
+  /** Unpersist every queued cold-rebuilt frame (non-blocking).
+    * Dataset.unpersist covers CacheManager-registered plans only;
+    * builds that end in `localCheckpoint(true)` (e.g. DedupShard's
+    * pair table) are LogicalRDD-backed and that call is a no-op for
+    * them, so their blocks would otherwise accumulate across the cold
+    * pass until GC (ADVICE r10). Cold-rebuilt frames are never read
+    * again, so dropping the RDD blocks directly is safe HERE — unlike
+    * for stored memo entries, where it would destroy the only copy. */
   def drainColdOrphans(): Unit = {
     var ds = coldOrphans.poll()
     while (ds != null) {
       try { ds.unpersist(false); () } catch { case _: Throwable => () }
+      try {
+        ds.queryExecution.analyzed match {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.rdd.unpersist(false); ()
+          case _ => ()
+        }
+      } catch { case _: Throwable => () }
       ds = coldOrphans.poll()
     }
   }

@@ -129,6 +129,13 @@ object SparkEntry {
     // not data; see SCALE.md "codegen-bound at sf size")
     quiet(graft.operators.Iterative.shortestPaths(s, dir).count())
     quiet(graft.operators.Iterative.coreness(s, dir).count())
+    // round-11: the last two unmemoized iterative loops (r10 warm #1
+    // and #2, 5.19 / 4.16 s medians) plus the generated-store profile
+    // (83 warm exec-s re-running FullCheck over the generated bundle
+    // per touch — the r10 artifact's largest unattributed regression)
+    quiet(graft.operators.Iterative.misRounds(s, dir).count())
+    quiet(graft.operators.Hits.topAuthorities(s, dir).count())
+    quiet(graft.checker.ScaleCheck.profile(s, 2000L).count())
     // round-8b: shared winnowed-fingerprint selection (t_winnow +
     // dd_winnow_pairs both start from it) and the pair table
     // (dd_winnow_pairs + dd_winnow_containment)

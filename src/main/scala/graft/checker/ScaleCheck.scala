@@ -107,12 +107,25 @@ object ScaleCheck {
         arrays = s.arrays.localCheckpoint(true))
     }
 
+  /** The 7-row profile is a pure function of (session, n) but its
+    * violations branch re-runs the whole ~20-union-branch FullCheck
+    * over the generated stores on EVERY touch — 83 warm exec-s for a
+    * 7-row output in the r10 artifact (the round's largest
+    * unattributed regression was this recomputation meeting box
+    * load). Output-memo lifecycle like [[graft.operators.Stress
+    * .topStress]]: fill in warm(), cold pass prices the check. */
+  private val profileMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
+
+  def profile(spark: SparkSession, n: Long): DataFrame =
+    profileMemo.getOrElseUpdate(spark, s"gen-profile-$n")(
+      profileCompute(spark, n).persist())
+
   /** Oracle-checkable surface at a fixed small n: per-store record
     * counts plus the total violation count (a freshly generated store
     * MUST check clean — the invariant the reference's perf run rides
     * on). The DuckDB twin recomputes every count in closed form from
     * the same PRNG SQL ([[graft.oracle.GenCtes.storeCheck]]). */
-  def profile(spark: SparkSession, n: Long): DataFrame = {
+  private def profileCompute(spark: SparkSession, n: Long): DataFrame = {
     val s = storesCached(spark, n)
     def c(nm: String, df: DataFrame) =
       df.agg(count(lit(1)).cast("long").as("n"))

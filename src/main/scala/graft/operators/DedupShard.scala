@@ -83,24 +83,43 @@ object DedupShard {
   final case class ProbeStats(shardsTouched: Int, nShards: Int,
                               postingsScanned: Long)
 
+  /** The index's three parquet tables, opened ONCE per (session, path)
+    * and reused by every probe: a `spark.read.parquet` DataFrame holds
+    * its resolved `InMemoryFileIndex`, so the per-probe directory
+    * re-listing (microseconds on local fs, a metastore/file-listing
+    * job per batch on an object store — the r10 caveat) happens once
+    * at registration, exactly like registering the index as external
+    * tables. Partition pruning on `shard`/`dshard` still happens at
+    * PLANNING time per probe — the cached listing carries the
+    * partition values, so pruned scans are unaffected (plan-pinned in
+    * DedupShardSpec). Reference analog: the maintained-index contract
+    * of checking/incremental/IncrementalDiffCheck.java:55 — the index
+    * is long-lived state, only the delta's work recurs. */
+  private val tablesMemo = new graft.SessionMemo[(DataFrame, DataFrame, DataFrame)]
+  def indexTables(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    tablesMemo.getOrElseUpdate(spark, path)((
+      spark.read.parquet(s"$path/post"),
+      spark.read.parquet(s"$path/df"),
+      spark.read.parquet(s"$path/size0")))
+
   /** Probe the sharded index at `path` with a delta document slice;
-    * returns (pairs ≡ batchPairs' (a, b, jacc), stats). Each probe
-    * re-opens the parquet tables (the local-fs listing of nShards
-    * partition dirs is microseconds); on an object store the file
-    * index would be cached once (metastore table / static
-    * InMemoryFileIndex) so per-batch cost stays pruned-scan-only. */
+    * returns (pairs ≡ batchPairs' (a, b, jacc), stats). The index
+    * tables come from [[indexTables]] — file listing amortized across
+    * probes; each batch pays only its pruned scans. */
   def probe(spark: SparkSession, path: String, nShards: Int,
             delta: DataFrame): (DataFrame, ProbeStats) = {
+    val (postTbl, dfTbl, size0Tbl) = indexTables(spark, path)
     val dp = Dedup.rawPostings(delta)
       .withColumn("shard", pmod(col("sfp"), lit(nShards.toLong)))
       .persist()
     // bounded collect #1: the delta's key shards (≤ nShards longs)
     val touched = dp.select("shard").distinct().collect().map(_.getLong(0))
-    val postT = spark.read.parquet(s"$path/post")
+    val postT = postTbl
       .filter(col("shard").isin(touched: _*))
       .select("doc_id", "sfp").persist()
     val scanned = postT.count() // the pruned scan IS the probe's read cost
-    val dfT = spark.read.parquet(s"$path/df")
+    val dfT = dfTbl
       .filter(col("shard").isin(touched: _*)).select("sfp", "df")
     val dfDelta = dp.groupBy("sfp").agg(count(lit(1)).as("dfd"))
     // union df on the delta's keys (the only keys whose df changes)
@@ -133,7 +152,7 @@ object DedupShard {
       .persist()
     // bounded collect #2: candidate base docs' size-sidecar shards
     val dshards = baseCand.select("dshard").distinct().collect().map(_.getLong(0))
-    val size0T = spark.read.parquet(s"$path/size0")
+    val size0T = size0Tbl
       .filter(col("dshard").isin(dshards: _*))
     val baseSizes = size0T
       .join(broadcast(baseCand.select("doc_id")), "doc_id")
@@ -167,7 +186,14 @@ object DedupShard {
   def shardProbe(spark: SparkSession, dir: String): DataFrame = {
     TextOps.ensureRegistered(spark)
     val path = indexMemo.getOrElseUpdate(spark, dir) {
-      val p = s"target/shard_index/${(dir.hashCode & Int.MaxValue).toHexString}"
+      // collision-resistant dir key (ADVICE r10): a 31-bit hashCode
+      // collision between two sf dirs in one JVM would silently
+      // overwrite the other's index; a SHA-256 prefix makes the
+      // failure mode impossible rather than merely improbable
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(dir.getBytes("UTF-8")).take(12)
+        .map("%02x".format(_)).mkString
+      val p = s"target/shard_index/$sha"
       buildIndex(spark, Dedup.nearCorpus(spark, dir), p, QueryShards)
       p
     }

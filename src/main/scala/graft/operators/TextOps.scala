@@ -395,9 +395,13 @@ object TextOps {
     * order is part of the contract and the oracle mirrors it). Output
     * is (doc_id, n_redacted, red_fp): the polynomial FINGERPRINT of
     * the redacted text, so the hash gate proves the transformed
-    * string byte-for-byte across engines without shipping text. One
-    * codegen'd projection, zero shuffles — the map-only shape that is
-    * free at any scale. */
+    * string byte-for-byte across engines without shipping text.
+    * `n_redacted` counts PLACEHOLDERS in the redacted output — i.e.
+    * redactions actually performed — not per-pattern matches on the
+    * raw text, which double-counts overlaps (a dotted IP inside an
+    * email matches both patterns but the chained replace emits one
+    * <EMAIL>; ADVICE r10). One codegen'd projection, zero shuffles —
+    * the map-only shape that is free at any scale. */
   def piiRedact(spark: SparkSession, dir: String): DataFrame = {
     ensureRegistered(spark)
     docs(spark, dir)
@@ -406,15 +410,15 @@ object TextOps {
           concat(col("text"), lit(PiiSuffix))).otherwise(col("text"))
           .as("text"))
       .select(col("doc_id"),
-        (size(expr("regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+', 0)")) +
-          size(expr("regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}', 0)")) +
-          size(expr("regexp_extract_all(text, '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+', 0)")))
-          .cast("long").as("n_redacted"),
         expr("""regexp_replace(regexp_replace(regexp_replace(text,
           |  '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>'),
           |  '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>'),
           |  '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+', '<IP>')""".stripMargin)
           .as("red"))
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(red, '<EMAIL>|<PHONE>|<IP>', 0)"))
+          .cast("long").as("n_redacted"),
+        col("red"))
       .filter(col("n_redacted") > 0)
       .select(col("doc_id"), col("n_redacted"),
         expr(fpSql("red")).as("red_fp"))

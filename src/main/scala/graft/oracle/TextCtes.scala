@@ -1114,25 +1114,26 @@ object TextCtes {
 
   /** twin of TextOps.piiRedact: same probe corpus, same three chained
     * regexp_replace passes ('g' = all occurrences, Spark's default),
-    * fingerprint of the redacted text. */
+    * n_redacted = placeholders in the OUTPUT (redactions performed,
+    * not per-pattern raw-text matches — ADVICE r10), fingerprint of
+    * the redacted text. */
   val piiRedact: String = {
     import graft.operators.TextOps.{PiiMod, PiiSuffix}
     s"""WITH c AS (SELECT doc_id,
        |    CASE WHEN doc_id % $PiiMod = 0 THEN text || '$PiiSuffix'
        |         ELSE text END AS text FROM documents),
-       |s AS (SELECT doc_id, text,
-       |  CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+'))
-       |    + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))
-       |    + len(regexp_extract_all(text, '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+'))
-       |    AS BIGINT) AS n_redacted
-       |FROM c),
-       |r AS (SELECT doc_id, n_redacted,
+       |r0 AS (SELECT doc_id,
        |  regexp_replace(regexp_replace(regexp_replace(text,
        |    '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
        |    '[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+', '<IP>', 'g') AS red
-       |FROM s WHERE n_redacted > 0)
-       |SELECT doc_id, n_redacted, ${fp("red")} AS red_fp FROM r""".stripMargin
+       |FROM c),
+       |r AS (SELECT doc_id,
+       |  CAST(len(regexp_extract_all(red, '<EMAIL>|<PHONE>|<IP>')) AS BIGINT)
+       |    AS n_redacted, red
+       |FROM r0)
+       |SELECT doc_id, n_redacted, ${fp("red")} AS red_fp
+       |FROM r WHERE n_redacted > 0""".stripMargin
   }
 
   /** twin of Pipeline.sampleBudget: multiplicative-hash order,
