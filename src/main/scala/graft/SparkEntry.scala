@@ -1010,6 +1010,9 @@ object SparkEntry {
     // train/val/test leakage audit: near-dup pairs crossing split
     // boundaries (internal-contamination complement of decontaminate)
     "pipe_split_leakage" -> ((s, dir) => graft.operators.Pipeline.splitLeakage(s, dir)),
+    // release-audit form: the same matrix per verified near-dup family
+    // (ngram-Jaccard / MinHash-LSH / SimHash / winnowing union)
+    "pipe_leakage_families" -> ((s, dir) => graft.operators.Pipeline.leakageFamilies(s, dir)),
     "pipe_keep_best" -> ((s, dir) => graft.operators.Pipeline.keepBest(s, dir)),
     // curation v2: repetition ∧ substring-dup ∧ budget, one plan
     "pipe_curation2" -> ((s, dir) => graft.operators.Pipeline.curateV2(s, dir)),
@@ -1648,6 +1651,7 @@ object SparkEntry {
     "pipe_full" -> TextCtes.curateFull,
     "pipe_lineage" -> TextCtes.curateLineage,
     "pipe_split_leakage" -> TextCtes.splitLeakage,
+    "pipe_leakage_families" -> TextCtes.leakageFamilies,
     "pipe_keep_best" -> TextCtes.keepBest,
     "pipe_curation2" -> TextCtes.curationV2,
   )

@@ -234,19 +234,57 @@ object Pipeline {
     * expression on both engines), so the audit never rescans the
     * corpus — two codegen'd projections over the memoized pair table
     * and one partial-agg groupBy. */
+  /** 80/10/10 split rank of a doc-id column (multiplicative hash —
+    * the same integer expression the DuckDB twins inline). */
+  private def splitRankOf(c: org.apache.spark.sql.Column) = {
+    val bucket = pmod(pmod(c * SplitMult, lit(SampleMod)), lit(100L))
+    when(bucket < 80, 0L).when(bucket < 90, 1L).otherwise(2L)
+  }
+  private def splitNameOf(r: org.apache.spark.sql.Column) =
+    when(r === 0L, "train").when(r === 1L, "val").otherwise("test")
+
   def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
     TextOps.ensureRegistered(spark)
-    def rankOf(c: org.apache.spark.sql.Column) = {
-      val bucket = pmod(pmod(c * SplitMult, lit(SampleMod)), lit(100L))
-      when(bucket < 80, 0L).when(bucket < 90, 1L).otherwise(2L)
-    }
-    def nameOf(r: org.apache.spark.sql.Column) =
-      when(r === 0L, "train").when(r === 1L, "val").otherwise("test")
     Dedup.ngramJaccard(spark, dir)
-      .select(rankOf(col("a")).as("ra"), rankOf(col("b")).as("rb"))
-      .select(nameOf(least(col("ra"), col("rb"))).as("split_a"),
-        nameOf(greatest(col("ra"), col("rb"))).as("split_b"))
+      .select(splitRankOf(col("a")).as("ra"), splitRankOf(col("b")).as("rb"))
+      .select(splitNameOf(least(col("ra"), col("rb"))).as("split_a"),
+        splitNameOf(greatest(col("ra"), col("rb"))).as("split_b"))
       .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** The verified near-dup pair tables [[leakageFamilies]] unions —
+    * name → memoized (a, b, …) table. Exposed so the completeness
+    * spec iterates the SAME set the query does (a family added here
+    * is automatically covered by both). */
+  def leakagePairSources(spark: SparkSession, dir: String)
+      : Seq[(String, DataFrame)] = Seq(
+    ("ngram_jaccard", Dedup.ngramJaccard(spark, dir)),
+    ("minhash_lsh", Dedup.minhashLsh(spark, dir)),
+    ("simhash_band", Dedup.simhashDup(spark, dir)),
+    ("winnow", Dedup.winnowPairs(spark, dir)))
+
+  /** [[splitLeakage]] extended across every verified near-dup family —
+    * the release-audit form: one (family, split_a, split_b, n_pairs)
+    * matrix over the UNION of pair sources (ngram-Jaccard, MinHash-LSH,
+    * SimHash banding, winnowing), each detecting a different
+    * duplication mode, so leakage invisible to one detector still
+    * surfaces in the audit. Every source is an already-memoized
+    * verified pair table, so the union is pair-table-sized — zero
+    * corpus rescans, split labels from doc-id arithmetic, one
+    * partial-agg groupBy. */
+  def leakageFamilies(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.ensureRegistered(spark)
+    leakagePairSources(spark, dir)
+      .map { case (f, df) =>
+        df.select(lit(f).as("family"), col("a"), col("b")) }
+      .reduce(_ unionAll _)
+      .select(col("family"),
+        splitRankOf(col("a")).as("ra"), splitRankOf(col("b")).as("rb"))
+      .select(col("family"),
+        splitNameOf(least(col("ra"), col("rb"))).as("split_a"),
+        splitNameOf(greatest(col("ra"), col("rb"))).as("split_b"))
+      .groupBy("family", "split_a", "split_b")
       .agg(count(lit(1)).as("n_pairs"))
   }
 

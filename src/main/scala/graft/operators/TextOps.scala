@@ -404,11 +404,17 @@ object TextOps {
     * the map-only shape that is free at any scale. */
   def piiRedact(spark: SparkSession, dir: String): DataFrame = {
     ensureRegistered(spark)
-    docs(spark, dir)
+    piiRedactOf(docs(spark, dir)
       .select(col("doc_id"),
         when(pmod(col("doc_id"), lit(PiiMod)) === 0,
           concat(col("text"), lit(PiiSuffix))).otherwise(col("text"))
-          .as("text"))
+          .as("text")))
+  }
+
+  /** [[piiRedact]] over an arbitrary (doc_id, text) corpus (probe
+    * suffix NOT applied — that is the sf-dir query's planted signal). */
+  def piiRedactOf(corpus: DataFrame): DataFrame = {
+    corpus
       .select(col("doc_id"),
         expr("""regexp_replace(regexp_replace(regexp_replace(text,
           |  '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>'),

@@ -1920,6 +1920,31 @@ object TextCtes {
        |FROM k GROUP BY 1, 2""".stripMargin
   }
 
+  /** twin of Pipeline.leakageFamilies: the four verified pair-table
+    * twins unioned under a family label, same split arithmetic. */
+  val leakageFamilies: String = {
+    import graft.operators.Pipeline.{SampleMod, SplitMult}
+    s"""WITH u AS (
+       |  SELECT 'ngram_jaccard' AS family, a, b FROM ($ngramJaccard)
+       |  UNION ALL SELECT 'minhash_lsh' AS family, a, b FROM ($minhashLsh)
+       |  UNION ALL SELECT 'simhash_band' AS family, a, b FROM ($simhashDup)
+       |  UNION ALL SELECT 'winnow' AS family, a, b FROM ($winnowPairs)),
+       |k AS (SELECT family,
+       |  CASE WHEN ((a * $SplitMult) % $SampleMod) % 100 < 80 THEN 0
+       |       WHEN ((a * $SplitMult) % $SampleMod) % 100 < 90 THEN 1
+       |       ELSE 2 END AS ra,
+       |  CASE WHEN ((b * $SplitMult) % $SampleMod) % 100 < 80 THEN 0
+       |       WHEN ((b * $SplitMult) % $SampleMod) % 100 < 90 THEN 1
+       |       ELSE 2 END AS rb FROM u)
+       |SELECT family,
+       |  CASE least(ra, rb) WHEN 0 THEN 'train' WHEN 1 THEN 'val'
+       |    ELSE 'test' END AS split_a,
+       |  CASE greatest(ra, rb) WHEN 0 THEN 'train' WHEN 1 THEN 'val'
+       |    ELSE 'test' END AS split_b,
+       |  CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM k GROUP BY 1, 2, 3""".stripMargin
+  }
+
   /** twin of [[graft.operators.Pipeline.dsirWeights]]: hashed-unigram
     * buckets, add-one-smoothed target/raw likelihood ratio in integer
     * micro-units, per-doc ratio-weighted sums. */
