@@ -224,6 +224,9 @@ object Bench {
       s""""load_start":${r3(loadStart)},"load_end":${r3(load1())},""" +
       s""""storage_mb_rdds_partial":$storageJson,""" +
       s""""input_rows":$inputRows,"runs":$runs,"warmup_sec":${r3(warmupSec)},""" +
+      // heap from the JVM itself, not a builder-side constant: a run at a
+      // different -Xmx must not record a false covariate (ADVICE r10)
+      s""""heap_max_mb":${Runtime.getRuntime.maxMemory / (1024L * 1024L)},""" +
       s""""runs_wall_exec_gc_load":$runsJson,"sf":"$sfDir"}"""
     try {
       val p = java.nio.file.Paths.get("target", "bench_detail.json")
