@@ -97,15 +97,20 @@ object Bench {
     // partitions — the eviction signature). The r9 "in-suite inflation"
     // question (6 queries' warm medians >3x their own cold wall) needs
     // exactly this to decide eviction-of-shared-inputs vs box weather.
-    def storageSnap(): (Long, Int, Int) = try {
+    // 4th element (round 11): FULLY-evicted persisted RDDs
+    // (numCachedPartitions == 0) — the r10 partial-only counter could
+    // not see an input that had been dropped wholesale, which is the
+    // other eviction signature a warm-exec inflation needs ruled out.
+    def storageSnap(): (Long, Int, Int, Int) = try {
       val infos = spark.sparkContext.getRDDStorageInfo
       (infos.map(_.memSize).sum / (1024L * 1024L), infos.length,
         infos.count(i => i.numCachedPartitions > 0 &&
-          i.numCachedPartitions < i.numPartitions))
-    } catch { case _: Throwable => (-1L, -1, -1) }
+          i.numCachedPartitions < i.numPartitions),
+        infos.count(_.numCachedPartitions == 0))
+    } catch { case _: Throwable => (-1L, -1, -1, -1) }
     val loadStart = load1()
     val runDetail = scala.collection.mutable.LinkedHashMap[String, Seq[(Double, Double, Double, Double)]]()
-    val storageDetail = scala.collection.mutable.LinkedHashMap[String, (Long, Int, Int)]()
+    val storageDetail = scala.collection.mutable.LinkedHashMap[String, (Long, Int, Int, Int)]()
     // queries whose timed runs read >=1 output-layer memo — tagged from
     // observed reads, not a hand-kept list, so the set can't drift from
     // the code (the r8 verdict's "29 queries with exec-median 0.0")
@@ -212,8 +217,8 @@ object Bench {
     val coldFailedJson = coldFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val memoJson = memoWarmed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // post-runs cache state per query: [cached_mb, n_rdds, n_partial]
-    val storageJson = storageDetail.map { case (k, (mb, n, p)) =>
-      "\"" + k + s"""\":[$mb,$n,$p]"""
+    val storageJson = storageDetail.map { case (k, (mb, n, p, z)) =>
+      "\"" + k + s"""\":[$mb,$n,$p,$z]"""
     }.mkString("{", ",", "}")
     val detail =
       s"""{"queries_med":${fmt(med)},"queries_min":${fmt(_.head)},"queries_max":${fmt(_.last)},""" +

@@ -851,6 +851,7 @@ object SparkEntry {
     }),
     // ---- LLM-pipeline operators (north star) ----
     "t_token_count" -> ((s, dir) => TextOps.tokenCount(s, dir)),
+    "t_fertility" -> ((s, dir) => TextOps.fertility(s, dir)),
     "t_quality" -> ((s, dir) => TextOps.quality(s, dir)),
     "t_ttr" -> ((s, dir) => TextOps.typeTokenRatio(s, dir)),
     "t_source_quality" -> ((s, dir) => TextOps.sourceQuality(s, dir)),
@@ -862,6 +863,7 @@ object SparkEntry {
     "dd_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "dd_containment" -> ((s, dir) => Dedup.containmentDup(s, dir)),
     "dd_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
+    "dd_bbit_minhash" -> ((s, dir) => Dedup.bbitMinhash(s, dir)),
     "dd_simhash_band" -> ((s, dir) => Dedup.simhashDup(s, dir)),
     "dd_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
     "dd_cluster_sizes" -> ((s, dir) => Dedup.clusterSizes(s, dir)),
@@ -962,6 +964,7 @@ object SparkEntry {
     "pipe_dsir_sample" -> ((s, dir) => graft.operators.Pipeline.dsirSample(s, dir)),
     // temperature-scaled source mixture weights (mT5/XLM-R sampling rule)
     "pipe_source_mix" -> ((s, dir) => graft.operators.Pipeline.sourceMix(s, dir)),
+    "pipe_epoch_plan" -> ((s, dir) => graft.operators.Pipeline.epochPlan(s, dir)),
     // per-source vocabulary shift vs the corpus (KL + TV over hashed unigrams)
     "pipe_source_shift" -> ((s, dir) => graft.operators.Pipeline.sourceShift(s, dir)),
     // independent-gate curation ablation funnel per source
@@ -974,6 +977,7 @@ object SparkEntry {
     "ann_multiprobe" -> ((s, dir) => Similarity.annMultiprobe(s, dir)),
     "ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
     "ann_ivf_kmeans" -> ((s, dir) => Similarity.annIvfTrained(s, dir)),
+    "emb_cluster_stats" -> ((s, dir) => Similarity.clusterStats(s, dir)),
     // recall@K of every approximate ANN variant vs brute-force truth
     "ann_pq" -> ((s, dir) => Similarity.annPq(s, dir)),
     "ann_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
@@ -1531,6 +1535,7 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS n_mismatch
         |FROM events""".stripMargin,
     "t_token_count" -> TextCtes.tokenCount,
+    "t_fertility" -> TextCtes.fertility,
     "t_quality" -> TextCtes.quality,
     "t_ttr" -> TextCtes.typeTokenRatio,
     "t_source_quality" -> TextCtes.sourceQuality,
@@ -1542,6 +1547,7 @@ object SparkEntry {
     "dd_ngram_jaccard" -> TextCtes.ngramJaccard,
     "dd_containment" -> TextCtes.containmentDup,
     "dd_minhash_lsh" -> TextCtes.minhashLsh,
+    "dd_bbit_minhash" -> TextCtes.bbitMinhash,
     "dd_simhash_band" -> TextCtes.simhashDup,
     "dd_clusters" -> TextCtes.dedupClusters,
     "dd_lsh_recall" ->
@@ -1621,6 +1627,7 @@ object SparkEntry {
     "pipe_dsir" -> TextCtes.dsirWeights,
     "pipe_dsir_sample" -> TextCtes.dsirSample,
     "pipe_source_mix" -> TextCtes.sourceMix,
+    "pipe_epoch_plan" -> TextCtes.epochPlan,
     "pipe_source_shift" -> TextCtes.sourceShift,
     "pipe_filter_funnel" -> TextCtes.filterFunnel,
     "dd_source_flow" -> TextCtes.sourceFlow,
@@ -1640,6 +1647,7 @@ object SparkEntry {
     "ann_multiprobe" -> TextCtes.annMultiprobe,
     "ann_ivf" -> TextCtes.annIvf,
     "ann_ivf_kmeans" -> TextCtes.annIvfTrained,
+    "emb_cluster_stats" -> TextCtes.ivfClusterStats,
     "ann_pq" -> TextCtes.annPq,
     "ann_recall" -> TextCtes.annRecall,
     "dd_embedding" -> TextCtes.embeddingDup,

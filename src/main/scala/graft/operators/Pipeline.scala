@@ -651,6 +651,38 @@ object Pipeline {
         ((col("pa") / col("z")) / col("p")).as("boost"))
   }
 
+  /** Token budget + per-source epoch cap for [[epochPlan]]. The budget
+    * is an absolute constant (like [[BudgetChars]]) so the twin stays
+    * compile-time; at sf0.01 it exceeds most sources' supply, which is
+    * precisely the regime epoch capping exists for. */
+  val PlanTokenBudget = 500000L
+  val MaxEpochs = 3.0
+
+  /** Training-mixture epoch plan — the table that turns [[sourceMix]]'s
+    * α-temperature shares into an executable data recipe: per source,
+    * target tokens = budget·q, raw epochs = target/supply, epochs
+    * capped at [[MaxEpochs]] (the published data-recipe practice:
+    * repeating a small source beyond a few epochs stops helping and
+    * starts hurting), realized tokens = epochs·supply, and the
+    * utilization shortfall the cap leaves against the target. The
+    * budget shortfall Σ(target − realized) is what a planner
+    * re-allocates in the next temperature sweep — emitting per-source
+    * shortfall (not silently re-normalizing) keeps the plan auditable.
+    *
+    * Scale shape: everything after [[sourceMix]]'s single corpus pass
+    * operates on the ≤|sources|-row mix table; the doubles derive from
+    * exact integer token counts in a fixed op order both engines
+    * mirror. */
+  def epochPlan(spark: SparkSession, dir: String): DataFrame =
+    sourceMix(spark, dir)
+      .withColumn("target_tokens", lit(PlanTokenBudget.toDouble) * col("q"))
+      .withColumn("epochs_raw", col("target_tokens") / col("n_tokens").cast("double"))
+      .withColumn("epochs", least(col("epochs_raw"), lit(MaxEpochs)))
+      .withColumn("realized_tokens", col("epochs") * col("n_tokens").cast("double"))
+      .withColumn("shortfall", col("target_tokens") - col("realized_tokens"))
+      .select(col("source"), col("n_tokens"), col("q"), col("target_tokens"),
+        col("epochs_raw"), col("epochs"), col("realized_tokens"), col("shortfall"))
+
   /** Bucket count for [[sourceShift]]'s hashed-vocabulary histograms.
     * 4096 buckets keep the per-source audit table ≤ |sources|·4096
     * rows (bounded, never corpus-sized) while the birthday collision

@@ -219,37 +219,49 @@ object Similarity {
     ivfTrainedMemo.getOrElseUpdate(spark, dir)(
       annIvfTrainedCompute(spark, dir).persist())
 
+  /** Nearest-trained-centroid assignment with the scoring columns kept
+    * (`dot` exact BIGINT against the SUM-vector centroid, member `nrm`,
+    * centroid `cn`) — shared by the final IVF assignment and the
+    * cluster-diagnostics query. */
+  private def assignToCents(e: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("dot", dot("q", "cq"))
+      .withColumn("cos", col("dot") / (sqrt(col("nrm")) * sqrt(col("cn"))))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+  }
+
+  /** The Lloyd-trained centroid table (cid, cq SUM vector, cn norm),
+    * memoized input-layer: it is a training artifact both
+    * [[annIvfTrained]] and [[clusterStats]] start from, like the
+    * quantized corpus itself. localCheckpoint materializes the loop
+    * once and truncates its lineage, instead of re-executing the
+    * posexplode/groupBy training subtree per downstream reference. */
+  private val trainedCentsMemo = new graft.SessionMemo[DataFrame]
+  private def trainedCents(spark: SparkSession, dir: String): DataFrame =
+    trainedCentsMemo.getOrElseUpdate(spark, dir) {
+      val e = quantizedCached(spark, dir)
+      var cents = e.filter(col("vec_id") % CentroidMod === 0)
+        .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn"))
+      for (_ <- 1 to TrainIters) {
+        cents = assignToCents(e, cents).select(col("vec_id"), col("cid"))
+          .join(e, "vec_id")
+          .select(col("cid"), posexplode(col("q")).as(Seq("i", "x")))
+          .groupBy("cid", "i").agg(sum("x").as("s"))
+          .groupBy("cid")
+          .agg(expr("transform(sort_array(collect_list(struct(i, s))), p -> p.s)")
+            .as("cq"))
+          .withColumn("cn", expr("graft_dot(cq, cq)"))
+          .filter(col("cn") > 0)
+      }
+      cents.localCheckpoint()
+    }
+
   private def annIvfTrainedCompute(spark: SparkSession, dir: String): DataFrame = {
     val e = quantizedCached(spark, dir)
-    def assignTo(cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))
-      e.crossJoin(broadcast(cents))
-        .withColumn("dot", dot("q", "cq"))
-        .withColumn("cos", col("dot") / (sqrt(col("nrm")) * sqrt(col("cn"))))
-        .withColumn("r", row_number().over(w))
-        .filter(col("r") === 1)
-        .select(col("vec_id"), col("cid"))
-    }
-    var cents = e.filter(col("vec_id") % CentroidMod === 0)
-      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn"))
-    for (_ <- 1 to TrainIters) {
-      cents = assignTo(cents)
-        .join(e, "vec_id")
-        .select(col("cid"), posexplode(col("q")).as(Seq("i", "x")))
-        .groupBy("cid", "i").agg(sum("x").as("s"))
-        .groupBy("cid")
-        .agg(expr("transform(sort_array(collect_list(struct(i, s))), p -> p.s)")
-          .as("cq"))
-        .withColumn("cn", expr("graft_dot(cq, cq)"))
-        .filter(col("cn") > 0)
-    }
-    // the trained centroids (tiny table) feed the final assignment AND
-    // the probe computation — localCheckpoint materializes the Lloyd
-    // loop once and truncates its lineage, instead of re-executing the
-    // posexplode/groupBy training subtree per downstream reference
-    cents = cents.localCheckpoint()
-
-    val assign = assignTo(cents)
+    val cents = trainedCents(spark, dir)
+    val assign = assignToCents(e, cents).select(col("vec_id"), col("cid"))
     val queries = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("qid"), col("q").as("qv"), col("nrm").as("qn"))
     val wProbe = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
@@ -272,6 +284,31 @@ object Similarity {
     scored.withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= K)
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
+  }
+
+  /** IVF list-occupancy + coherence diagnostics over the trained
+    * centroids — the balance audit an IVF deployment reads before
+    * trusting its probe budget: a skewed list (one cluster holding
+    * most of the corpus) turns every probe into a near-scan, and a
+    * low-coherence list (members barely aligned with their centroid)
+    * predicts recall loss at fixed NProbe. Per cluster: member count,
+    * Σ member norm and Σ member·centroid dot (both exact BIGINTs —
+    * the centroid is the integer SUM vector, so the dot is exact),
+    * centroid norm, and mean dot as the single derived double.
+    *
+    * Scale shape: one broadcast-assignment pass over the corpus (the
+    * same N×k codegen kernel the IVF queries use — here it reuses the
+    * memoized trained centroids, so the Lloyd loop is never re-run)
+    * followed by one partial-agg groupBy(cid) to a ≤k-row table. */
+  def clusterStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantizedCached(spark, dir)
+    val assigned = assignToCents(e, trainedCents(spark, dir))
+    assigned.groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("nrm").as("sum_nrm"),
+        sum("dot").as("sum_dot"),
+        max("cn").as("cn"))
+      .withColumn("avg_dot", col("sum_dot") / col("n_vecs").cast("double"))
   }
 
   /** Recall@K probe: each approximate variant's top-K joined against

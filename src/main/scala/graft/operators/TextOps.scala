@@ -60,6 +60,25 @@ object TextOps {
       size(toks(col("text"))).as("n_ws"),
       size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("n_re"))
 
+  /** Tokenizer fertility by language — chars-per-token under the
+    * BPE-ish regex tokenization, the number a mixture designer reads
+    * next to [[graft.operators.Pipeline.sourceMix]]: a language whose
+    * fertility is 2× the corpus mean consumes 2× the token budget per
+    * character of content, so per-language token accounting (not char
+    * accounting) is what a budget is actually spent in. One partial-agg
+    * groupBy(lang) over exact integer counts; the ratio is a single
+    * division on the ≤|langs|-row result. */
+  def fertility(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"), length(col("text")).cast("long").as("nc"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .cast("long").as("nt"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("nc").as("n_chars"),
+        sum("nt").as("n_tokens"))
+      .withColumn("chars_per_token",
+        round(col("n_chars") / col("n_tokens").cast("double"), 6))
+
   /** Quality scoring: length/stopword/token-shape heuristics.
     * All ratios are double math over exact integers (same op order in
     * the oracle). */

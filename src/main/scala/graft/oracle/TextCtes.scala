@@ -206,6 +206,44 @@ object TextCtes {
        |  GROUP BY 1, 2)
        |$jaccSelect""".stripMargin
 
+  /** twin of Dedup.bbitMinhash: 1-bit sketches from the same 16
+    * minhash registers (lowest bit), estimator (2m−k)/k with k a power
+    * of two so the estimate is an exact double; pairs and exact
+    * Jaccard from the LSH twin as a derived table. */
+  val bbitMinhash: String = {
+    val k = graft.operators.Dedup.NumHashes
+    s"""WITH $shingleCtes,
+       |bits AS (
+       |  SELECT doc_id, i,
+       |    min(((1 + 7919 * i) * sfp + 104729 * i) % $P) % 2 AS bit
+       |  FROM sh, unnest(generate_series(0, ${k - 1})) AS t(i)
+       |  GROUP BY doc_id, i),
+       |p AS (SELECT a, b, jacc FROM ($minhashLsh)),
+       |m AS (
+       |  SELECT p.a, p.b,
+       |    CAST(sum(CASE WHEN ba.bit = bb.bit THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_match
+       |  FROM p JOIN bits ba ON ba.doc_id = p.a
+       |  JOIN bits bb ON bb.doc_id = p.b AND bb.i = ba.i
+       |  GROUP BY 1, 2)
+       |SELECT p.a, p.b, p.jacc, m.n_match,
+       |  CAST(2 * m.n_match - $k AS DOUBLE) / $k AS j_est,
+       |  abs(CAST(2 * m.n_match - $k AS DOUBLE) / $k - p.jacc) AS abs_err
+       |FROM p JOIN m ON p.a = m.a AND p.b = m.b""".stripMargin
+  }
+
+  /** twin of TextOps.fertility: exact integer char/token sums per
+    * language, the ratio as one division. */
+  val fertility: String =
+    s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       |  CAST(sum(len(regexp_extract_all(lower(text),
+       |    '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_tokens,
+       |  round(CAST(sum(length(text)) AS BIGINT)
+       |    / CAST(sum(len(regexp_extract_all(lower(text),
+       |      '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS DOUBLE), 6) AS chars_per_token
+       |FROM documents GROUP BY lang""".stripMargin
+
   /** twin of Dedup.exactNormalized */
   val exactNormalized: String =
     s"""WITH c AS (
@@ -607,7 +645,11 @@ object TextCtes {
     * exact BIGINT in both engines). Iterations unrolled; zero-norm /
     * emptied clusters drop via the HAVING guard, mirroring the Spark
     * side's cn > 0 filter. */
-  val annIvfTrained: String = {
+  /** The trained-centroid chain shared by [[annIvfTrained]] and
+    * [[ivfClusterStats]]: seed centroids c0, [[TrainIters]] unrolled
+    * Lloyd iterations, final norms cnT / dots dfin / assignment afin.
+    * Appended after $embBase inside a WITH. */
+  private lazy val ivfTrainedChain: String = {
     val T = graft.operators.Similarity.TrainIters
     def iter(t: Int): String =
       s"""cn${t - 1} AS (
@@ -627,8 +669,7 @@ object TextCtes {
          |  SELECT a.cid, e2.i, CAST(sum(e2.x) AS BIGINT) AS s
          |  FROM a$t a JOIN el e2 ON e2.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
     val iters = (1 to T).map(iter).mkString(",\n")
-    s"""WITH $embBase,
-       |c0 AS (
+    s"""c0 AS (
        |  SELECT e0.vec_id AS cid, e0.i, CAST(e0.x AS BIGINT) AS s
        |  FROM el e0 JOIN valid v ON e0.vec_id = v.vec_id
        |  WHERE e0.vec_id % 25 = 0),
@@ -645,7 +686,13 @@ object TextCtes {
        |      row_number() OVER (PARTITION BY d.vec_id
        |        ORDER BY d.dot / (sqrt(v.nrm) * sqrt(cn.cn)) DESC, d.cid) AS r
        |    FROM dfin d JOIN valid v ON d.vec_id = v.vec_id
-       |    JOIN cn$T cn ON d.cid = cn.cid) WHERE r = 1),
+       |    JOIN cn$T cn ON d.cid = cn.cid) WHERE r = 1)""".stripMargin
+  }
+
+  val annIvfTrained: String = {
+    val T = graft.operators.Similarity.TrainIters
+    s"""WITH $embBase,
+       |$ivfTrainedChain,
        |probes AS (
        |  SELECT vec_id AS qid, cid FROM (
        |    SELECT d.vec_id, d.cid,
@@ -672,6 +719,25 @@ object TextCtes {
        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
        |  FROM scored)
        |SELECT qid, rnk AS rank, nid, cos FROM ranked WHERE rnk <= 5""".stripMargin
+  }
+
+  /** twin of Similarity.clusterStats: the same trained chain, then one
+    * group per final cluster — member count, Σ nrm and Σ dot as exact
+    * BIGINTs, centroid norm, mean dot as the single derived double. */
+  val ivfClusterStats: String = {
+    val T = graft.operators.Similarity.TrainIters
+    s"""WITH $embBase,
+       |$ivfTrainedChain
+       |SELECT a.cid, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(v.nrm) AS BIGINT) AS sum_nrm,
+       |  CAST(sum(d.dot) AS BIGINT) AS sum_dot,
+       |  max(cn.cn) AS cn,
+       |  CAST(sum(d.dot) AS BIGINT) / CAST(count(*) AS DOUBLE) AS avg_dot
+       |FROM afin a
+       |JOIN dfin d ON a.vec_id = d.vec_id AND a.cid = d.cid
+       |JOIN valid v ON a.vec_id = v.vec_id
+       |JOIN cn$T cn ON a.cid = cn.cid
+       |GROUP BY a.cid""".stripMargin
   }
 
   /** twin of Similarity.annPq: subspace split, nearest-codeword encode
@@ -2014,6 +2080,25 @@ object TextCtes {
        |SELECT source, n_docs, n_tokens, p.p AS p,
        |  pa / z.z AS q, (pa / z.z) / p.p AS boost
        |FROM p, z""".stripMargin
+  }
+
+  /** twin of Pipeline.epochPlan: the sourceMix twin as a derived
+    * table, then the same fixed-order double chain (target → raw
+    * epochs → cap → realized → shortfall), each step its own derived
+    * table so the op order is pinned. */
+  lazy val epochPlan: String = {
+    import graft.operators.Pipeline.{MaxEpochs, PlanTokenBudget}
+    s"""WITH mix AS (SELECT source, n_tokens, q FROM ($sourceMix)),
+       |t AS (SELECT source, n_tokens, q,
+       |    CAST($PlanTokenBudget AS DOUBLE) * q AS target_tokens FROM mix),
+       |e AS (SELECT *, target_tokens / CAST(n_tokens AS DOUBLE) AS epochs_raw
+       |  FROM t),
+       |c AS (SELECT *, least(epochs_raw, $MaxEpochs) AS epochs FROM e),
+       |r AS (SELECT *, epochs * CAST(n_tokens AS DOUBLE) AS realized_tokens
+       |  FROM c)
+       |SELECT source, n_tokens, q, target_tokens, epochs_raw, epochs,
+       |  realized_tokens, target_tokens - realized_tokens AS shortfall
+       |FROM r""".stripMargin
   }
 
   /** twin of [[graft.operators.Similarity.matryoshkaRecall]]: per

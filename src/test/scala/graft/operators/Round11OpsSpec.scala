@@ -51,6 +51,82 @@ class Round11OpsSpec extends SparkTestBase {
     assert(out.head.getAs[Long]("n_redacted") === 2L) // <EMAIL> + <PHONE>
   }
 
+  test("bbitMinhash: one row per verified pair; estimator exact in the bit count") {
+    TextOps.ensureRegistered(spark)
+    val dir = "/root/testdata/sf0.001"
+    val out = Dedup.bbitMinhash(spark, dir).collect()
+    val pairs = Dedup.minhashLsh(spark, dir).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet === pairs)
+    assert(out.length === pairs.size) // exactly once each
+    out.foreach { r =>
+      val m = r.getAs[Long]("n_match")
+      assert(m >= 0 && m <= Dedup.NumHashes)
+      // (2m-k)/k with k a power of two: the double is exact, so strict
+      // equality against the recomputed value is legitimate
+      assert(r.getAs[Double]("j_est") ===
+        (2.0 * m - Dedup.NumHashes) / Dedup.NumHashes)
+      assert(r.getAs[Double]("abs_err") <= 1.0 + 1e-12)
+    }
+    // the estimator must carry signal on true near-dups: pairs here are
+    // jacc >= 0.5, so the MEAN 1-bit estimate must sit well above the
+    // 0.0 a random pair would give
+    val meanEst = out.map(_.getAs[Double]("j_est")).sum / out.length
+    assert(meanEst > 0.3, s"mean 1-bit estimate $meanEst carries no signal")
+  }
+
+  test("fertility: groups partition the corpus; ratios derive from exact sums") {
+    TextOps.ensureRegistered(spark)
+    val dir = "/root/testdata/sf0.001"
+    val out = TextOps.fertility(spark, dir).collect()
+    val nDocs = TextOps.docs(spark, dir).count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") > 0)
+      assert(r.getAs[Double]("chars_per_token") > 0.0)
+    }
+  }
+
+  test("epochPlan: cap semantics — epochs = min(raw, MaxEpochs), shortfall only when capped") {
+    TextOps.ensureRegistered(spark)
+    val dir = "/root/testdata/sf0.001"
+    val out = Pipeline.epochPlan(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val raw = r.getAs[Double]("epochs_raw")
+      val ep = r.getAs[Double]("epochs")
+      assert(ep === math.min(raw, Pipeline.MaxEpochs))
+      val shortfall = r.getAs[Double]("shortfall")
+      if (raw <= Pipeline.MaxEpochs) assert(math.abs(shortfall) < 1e-6,
+        s"uncapped source has shortfall $shortfall")
+      else assert(shortfall > 0.0, "capped source must report its deficit")
+    }
+    // the plan spends the budget it was given: realized + shortfall = target
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("target_tokens") -
+        r.getAs[Double]("realized_tokens") - r.getAs[Double]("shortfall")) < 1e-6)
+    }
+  }
+
+  test("clusterStats: every valid vector counted once; mean dot consistent; assignment broadcast") {
+    TextOps.ensureRegistered(spark)
+    val dir = "/root/testdata/sf0.001"
+    val stats = Similarity.clusterStats(spark, dir)
+    val out = stats.collect()
+    val nValid = Similarity.quantizedCached(spark, dir).count()
+    assert(out.map(_.getAs[Long]("n_vecs")).sum === nValid)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") > 0 && r.getAs[Long]("cn") > 0)
+      assert(r.getAs[Double]("avg_dot") ===
+        r.getAs[Long]("sum_dot").toDouble / r.getAs[Long]("n_vecs"))
+    }
+    // scale shape: the centroid attach must be a broadcast, never a
+    // shuffled join — the corpus-side pass is the only big input
+    val plan = stats.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("sharded probe reuses one file index across probes and stays pruned") {
     TextOps.ensureRegistered(spark)
     val idx = java.nio.file.Files.createTempDirectory("shard_reuse").toString
