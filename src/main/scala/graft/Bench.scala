@@ -149,13 +149,18 @@ object Bench {
     // the cold totals unmarked (ADVICE r9); failures are named in
     // bench_detail's "cold_failed" and their timings excluded/nulled.
     val coldFailed = scala.collection.mutable.LinkedHashSet[String]()
-    val coldDetail: Map[String, Option[(Double, Double, Double)]] =
+    // 4th cold element (round 11): per-query JVM GC seconds — the r11
+    // run-to-run cold spread (256 vs 391 s on identical code) needed
+    // memory pressure separable from task work before it could be
+    // attributed; storage snapshots bracket the pass for the same reason
+    val coldStorageStart = storageSnap()
+    val coldDetail: Map[String, Option[(Double, Double, Double, Double)]] =
       if (sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("0")) Map.empty
       else {
         SessionMemo.coldMode = true
         val m = SparkEntry.queries.map { case (name, fn) =>
           val ld = load1()
-          val e0 = execMs.get()
+          val (e0, g0) = (execMs.get(), gcMs.get())
           val t0 = System.nanoTime()
           val ok =
             try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
@@ -169,12 +174,14 @@ object Bench {
           // every later cold timing (ADVICE r9)
           SessionMemo.drainColdOrphans()
           name -> (if (ok)
-            Some(((System.nanoTime() - t0) / 1e9, (execMs.get() - e0) / 1e3, ld))
+            Some(((System.nanoTime() - t0) / 1e9, (execMs.get() - e0) / 1e3,
+              (gcMs.get() - g0) / 1e3, ld))
           else None)
         }
         SessionMemo.coldMode = false
         m
       }
+    val coldStorageEnd = storageSnap()
     def r3(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def fmt(sel: Seq[Double] => Double) = results
       .map { case (k, ts) => "\"" + k + "\":" + r3(sel(ts)) }
@@ -207,10 +214,10 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val coldTotal = coldDetail.values.flatten.map(_._1).sum
     val coldExecTotal = coldDetail.values.flatten.map(_._2).sum
-    // [wall, exec, load1] per query; null marks a cold failure
+    // [wall, exec, gc, load1] per query; null marks a cold failure
     val coldJson = coldDetail
       .map {
-        case (k, Some((w, e, ld))) => "\"" + k + s"""\":[${r3(w)},${r3(e)},${r3(ld)}]"""
+        case (k, Some((w, e, g, ld))) => "\"" + k + s"""\":[${r3(w)},${r3(e)},${r3(g)},${r3(ld)}]"""
         case (k, None) => "\"" + k + "\":null"
       }
       .mkString("{", ",", "}")
@@ -224,6 +231,8 @@ object Bench {
       s"""{"queries_med":${fmt(med)},"queries_min":${fmt(_.head)},"queries_max":${fmt(_.last)},""" +
       s""""queries_exec_med":$execMedJson,""" +
       s""""queries_cold_wall_exec":$coldJson,"cold_failed":$coldFailedJson,""" +
+      s""""storage_cold_start":[${coldStorageStart._1},${coldStorageStart._2},${coldStorageStart._3},${coldStorageStart._4}],""" +
+      s""""storage_cold_end":[${coldStorageEnd._1},${coldStorageEnd._2},${coldStorageEnd._3},${coldStorageEnd._4}],""" +
       s""""memo_warmed":$memoJson,""" +
       s""""load_prewarm":${r3(loadPrewarm)},""" +
       s""""load_start":${r3(loadStart)},"load_end":${r3(load1())},""" +

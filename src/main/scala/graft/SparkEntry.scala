@@ -37,17 +37,33 @@ object SparkEntry {
     * calls this in its untimed block and reports the fill time
     * separately. */
   def warm(s: SparkSession, dir: String): Unit = {
-    // Fills run CONCURRENTLY on a small pool (round-11, VERDICT Next
-    // #4): warmup was the largest load-exposed surface in e2e (272 s
-    // serial at clean prewarm) and most of each fill is driver-side
-    // latency — planning, codegen compile, stage gaps — not task work,
-    // so overlapping fills hides it. Correctness under concurrency is
-    // the memo layer's job: SessionMemo entries are lazy cells, so two
-    // fills forcing the same shared intermediate single-evaluate (the
-    // loser blocks on the winner's cell — dependencies serialize
-    // themselves, independents overlap). Pool of 8: enough overlap to
-    // hide compile/planning gaps, small enough that 8 × 32-partition
-    // jobs on 32 cores don't thrash the executor pool.
+    // Round-11 restructure (VERDICT r10 Next #4), second iteration.
+    //
+    // What stays: the INPUT layer (graph/store/token/quantized/bucketed
+    // tables) plus every output memo that is a SHARED intermediate —
+    // pair tables, cluster maps, verdict tables that other queries
+    // consume either through a getter read or as a CacheManager
+    // plan-subtree match. The first iteration dropped ALL output fills
+    // and the full-bench A/B (runs 2-3 vs run 1 of the r11 campaign)
+    // showed exactly why they exist: early-Map-order queries compose
+    // later queries' memoized outputs (pipe_keep_best at position 17
+    // reads dedupClusters whose owning query sits at 144), so without
+    // the fill their steady-state medians absorbed up to 90x of someone
+    // else's build (pipe_lineage exec 0.13 -> 34.2 s).
+    //
+    // What goes (~490 s of contended fill wall): the 17 GETTER-LEAF
+    // output memos — single-consumer-family results (HyperBall pyramid,
+    // sharded-probe index, per-algorithm fixpoints, PQ/multiprobe
+    // top-k, BPE merges, DSIR weights) that no other query's plan can
+    // alias. Those fill on their first timed touch instead, which is
+    // measurement-neutral by construction: with runs >= 3 the reported
+    // median is never the fill run (the fill lands once, attributable
+    // in queries_max / runs_wall_exec_gc_load), and the honest-cold
+    // pass prices every rebuild regardless of where the fill happened.
+    //
+    // Fills run concurrently on a small pool; SessionMemo's lazy cells
+    // make concurrent fills of one shared intermediate single-evaluate
+    // (dependency chains serialize by blocking on the winner's cell).
     // GRAFT_WARM_LOG: per-fill seconds to stderr (warmup cost budget).
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       sys.env.getOrElse("GRAFT_WARM_THREADS", "8").toInt)
@@ -62,102 +78,52 @@ object SparkEntry {
           System.err.println(f"[warm] $name%-24s ${(System.nanoTime() - t0) / 1e9}%.1fs")
       }
     }
+    // ---- input layer ----
     quiet("graph_nodes")(graft.model.TpchGraph.nodes(s, dir).count())
     quiet("graph_rels")(graft.model.TpchGraph.rels(s, dir).count())
     quiet("RecordStores.deriveCached")(RecordStores.deriveCached(s, dir))
     quiet("cachedViolations")(cachedViolations(s, dir).count())
+    // input-class memo with a parquet-write side effect that must not
+    // repeat per run; sits at the end of the deriveCached->violations
+    // chain, so it is also the warmup critical path
     quiet("rec_backup_verify")(queries("rec_backup_verify")(s, dir).count())
-    quiet("Dedup.ngramJaccard")(Dedup.ngramJaccard(s, dir).count())
-    quiet("Dedup.dedupClusters")(Dedup.dedupClusters(s, dir).count())
-    // round-5 memoized intermediates: signature tables and pair
-    // outputs fill here so per-query numbers are steady-state
-    quiet("Dedup.simhashDup")(Dedup.simhashDup(s, dir).count())
-    quiet("Dedup.minhashLsh")(Dedup.minhashLsh(s, dir).count())
-    quiet("Dedup.prefixJaccard")(Dedup.prefixJaccard(s, dir).count())
     quiet("TextOps.tokenTable")(TextOps.tokenTable(s, dir).count())
-    quiet("TextOps.lmScore")(TextOps.lmScore(s, dir).count())
-    // round-9 output memos (3-4 consumers each): verdict tables are
-    // pure functions of (session, dir); the cold pass rebuilds them
-    quiet("TextOps.repetition")(TextOps.repetition(s, dir).count())
-    quiet("Dedup.decontaminate")(Dedup.decontaminate(s, dir).count())
-    quiet("GraphOps.linkPrediction")(GraphOps.linkPrediction(s, dir).count())
     quiet("Similarity.warm")(Similarity.warm(s, dir))
     quiet("Bucketing.warm")(graft.operators.Bucketing.warm(s, dir))
     quiet("BucketedStores.warm")(graft.operators.BucketedStores.warm(s, dir))
-    // round-6: symmetrized pre-partitioned edge tables shared by the
-    // iterative family (bfs/cc/lpa/sssp/kcore/coreness/mis/stress)
     quiet("Iterative.symAllSrc")(graft.operators.Iterative.symAllSrc(s, dir).count())
     quiet("Iterative.symAllDst")(graft.operators.Iterative.symAllDst(s, dir).count())
     quiet("Iterative.symAllSrcDistinct")(graft.operators.Iterative.symAllSrcDistinct(s, dir).count())
     quiet("Iterative.symHasPartSrc")(graft.operators.Iterative.symHasPartSrc(s, dir).count())
     quiet("Iterative.symWeightedSrc")(graft.operators.Iterative.symWeightedSrc(s, dir).count())
     quiet("Iterative.dirAllSrc")(graft.operators.Iterative.dirAllSrc(s, dir).count())
-    // memoized sketch/walk outputs: the fills are heavy (register
-    // pyramid, walk layers) and landed on whichever bench run came
-    // first — the r5 max/median outliers on it_harmonic/g_random_walks
-    quiet("HyperBall.hyperball")(graft.operators.HyperBall.hyperball(s, dir).count())
-    quiet("Walks.walkVisits")(graft.operators.Walks.walkVisits(s, dir).count())
-    // round-6: generated-store memo (gen_store_check) and the two
-    // remaining first-run memo fills the r6 bench surfaced as
-    // max/median outliers (g_node_similarity 213×, dd_incremental 60×)
     quiet("ScaleCheck.storesCached")(graft.checker.ScaleCheck.storesCached(s, 2000L))
-    quiet("GraphOps.supplierSimilarity")(GraphOps.supplierSimilarity(s, dir).count())
+    quiet("Olap.warm")(graft.operators.Olap.warm(s, dir))
+    // ---- shared output intermediates (multi-consumer) ----
+    quiet("Dedup.ngramJaccard")(Dedup.ngramJaccard(s, dir).count())
+    quiet("Dedup.dedupClusters")(Dedup.dedupClusters(s, dir).count())
+    quiet("Dedup.simhashDup")(Dedup.simhashDup(s, dir).count())
+    quiet("Dedup.minhashLsh")(Dedup.minhashLsh(s, dir).count())
+    quiet("Dedup.prefixJaccard")(Dedup.prefixJaccard(s, dir).count())
+    quiet("Dedup.containmentDup")(Dedup.containmentDup(s, dir).count())
+    quiet("Dedup.decontaminate")(Dedup.decontaminate(s, dir).count())
     quiet("Dedup.incrementalPairs")(Dedup.incrementalPairs(s, dir).count())
     quiet("Dedup.streamBatchPairs")(Dedup.streamBatchPairs(s, dir).count())
-    quiet("DedupShard.shardProbe")(graft.operators.DedupShard.shardProbe(s, dir).count())
-    // round-7: the remaining memoized ANN/dedup/eval outputs — their
-    // fills landed on the first timed run and showed up as the r6
-    // max/median outliers (dd_containment 31×, dd_semantic 24×,
-    // ann_ivf_kmeans 23×, ann_hard_negatives 10×, ann_lsh 8×,
-    // ann_recall 6×, t_pr_curve 6×)
-    quiet("Dedup.containmentDup")(Dedup.containmentDup(s, dir).count())
+    quiet("Dedup.winnowPairs")(Dedup.winnowPairs(s, dir).count())
+    quiet("TextOps.winnowPacked")(TextOps.winnowPacked(s, dir).count())
+    quiet("TextOps.lmScore")(TextOps.lmScore(s, dir).count())
+    quiet("TextOps.repetition")(TextOps.repetition(s, dir).count())
+    quiet("GraphOps.linkPrediction")(GraphOps.linkPrediction(s, dir).count())
+    quiet("GraphOps.supplierSimilarity")(GraphOps.supplierSimilarity(s, dir).count())
+    quiet("GraphOps.triangleCount")(GraphOps.triangleCount(s, dir).count())
+    quiet("Walks.walkVisits")(graft.operators.Walks.walkVisits(s, dir).count())
     quiet("Similarity.semDedup")(Similarity.semDedup(s, dir).count())
     quiet("Similarity.annBruteForce")(Similarity.annBruteForce(s, dir).count())
     quiet("Similarity.annLsh")(Similarity.annLsh(s, dir).count())
     quiet("Similarity.annIvf")(Similarity.annIvf(s, dir).count())
     quiet("Similarity.annIvfTrained")(Similarity.annIvfTrained(s, dir).count())
-    quiet("Similarity.annPq")(Similarity.annPq(s, dir).count())
     quiet("Similarity.annRecall")(Similarity.annRecall(s, dir).count())
-    quiet("Similarity.hardNegatives")(Similarity.hardNegatives(s, dir).count())
     quiet("Similarity.embeddingDup")(Similarity.embeddingDup(s, dir).count())
-    quiet("TextOps.prCurve")(TextOps.prCurve(s, dir).count())
-    // round-7: oriented triangle tables + enumeration scalar shared by
-    // it_triangles and g_clustering; PCA eigen artifact (gram collect)
-    quiet("GraphOps.triangleCount")(GraphOps.triangleCount(s, dir).count())
-    quiet("Similarity.pcaProject")(Similarity.pcaProject(s, dir).count())
-    // round-7b: multiprobe candidate table + the shared BPE loop
-    quiet("Similarity.annMultiprobe")(Similarity.annMultiprobe(s, dir).count())
-    quiet("TextOps.bpeTrain")(TextOps.bpeTrain(s, dir).count())
-    // round-8: the remaining heavy iterative outputs move behind
-    // session memos (deterministic pure functions of (session, dir) —
-    // the r7 top spenders it_stress 7.65 s, it_pagerank 7.08 s,
-    // g_path_expand 7.00 s were re-running identical round chains per
-    // bench run), plus the shared (l_returnflag, cents) fact projection
-    // q43_mad scanned twice per call
-    quiet("Stress.topStress")(graft.operators.Stress.topStress(s, dir).count())
-    quiet("PageRank.topRanks")(graft.operators.PageRank.topRanks(s, dir).count())
-    quiet("PageRank.personalized")(graft.operators.PageRank.personalized(s, dir).count())
-    quiet("GraphOps.pathExpand")(GraphOps.pathExpand(s, dir).count())
-    quiet("Olap.warm")(graft.operators.Olap.warm(s, dir))
-    // round-8b: the two remaining compile-bound iterative outputs
-    // (per-round localCheckpoint lineage = fresh codegen per round —
-    // it_sssp 21.3 s / it_coreness 11.8 s medians were compile-wait,
-    // not data; see SCALE.md "codegen-bound at sf size")
-    quiet("Iterative.shortestPaths")(graft.operators.Iterative.shortestPaths(s, dir).count())
-    quiet("Iterative.coreness")(graft.operators.Iterative.coreness(s, dir).count())
-    // round-11: the last two unmemoized iterative loops (r10 warm #1
-    // and #2, 5.19 / 4.16 s medians) plus the generated-store profile
-    // (83 warm exec-s re-running FullCheck over the generated bundle
-    // per touch — the r10 artifact's largest unattributed regression)
-    quiet("Iterative.misRounds")(graft.operators.Iterative.misRounds(s, dir).count())
-    quiet("Hits.topAuthorities")(graft.operators.Hits.topAuthorities(s, dir).count())
-    quiet("ScaleCheck.profile")(graft.checker.ScaleCheck.profile(s, 2000L).count())
-    // round-8b: shared winnowed-fingerprint selection (t_winnow +
-    // dd_winnow_pairs both start from it) and the pair table
-    // (dd_winnow_pairs + dd_winnow_containment)
-    quiet("TextOps.winnowPacked")(TextOps.winnowPacked(s, dir).count())
-    quiet("Dedup.winnowPairs")(Dedup.winnowPairs(s, dir).count())
-    quiet("Pipeline.dsirWeights")(graft.operators.Pipeline.dsirWeights(s, dir).count())
     try scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(fills.toSeq),
       scala.concurrent.duration.Duration.Inf)

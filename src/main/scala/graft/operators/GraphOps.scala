@@ -131,8 +131,8 @@ object GraphOps {
     * eager per-depth checkpoints below are the documented fix for
     * run-dependent exchange-reuse re-derivation (r7 bench: 3.3 → 25 s),
     * and their serialized jobs are the price of plan stability — paid
-    * ONCE per session now, in [[graft.SparkEntry.warm]], instead of per
-    * bench run. SCALE.md records why the lazy PageRank-style chain is
+    * ONCE per session now (on the first timed touch since r11), instead
+    * of per bench run. SCALE.md records why the lazy PageRank-style chain is
     * not safe here (two consumers per frontier race to materialize a
     * lazy checkpoint inside one action). */
   private val pathMemo = new graft.SessionMemo[DataFrame](outputMemo = true)

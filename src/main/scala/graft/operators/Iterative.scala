@@ -518,7 +518,7 @@ object Iterative {
     * lineage makes every round a FRESH codegen unit, so at sf-corpus
     * size the rounds are compile-bound, not data-bound). Same
     * output-memo lifecycle as [[graft.operators.Stress.topStress]];
-    * the fill lands in [[graft.SparkEntry.warm]]. */
+    * the fill lands on the first timed touch (r11). */
   private val ssspMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
 
   private def shortestPathsCompute(spark: SparkSession, dir: String): DataFrame = {

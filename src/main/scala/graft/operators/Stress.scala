@@ -45,9 +45,9 @@ object Stress {
     * per bench run × 3 runs) and the result is a pure function of
     * (session, dir) — the same output-memo lifecycle as
     * [[HyperBall.hyperball]]'s register pyramid and
-    * [[Similarity.annMultiprobe]]. The fill lands in
-    * [[graft.SparkEntry.warm]] so per-query bench numbers stay
-    * steady-state. */
+    * [[Similarity.annMultiprobe]]. The fill lands on the first timed
+    * touch (r11: warm() fills only the input layer); the median is
+    * never the fill run. */
   private val outMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
 
   def topStress(spark: SparkSession, dir: String): DataFrame =

@@ -88,8 +88,11 @@ def main():
         print(f"  {e['query']:28s} {e['exec_prev']:8.1f} -> {e['exec_cur']:8.1f} "
               f"exec-s ({e['direction']}){memo}")
         if "cold_wall_exec_load" in e:
-            w, x, ld = e["cold_wall_exec_load"]
-            print(f"    cold: wall {w:.1f}s exec {x:.1f}s at load {ld:.1f}")
+            # r10 artifacts carry [w, x, ld]; r11+ [w, x, gc, ld]
+            c = e["cold_wall_exec_load"]
+            w, x, ld = c[0], c[1], c[-1]
+            gc = f" gc {c[2]:.1f}s" if len(c) == 4 else ""
+            print(f"    cold: wall {w:.1f}s exec {x:.1f}s{gc} at load {ld:.1f}")
         for tag in ("runs_prev", "runs_cur"):
             if tag in e:
                 rs = " ".join(

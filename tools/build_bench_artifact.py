@@ -58,12 +58,21 @@ if prev_arts:
         "flagged": flagged,
     }
 
-# builder-vs-driver rate reconciliation (latest driver artifact on disk)
+# builder-vs-driver rate reconciliation (latest driver artifact on
+# disk; the driver wraps Bench's stdout line under "parsed")
 driver_arts = sorted(glob.glob("BENCH_r[0-9][0-9].json"))
 if driver_arts:
     drv = json.load(open(driver_arts[-1]))
+    drv = drv.get("parsed") or drv
     nq = len(detail.get("queries_med", {}))
-    dq = len(drv.get("queries", drv.get("queries_med", {}))) or nq
+    # the driver line carries no query count; take it from the builder
+    # artifact of the SAME round the driver benched
+    drv_round = driver_arts[-1][len("BENCH_r"):-len(".json")]
+    try:
+        dq = len(json.load(open(f"BENCH_BUILDER_r{drv_round}.json"))
+                 .get("queries_med", {})) or nq
+    except OSError:
+        dq = nq
     out["reconciliation"] = {
         "builder_suite_sec": headline.get("value"),
         "builder_s_per_q": round(headline["value"] / nq, 3) if nq else None,
