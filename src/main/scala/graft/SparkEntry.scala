@@ -830,6 +830,7 @@ object SparkEntry {
     "dd_containment" -> ((s, dir) => Dedup.containmentDup(s, dir)),
     "dd_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(s, dir)),
     "dd_bbit_minhash" -> ((s, dir) => Dedup.bbitMinhash(s, dir)),
+    "dd_band_sweep" -> ((s, dir) => Dedup.bandSweep(s, dir)),
     "dd_simhash_band" -> ((s, dir) => Dedup.simhashDup(s, dir)),
     "dd_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
     "dd_cluster_sizes" -> ((s, dir) => Dedup.clusterSizes(s, dir)),
@@ -931,6 +932,7 @@ object SparkEntry {
     // temperature-scaled source mixture weights (mT5/XLM-R sampling rule)
     "pipe_source_mix" -> ((s, dir) => graft.operators.Pipeline.sourceMix(s, dir)),
     "pipe_epoch_plan" -> ((s, dir) => graft.operators.Pipeline.epochPlan(s, dir)),
+    "pipe_dup_sources" -> ((s, dir) => graft.operators.Pipeline.dupSources(s, dir)),
     // per-source vocabulary shift vs the corpus (KL + TV over hashed unigrams)
     "pipe_source_shift" -> ((s, dir) => graft.operators.Pipeline.sourceShift(s, dir)),
     // independent-gate curation ablation funnel per source
@@ -1514,6 +1516,7 @@ object SparkEntry {
     "dd_containment" -> TextCtes.containmentDup,
     "dd_minhash_lsh" -> TextCtes.minhashLsh,
     "dd_bbit_minhash" -> TextCtes.bbitMinhash,
+    "dd_band_sweep" -> TextCtes.bandSweep,
     "dd_simhash_band" -> TextCtes.simhashDup,
     "dd_clusters" -> TextCtes.dedupClusters,
     "dd_lsh_recall" ->
@@ -1594,6 +1597,7 @@ object SparkEntry {
     "pipe_dsir_sample" -> TextCtes.dsirSample,
     "pipe_source_mix" -> TextCtes.sourceMix,
     "pipe_epoch_plan" -> TextCtes.epochPlan,
+    "pipe_dup_sources" -> TextCtes.dupSources,
     "pipe_source_shift" -> TextCtes.sourceShift,
     "pipe_filter_funnel" -> TextCtes.filterFunnel,
     "dd_source_flow" -> TextCtes.sourceFlow,

@@ -504,6 +504,48 @@ object Dedup {
         abs(col("j_est") - col("jacc")).as("abs_err"))
   }
 
+  /** LSH banding sweep — the empirical S-curve P[detected | J] that a
+    * capacity planner reads BEFORE fixing bands×rows: the same 16
+    * minhash registers grouped three ways (2 bands × 8 rows, 4×4 —
+    * the production config — and 8×2), each evaluated against ground
+    * truth (the exact-Jaccard verified pairs), bucketed by Jaccard
+    * decile. More rows per band sharpens the S-curve threshold
+    * (fewer false candidates, more misses below it); more bands
+    * shifts it left. The table makes the trade measurable on the
+    * corpus itself instead of trusted from the 1−(1−J^r)^b formula.
+    *
+    * Scale shape: the signature aggregation is the one [[bandsOf]]
+    * pass; detection per config is a codegen boolean over the joined
+    * signature columns (no explode — register index is compile-time);
+    * output is ≤ configs × 11 rows of exact integers. */
+  def bandSweep(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.ensureRegistered(spark)
+    val sh = nearShingles(spark, dir)
+    val mhCols = (0 until NumHashes).map { i =>
+      min(expr(s"((${1 + 7919 * i}) * sfp + ${104729 * i}) % $P")).as(s"mh$i")
+    }
+    val sig = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    def side(p: String) = sig.select(
+      col("doc_id").as(p) +:
+        (0 until NumHashes).map(i => col(s"mh$i").as(s"${p}_mh$i")): _*)
+    val pairs = ngramJaccard(spark, dir).select("a", "b", "jacc")
+      .join(side("a"), "a")
+      .join(side("b"), "b")
+    val configs = Seq(2 -> 8, 4 -> 4, 8 -> 2)
+    configs.map { case (bnds, rws) =>
+      val det = (0 until bnds).map { g =>
+        (g * rws until (g + 1) * rws)
+          .map(i => col(s"a_mh$i") === col(s"b_mh$i"))
+          .reduce(_ && _)
+      }.reduce(_ || _)
+      pairs.select(lit(s"b${bnds}r$rws").as("config"),
+        floor(col("jacc") * 10).cast("long").as("j_decile"),
+        when(det, 1L).otherwise(0L).as("det"))
+    }.reduce(_ unionAll _)
+      .groupBy("config", "j_decile")
+      .agg(count(lit(1)).as("n_pairs"), sum("det").as("n_detected"))
+  }
+
   /** Freshly-arrived delta corpus: head-trimmed variants (FIRST two
     * tokens dropped — distinct from [[nearCorpus]]'s tail-dropped
     * variant) of every tenth document, ids offset by 2·[[IdOffset]].

@@ -651,6 +651,30 @@ object Pipeline {
         ((col("pa") / col("z")) / col("p")).as("boost"))
   }
 
+  /** Cross-source duplication audit — which sources duplicate each
+    * other: every exact-Jaccard verified near-dup pair mapped back to
+    * its base documents' sources (variant ids fold with mod
+    * [[graft.operators.Dedup.IdOffset]] — pure arithmetic, no corpus
+    * rescan), counted per canonically-ordered source pair with a
+    * strong-pair (J ≥ 0.8) column. The off-diagonal cells are the
+    * actionable ones: two crawls overlapping heavily should be
+    * deduped against each other BEFORE mixture weighting, or the
+    * duplicated mass is double-counted in [[sourceMix]]'s token
+    * shares. Pair-table-sized; ≤ |sources|² rows of exact integers. */
+  def dupSources(spark: SparkSession, dir: String): DataFrame = {
+    val src = TextOps.docs(spark, dir).select(col("doc_id"), col("source"))
+    Dedup.ngramJaccard(spark, dir)
+      .select(pmod(col("a"), lit(Dedup.IdOffset)).as("ba"),
+        pmod(col("b"), lit(Dedup.IdOffset)).as("bb"), col("jacc"))
+      .join(src.select(col("doc_id").as("ba"), col("source").as("sa")), "ba")
+      .join(src.select(col("doc_id").as("bb"), col("source").as("sb")), "bb")
+      .select(least(col("sa"), col("sb")).as("source_lo"),
+        greatest(col("sa"), col("sb")).as("source_hi"), col("jacc"))
+      .groupBy("source_lo", "source_hi")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("jacc") >= 0.8, 1L).otherwise(0L)).as("n_strong"))
+  }
+
   /** Token budget + per-source epoch cap for [[epochPlan]]. The budget
     * is an absolute constant (like [[BudgetChars]]) so the twin stays
     * compile-time; at sf0.01 it exceeds most sources' supply, which is

@@ -232,6 +232,55 @@ object TextCtes {
        |FROM p JOIN m ON p.a = m.a AND p.b = m.b""".stripMargin
   }
 
+  /** twin of Dedup.bandSweep: same 16 registers, three band/row
+    * groupings evaluated against the ngram-Jaccard verified pairs;
+    * detection = any band with all rows equal (min over rows, max
+    * over bands — integer algebra for bool_and/bool_or). */
+  val bandSweep: String = {
+    val k = graft.operators.Dedup.NumHashes
+    s"""WITH $shingleCtes,
+       |mh AS (
+       |  SELECT doc_id, i, min(((1 + 7919 * i) * sfp + 104729 * i) % $P) AS mh
+       |  FROM sh, unnest(generate_series(0, ${k - 1})) AS t(i)
+       |  GROUP BY doc_id, i),
+       |p AS (SELECT a, b, jacc FROM ($ngramJaccard)),
+       |j AS (
+       |  SELECT p.a, p.b, p.jacc, ma.i,
+       |    CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END AS eq
+       |  FROM p JOIN mh ma ON ma.doc_id = p.a
+       |  JOIN mh mb ON mb.doc_id = p.b AND mb.i = ma.i),
+       |cfg AS (SELECT * FROM (VALUES ('b2r8', 8), ('b4r4', 4), ('b8r2', 2))
+       |  c(config, rws)),
+       |bandeq AS (
+       |  SELECT c.config, j.a, j.b, j.jacc, j.i // c.rws AS band,
+       |    min(j.eq) AS band_eq
+       |  FROM j CROSS JOIN cfg c GROUP BY 1, 2, 3, 4, 5),
+       |det AS (
+       |  SELECT config, a, b, jacc, max(band_eq) AS det
+       |  FROM bandeq GROUP BY 1, 2, 3, 4)
+       |SELECT config, CAST(floor(jacc * 10) AS BIGINT) AS j_decile,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(det) AS BIGINT) AS n_detected
+       |FROM det GROUP BY 1, 2""".stripMargin
+  }
+
+  /** twin of Pipeline.dupSources: pairs fold to base docs with mod
+    * IdOffset, canonical source ordering, exact integer cells. */
+  val dupSources: String = {
+    val off = graft.operators.Dedup.IdOffset
+    s"""WITH p AS (SELECT a, b, jacc FROM ($ngramJaccard)),
+       |lab AS (
+       |  SELECT least(sa.source, sb.source) AS source_lo,
+       |    greatest(sa.source, sb.source) AS source_hi, p.jacc
+       |  FROM p
+       |  JOIN documents sa ON sa.doc_id = p.a % $off
+       |  JOIN documents sb ON sb.doc_id = p.b % $off)
+       |SELECT source_lo, source_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(CASE WHEN jacc >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_strong
+       |FROM lab GROUP BY 1, 2""".stripMargin
+  }
+
   /** twin of TextOps.fertility: exact integer char/token sums per
     * language, the ratio as one division. */
   val fertility: String =

@@ -127,6 +127,44 @@ class Round11OpsSpec extends SparkTestBase {
       plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("bandSweep: nesting monotonicity, completeness, and b4r4 == the production LSH") {
+    TextOps.ensureRegistered(spark)
+    val dir = "/root/testdata/sf0.001"
+    val out = Dedup.bandSweep(spark, dir).collect()
+    val nPairs = Dedup.ngramJaccard(spark, dir).count()
+    val byCfg = out.groupBy(_.getAs[String]("config"))
+    assert(byCfg.keySet === Set("b2r8", "b4r4", "b8r2"))
+    // completeness: every config's cells partition the verified pairs
+    byCfg.foreach { case (c, rows) =>
+      assert(rows.map(_.getAs[Long]("n_pairs")).sum === nPairs, c)
+    }
+    // band nesting: a full 2x8 band contains two full 4x4 bands, etc.,
+    // so detection is monotone in band count PER DECILE
+    def det(c: String) = byCfg(c)
+      .map(r => r.getAs[Long]("j_decile") -> r.getAs[Long]("n_detected")).toMap
+    val (d2, d4, d8) = (det("b2r8"), det("b4r4"), det("b8r2"))
+    (d2.keySet ++ d4.keySet ++ d8.keySet).foreach { dec =>
+      assert(d2.getOrElse(dec, 0L) <= d4.getOrElse(dec, 0L), s"decile $dec")
+      assert(d4.getOrElse(dec, 0L) <= d8.getOrElse(dec, 0L), s"decile $dec")
+    }
+    // the b4r4 row IS the production config: its detected total must
+    // equal the MinHash-LSH pair table (LSH pairs = verified pairs
+    // that share >= 1 full 4x4 band, by construction)
+    assert(d4.values.sum === Dedup.minhashLsh(spark, dir).count())
+  }
+
+  test("dupSources: cells partition the pair table; canonical ordering") {
+    TextOps.ensureRegistered(spark)
+    val dir = "/root/testdata/sf0.001"
+    val out = Pipeline.dupSources(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("n_pairs")).sum ===
+      Dedup.ngramJaccard(spark, dir).count())
+    out.foreach { r =>
+      assert(r.getAs[String]("source_lo") <= r.getAs[String]("source_hi"))
+      assert(r.getAs[Long]("n_strong") <= r.getAs[Long]("n_pairs"))
+    }
+  }
+
   test("sharded probe reuses one file index across probes and stays pruned") {
     TextOps.ensureRegistered(spark)
     val idx = java.nio.file.Files.createTempDirectory("shard_reuse").toString
