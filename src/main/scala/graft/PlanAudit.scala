@@ -56,7 +56,13 @@ object PlanAudit {
       // windows, containment index join, classic semi/top-k joins
       "emb_whiten", "emb_pca", "g_basket_features", "t_auc_eval",
       "t_pr_curve", "dd_containment", "q26_ship_priority",
-      "q27_nation_volume", "q28_priority_exists").foreach(audit)
+      "q27_nation_volume", "q28_priority_exists",
+      // r11 additions: signature-column b-bit/band sweeps (no explode,
+      // pair-table probes), broadcast-centroid cluster stats, exact-sum
+      // fertility groupBy, sources-row epoch plan, pair-fold source
+      // cross-tab
+      "dd_bbit_minhash", "dd_band_sweep", "emb_cluster_stats",
+      "t_fertility", "pipe_epoch_plan", "pipe_dup_sources").foreach(audit)
     // driver t1 smoke simulation: entry must return rows on sf0.001
     println(s"== entry smoke: ${SparkEntry.entry(spark).count()} rows")
     spark.stop()

@@ -28,6 +28,34 @@ class BaselineDocSpec extends AnyFunSuite {
     fs.maxBy(_._1)
   }
 
+  test("latest builder artifact carries the round-11 method fields") {
+    val (round, file) = latest
+    if (round >= 11) {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+      val root = mapper.readTree(file)
+      // heap from the JVM, not a builder constant (ADVICE r10)
+      assert(root.at("/covariates/heap_max_mb").asLong(-1) > 0,
+        "heap_max_mb missing — builder ran without Bench's JVM heap field")
+      // the round-over-round exec diff must be EMBEDDED so a >2x move
+      // can never ship unflagged (VERDICT r10 Next #1)
+      assert(root.at("/exec_regressions/vs").asText("").startsWith("BENCH_BUILDER_r"),
+        "exec_regressions missing — artifact built without the regression diff")
+      assert(root.at("/exec_regressions/flagged").isArray)
+      // builder-vs-driver reconciliation (VERDICT r10 Next #7)
+      assert(root.at("/reconciliation/builder_s_per_q").isNumber,
+        "reconciliation missing")
+      // cold entries carry [wall, exec, gc, load] from r11 on
+      val cold = root.get("queries_cold_wall_exec")
+      assert(cold != null && cold.size() > 0)
+      val it = cold.elements()
+      var checked = 0
+      while (it.hasNext && checked < 5) {
+        val e = it.next()
+        if (!e.isNull) { assert(e.size() == 4, s"cold entry arity ${e.size()}"); checked += 1 }
+      }
+    }
+  }
+
   test("BASELINE.md pins the latest builder artifact's headline") {
     val (round, file) = latest
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper
