@@ -50,6 +50,40 @@ object Bench {
         .split(" ")(0).toDouble
     } catch { case _: Throwable => -1.0 }
     val loadPrewarm = load1()
+    // Calibration kernel (VERDICT r11 Next #5): a fixed synthetic
+    // shuffle+agg of CONSTANT size (no IO, no session state — 50M
+    // generated longs through one hash exchange), run at each phase
+    // boundary. Identical work every time, so its wall ratio across
+    // phases/rounds IS the box-weather scale factor: a suite that ran
+    // 1.3× slower next to a kernel that also ran 1.3× slower is the
+    // box, not the code. The r11 campaign's 98.7-151.2 s spread on
+    // near-identical code had no such in-artifact yardstick.
+    val execMsCal = new java.util.concurrent.atomic.AtomicLong
+    def calibrate(): (Double, Double) = {
+      val e0 = execMsCal.get()
+      val t0 = System.nanoTime()
+      try spark.range(0L, 50000000L, 1L, 32)
+        .selectExpr("id % 997 AS k", "id AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"),
+          org.apache.spark.sql.functions.count("*"))
+        .write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
+      ((System.nanoTime() - t0) / 1e9, (execMsCal.get() - e0) / 1e3)
+    }
+    // the calibration listener is registered before the first kernel so
+    // every phase point carries exec too (shared counter is fine — the
+    // kernel never runs concurrently with timed work)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) { execMsCal.addAndGet(m.executorRunTime); () }
+        }
+      })
+    // first kernel pays codegen/JIT warm-in — run twice, keep the second
+    calibrate()
+    val calPrewarm = calibrate()
     // untimed warmup: first-touch costs (FileSystem + parquet reader
     // init, planner/codegen JIT) land here, not on whichever query the
     // map happens to order first — per-query numbers are steady-state,
@@ -63,8 +97,9 @@ object Bench {
     // incomparable across rounds because the fill landed on whichever
     // consumer the Map ordered first
     val w0 = System.nanoTime()
-    SparkEntry.warm(spark, sfDir)
+    val warmFills = SparkEntry.warm(spark, sfDir)
     val warmupSec = (System.nanoTime() - w0) / 1e9
+    val calPreSuite = calibrate()
     // noop sink: forces FULL computation of every output row (count()
     // would let Catalyst prune join trees and fake the numbers).
     // Each query runs `runs` times and reports the MEDIAN — run-to-run
@@ -133,6 +168,7 @@ object Bench {
       storageDetail(name) = storageSnap()
       name -> triples.map(_._1).sorted
     }
+    val calPostSuite = calibrate()
     // Cold pass: ONE memo-BYPASSED execution per query. The per-query
     // medians above are steady-state — deliberately so — but 29 of them
     // had become pure memo reads (exec-median 0.0 s, the computation in
@@ -182,6 +218,7 @@ object Bench {
         m
       }
     val coldStorageEnd = storageSnap()
+    val calPostCold = calibrate()
     def r3(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def fmt(sel: Seq[Double] => Double) = results
       .map { case (k, ts) => "\"" + k + "\":" + r3(sel(ts)) }
@@ -237,6 +274,15 @@ object Bench {
       s""""load_prewarm":${r3(loadPrewarm)},""" +
       s""""load_start":${r3(loadStart)},"load_end":${r3(load1())},""" +
       s""""storage_mb_rdds_partial":$storageJson,""" +
+      // [wall, exec] of the constant kernel at each phase boundary —
+      // the in-artifact box-weather yardstick (VERDICT r11 Next #5)
+      s""""calibration":{"prewarm":[${r3(calPrewarm._1)},${r3(calPrewarm._2)}],""" +
+      s""""pre_suite":[${r3(calPreSuite._1)},${r3(calPreSuite._2)}],""" +
+      s""""post_suite":[${r3(calPostSuite._1)},${r3(calPostSuite._2)}],""" +
+      s""""post_cold":[${r3(calPostCold._1)},${r3(calPostCold._2)}]},""" +
+      // per-fill warmup wall seconds, largest first (VERDICT r11 Next #7)
+      s""""warm_fills":${warmFills.map { case (n, sec) =>
+        "\"" + n + "\":" + r3(sec) }.mkString("{", ",", "}")},""" +
       s""""input_rows":$inputRows,"runs":$runs,"warmup_sec":${r3(warmupSec)},""" +
       // heap from the JVM itself, not a builder-side constant: a run at a
       // different -Xmx must not record a false covariate (ADVICE r10)

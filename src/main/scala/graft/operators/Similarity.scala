@@ -232,13 +232,20 @@ object Similarity {
       .filter(col("r") === 1)
   }
 
-  /** The Lloyd-trained centroid table (cid, cq SUM vector, cn norm),
-    * memoized input-layer: it is a training artifact both
-    * [[annIvfTrained]] and [[clusterStats]] start from, like the
-    * quantized corpus itself. localCheckpoint materializes the loop
-    * once and truncates its lineage, instead of re-executing the
-    * posexplode/groupBy training subtree per downstream reference. */
-  private val trainedCentsMemo = new graft.SessionMemo[DataFrame]
+  /** The Lloyd-trained centroid table (cid, cq SUM vector, cn norm):
+    * a training artifact both [[annIvfTrained]] and [[clusterStats]]
+    * start from. localCheckpoint materializes the loop once and
+    * truncates its lineage, instead of re-executing the posexplode/
+    * groupBy training subtree per downstream reference. OUTPUT-layer
+    * memo (ADVICE r11): an iterative fixpoint is a result-equivalent
+    * artifact by SessionMemo's own contract, so the honest-cold pass
+    * must rebuild the training — the r11 classification as input-layer
+    * made ann_ivf_kmeans' cold exec drop 9.1 → 3.7 s by memo policy
+    * rather than by a genuine mechanism. Checkpoint-backed entries are
+    * safe under the Dataset-level cold unpersist (the stored blocks
+    * are not CacheManager-registered, so a cold rebuild cannot alias
+    * them and warm reads keep their only copy). */
+  private val trainedCentsMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
   private def trainedCents(spark: SparkSession, dir: String): DataFrame =
     trainedCentsMemo.getOrElseUpdate(spark, dir) {
       val e = quantizedCached(spark, dir)
@@ -386,7 +393,18 @@ object Similarity {
         .unionAll(perturbed.select("vec_id", "q", "nrm"))).persist())
   }
 
-  def embeddingDup(spark: SparkSession, dir: String): DataFrame = {
+  def embeddingDup(spark: SparkSession, dir: String): DataFrame =
+    embDupMemo.getOrElseUpdate(spark, dir)(
+      embeddingDupCompute(spark, dir).persist())
+
+  /** The bucket-blocked pair join re-ran per touch; now that the
+    * leakage/dup-source audits consume this pair table too (r12 —
+    * the semantic family, VERDICT r11 Missing #1) it is genuinely
+    * multi-consumer: same verified-pair memo lifecycle as [[semMemo]]
+    * and the Dedup family's pair tables. */
+  private val embDupMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
+
+  private def embeddingDupCompute(spark: SparkSession, dir: String): DataFrame = {
     val corpus = dupCorpus(spark, dir)
     val a = corpus.select(col("vec_id").as("a"), col("q").as("qv"), col("nrm").as("qn"), col("bucket"))
     val b = corpus.select(col("vec_id").as("b"), col("q").as("cv"), col("nrm").as("cn"), col("bucket"))
@@ -987,7 +1005,17 @@ object Similarity {
     * keep it (mutual kNN — the standard noise filter). Windows
     * partition by vector; output is one bounded row per unordered
     * label pair. */
-  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+  def knnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnGraphMemo.getOrElseUpdate(spark, dir)(
+      knnGraphCompute(spark, dir).persist())
+
+  /** The capped candidate join + mutual self-join re-ran per touch
+    * (r11: 21.5 exec-s warm) — deterministic-recompute class, same
+    * output-memo lifecycle as [[semMemo]]: fill on first timed touch,
+    * cold pass prices the rebuild. */
+  private val knnGraphMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
+
+  private def knnGraphCompute(spark: SparkSession, dir: String): DataFrame = {
     val knn = knnTopKFrom(knnCandidatesFrom(
       slicedCached(spark, dir).select("vec_id", "q", "nrm", "key1", "slice")),
       KnnGraphK)

@@ -264,21 +264,41 @@ object TextCtes {
        |FROM det GROUP BY 1, 2""".stripMargin
   }
 
-  /** twin of Pipeline.dupSources: pairs fold to base docs with mod
-    * IdOffset, canonical source ordering, exact integer cells. */
-  val dupSources: String = {
+  /** twin of Pipeline.dupSources: per-family pair unions fold to base
+    * docs with mod IdOffset, canonical source ordering, each family's
+    * native strong predicate, exact integer cells. The union member
+    * list mirrors Pipeline.leakagePairSources (r12: + semantic).
+    * Lazy: simhashDup/embeddingDup/winnowPairs are declared later in
+    * this object — an eager val would interpolate nulls at init. */
+  lazy val dupSources: String = {
     val off = graft.operators.Dedup.IdOffset
-    s"""WITH p AS (SELECT a, b, jacc FROM ($ngramJaccard)),
+    import graft.operators.Pipeline.{StrongCos, StrongHam, StrongJacc, StrongShared}
+    s"""WITH u AS (
+       |  SELECT 'ngram_jaccard' AS family, a, b,
+       |    CASE WHEN jacc >= $StrongJacc THEN 1 ELSE 0 END AS strong
+       |  FROM ($ngramJaccard)
+       |  UNION ALL SELECT 'minhash_lsh', a, b,
+       |    CASE WHEN jacc >= $StrongJacc THEN 1 ELSE 0 END
+       |  FROM ($minhashLsh)
+       |  UNION ALL SELECT 'simhash_band', a, b,
+       |    CASE WHEN hamming <= $StrongHam THEN 1 ELSE 0 END
+       |  FROM ($simhashDup)
+       |  UNION ALL SELECT 'winnow', a, b,
+       |    CASE WHEN n_shared >= $StrongShared THEN 1 ELSE 0 END
+       |  FROM ($winnowPairs)
+       |  UNION ALL SELECT 'semantic', a, b,
+       |    CASE WHEN cos >= $StrongCos THEN 1 ELSE 0 END
+       |  FROM ($embeddingDup)),
        |lab AS (
-       |  SELECT least(sa.source, sb.source) AS source_lo,
-       |    greatest(sa.source, sb.source) AS source_hi, p.jacc
-       |  FROM p
-       |  JOIN documents sa ON sa.doc_id = p.a % $off
-       |  JOIN documents sb ON sb.doc_id = p.b % $off)
-       |SELECT source_lo, source_hi, CAST(count(*) AS BIGINT) AS n_pairs,
-       |  CAST(sum(CASE WHEN jacc >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
-       |    AS n_strong
-       |FROM lab GROUP BY 1, 2""".stripMargin
+       |  SELECT u.family, least(sa.source, sb.source) AS source_lo,
+       |    greatest(sa.source, sb.source) AS source_hi, u.strong
+       |  FROM u
+       |  JOIN documents sa ON sa.doc_id = u.a % $off
+       |  JOIN documents sb ON sb.doc_id = u.b % $off)
+       |SELECT family, source_lo, source_hi,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(strong) AS BIGINT) AS n_strong
+       |FROM lab GROUP BY 1, 2, 3""".stripMargin
   }
 
   /** twin of TextOps.fertility: exact integer char/token sums per
@@ -1846,9 +1866,11 @@ object TextCtes {
        |SELECT uni_n, uni_vocab, uni_entropy, bi_n, bi_vocab, bi_entropy
        |FROM ue, be""".stripMargin
 
-  /** twin of [[graft.operators.Pipeline.datasetCard]]: the same six
-    * aggregate families composed into one row. */
-  val datasetCard: String =
+  /** twin of [[graft.operators.Pipeline.datasetCard]]: the same
+    * aggregate families composed into one row (r12: + the leakage /
+    * cross-source / epoch-shortfall audit rollups — lazy because the
+    * audit twins are declared later in this object). */
+  lazy val datasetCard: String =
     s"""WITH $qualityCtes,
        |$langCtes,
        |base AS (SELECT count(*) AS n_docs,
@@ -1866,10 +1888,20 @@ object TextCtes {
        |    CAST(sum(CASE WHEN pred = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh_docs
        |  FROM lpred),
        |dp AS (SELECT CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS dup_docs FROM (
-       |    SELECT ${fp("text")} AS fp, count(*) AS n FROM documents GROUP BY 1))
+       |    SELECT ${fp("text")} AS fp, count(*) AS n FROM documents GROUP BY 1)),
+       |lk AS (SELECT CAST(coalesce(sum(n_pairs), 0) AS BIGINT) AS leak_pairs,
+       |    CAST(count(DISTINCT family) AS BIGINT) AS leak_families
+       |  FROM ($leakageFamilies) WHERE split_a <> split_b),
+       |xs AS (SELECT CAST(coalesce(sum(n_pairs), 0) AS BIGINT) AS cross_src_pairs,
+       |    CAST(coalesce(sum(n_strong), 0) AS BIGINT) AS cross_src_strong
+       |  FROM ($dupSources) WHERE source_lo <> source_hi),
+       |ep AS (SELECT CAST(round(sum(shortfall)) AS BIGINT)
+       |    AS plan_shortfall_tokens FROM ($epochPlan))
        |SELECT n_docs, n_sources, n_tokens, n_vocab, mean_quality,
-       |  n_en, n_de, n_es, n_fr, n_zh_docs, dup_docs
-       |FROM base, voc, mq, lg, dp""".stripMargin
+       |  n_en, n_de, n_es, n_fr, n_zh_docs, dup_docs,
+       |  leak_pairs, leak_families, cross_src_pairs, cross_src_strong,
+       |  plan_shortfall_tokens
+       |FROM base, voc, mq, lg, dp, lk, xs, ep""".stripMargin
 
   /** twin of [[graft.operators.Similarity.annMultiprobe]]: same
     * weakest-plane flip (argmin |d|, lowest p), two probes per query,
@@ -2035,15 +2067,17 @@ object TextCtes {
        |FROM k GROUP BY 1, 2""".stripMargin
   }
 
-  /** twin of Pipeline.leakageFamilies: the four verified pair-table
-    * twins unioned under a family label, same split arithmetic. */
+  /** twin of Pipeline.leakageFamilies: the five verified pair-table
+    * twins unioned under a family label (r12: + semantic = the
+    * embedding-cosine pairs), same split arithmetic. */
   val leakageFamilies: String = {
     import graft.operators.Pipeline.{SampleMod, SplitMult}
     s"""WITH u AS (
        |  SELECT 'ngram_jaccard' AS family, a, b FROM ($ngramJaccard)
        |  UNION ALL SELECT 'minhash_lsh' AS family, a, b FROM ($minhashLsh)
        |  UNION ALL SELECT 'simhash_band' AS family, a, b FROM ($simhashDup)
-       |  UNION ALL SELECT 'winnow' AS family, a, b FROM ($winnowPairs)),
+       |  UNION ALL SELECT 'winnow' AS family, a, b FROM ($winnowPairs)
+       |  UNION ALL SELECT 'semantic' AS family, a, b FROM ($embeddingDup)),
        |k AS (SELECT family,
        |  CASE WHEN ((a * $SplitMult) % $SampleMod) % 100 < 80 THEN 0
        |       WHEN ((a * $SplitMult) % $SampleMod) % 100 < 90 THEN 1

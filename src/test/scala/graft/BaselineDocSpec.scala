@@ -54,6 +54,31 @@ class BaselineDocSpec extends AnyFunSuite {
         if (!e.isNull) { assert(e.size() == 4, s"cold entry arity ${e.size()}"); checked += 1 }
       }
     }
+    if (round >= 12) {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+      val root = mapper.readTree(file)
+      // cold-basis regression diff + anomaly windows (VERDICT r11 Next #4)
+      assert(root.at("/cold_regressions/flagged").isArray,
+        "cold_regressions missing — artifact built without the cold-basis diff")
+      assert(root.at("/cold_regressions/anomaly_windows").isArray,
+        "cold anomaly_windows missing")
+      // coverage adds/removes listed, not silently dropped (ADVICE r11)
+      assert(root.at("/exec_regressions/coverage_added").isArray,
+        "coverage_added missing")
+      assert(root.at("/exec_regressions/coverage_removed").isArray,
+        "coverage_removed missing")
+      // constant-kernel calibration at every phase boundary (VERDICT
+      // r11 Next #5): [wall, exec] per point, all positive
+      for (p <- Seq("prewarm", "pre_suite", "post_suite", "post_cold")) {
+        val c = root.at(s"/calibration/$p")
+        assert(c.isArray && c.size() == 2 && c.get(0).asDouble() > 0,
+          s"calibration point $p missing or degenerate")
+      }
+      // per-fill warmup attribution (VERDICT r11 Next #7)
+      val wf = root.get("warm_fills")
+      assert(wf != null && wf.size() > 10,
+        "warm_fills missing — warmup inflation not per-fill attributable")
+    }
   }
 
   test("BASELINE.md pins the latest builder artifact's headline") {

@@ -20,7 +20,7 @@ class Round11OpsSpec extends SparkTestBase {
     // by construction, never silently dropped
     val srcs = Pipeline.leakagePairSources(spark, dir)
     assert(m.map(_.getAs[String]("family")).toSet === srcs.map(_._1).toSet)
-    srcs.foreach { case (fam, pairs) =>
+    srcs.foreach { case (fam, pairs, _) =>
       val cells = m.filter(_.getAs[String]("family") == fam)
       assert(cells.map(_.getAs[Long]("n_pairs")).sum === pairs.count(),
         s"family $fam cells do not sum to its pair table")
@@ -153,10 +153,13 @@ class Round11OpsSpec extends SparkTestBase {
     assert(d4.values.sum === Dedup.minhashLsh(spark, dir).count())
   }
 
-  test("dupSources: cells partition the pair table; canonical ordering") {
+  test("dupSources: ngram-family cells partition its pair table; canonical ordering") {
     TextOps.ensureRegistered(spark)
     val dir = "/root/testdata/sf0.001"
+    // r12 made the audit per-family; this test's original claim lives
+    // on as the ngram_jaccard slice (Round12OpsSpec checks all families)
     val out = Pipeline.dupSources(spark, dir).collect()
+      .filter(_.getAs[String]("family") == "ngram_jaccard")
     assert(out.map(_.getAs[Long]("n_pairs")).sum ===
       Dedup.ngramJaccard(spark, dir).count())
     out.foreach { r =>

@@ -25,6 +25,89 @@ import sys
 FLAG_RATIO = 2.0
 FLOOR_SEC = 1.0  # ignore moves where both medians are sub-second noise
 
+# Cold basis (VERDICT r11 Next #4): the cold pass is ONE run per query,
+# so it is noisier than the 3-run warm median — the floor is higher to
+# skip small-query jitter — but it is also where slow drifts hide (r11:
+# dd_prefix_join 289 -> 447 exec-s, a 1.55x move no 2x gate catches),
+# so the ratio is lower.
+COLD_FLAG_RATIO = 1.5
+COLD_FLOOR_SEC = 5.0
+# A contiguous run (in cold-pass order) of queries all >= WINDOW_RATIO
+# above their previous-round cold exec is the temporal-anomaly
+# signature (r11: one of four passes showed a contiguous 5-45x window);
+# isolated spikes are per-query, windows are the box.
+WINDOW_RATIO = 3.0
+WINDOW_MIN_LEN = 3
+
+
+def _cold_exec(art):
+    """query -> (exec_sec, load) from queries_cold_wall_exec.
+
+    Entries are [w, x, ld] (r10) or [w, x, gc, ld] (r11+)."""
+    out = {}
+    for q, c in art.get("queries_cold_wall_exec", {}).items():
+        if isinstance(c, (list, tuple)) and len(c) >= 3:
+            out[q] = (c[1], c[-1])
+    return out
+
+
+def coverage_diff(cur, prev):
+    """(added, removed) query names between two artifacts — renames and
+    removals must be LISTED, not silently dropped from tracking
+    (ADVICE r11)."""
+    ce, pe = set(cur.get("queries_exec_med", {})), set(prev.get("queries_exec_med", {}))
+    return sorted(ce - pe), sorted(pe - ce)
+
+
+def cold_regressions(cur, prev):
+    """Flagged per-query cold-exec moves between two artifact dicts,
+    with the load covariate from each round's cold tuple."""
+    ce, pe = _cold_exec(cur), _cold_exec(prev)
+    out = []
+    for q in sorted(set(ce) & set(pe)):
+        (c, cld), (p, pld) = ce[q], pe[q]
+        if max(c, p) < COLD_FLOOR_SEC:
+            continue
+        lo, hi = min(c, p), max(c, p)
+        ratio = (float("inf") if hi > 0 else 1.0) if lo <= 0 else hi / lo
+        if ratio < COLD_FLAG_RATIO:
+            continue
+        out.append({
+            "query": q,
+            "cold_exec_prev": p,
+            "cold_exec_cur": c,
+            "direction": "up" if c > p else "down",
+            "load_prev": pld,
+            "load_cur": cld,
+        })
+    return out
+
+
+def anomaly_windows(cur, prev):
+    """Contiguous cold-pass windows (>= WINDOW_MIN_LEN queries in the
+    artifact's cold order, every one >= WINDOW_RATIO x its previous-
+    round cold exec, skipping sub-floor queries) — the box-weather
+    signature a per-query flag list does not show."""
+    pe = _cold_exec(prev)
+    windows, run = [], []
+    for q, c in cur.get("queries_cold_wall_exec", {}).items():
+        if not (isinstance(c, (list, tuple)) and len(c) >= 3):
+            continue
+        x = c[1]
+        p = pe.get(q, (None, None))[0]
+        if p is None or max(x, p) < COLD_FLOOR_SEC:
+            continue  # unmatched/small queries neither extend nor break a run
+        if p > 0 and x / p >= WINDOW_RATIO:
+            run.append({"query": q, "ratio": round(x / p, 1),
+                        "cold_exec_prev": p, "cold_exec_cur": x})
+        else:
+            if len(run) >= WINDOW_MIN_LEN:
+                windows.append(run)
+            run = []
+    if len(run) >= WINDOW_MIN_LEN:
+        windows.append(run)
+    return windows
+
 
 def regressions(cur, prev):
     """Flagged per-query exec-median moves between two artifact dicts."""
@@ -62,7 +145,8 @@ def regressions(cur, prev):
         if runs_p:
             entry["runs_prev"] = runs_p
         out.append(entry)
-    # new/removed queries are coverage changes, not regressions; list them
+    # new/removed queries are coverage changes, not regressions —
+    # coverage_diff() lists them and the artifact embeds the lists
     return out
 
 
@@ -73,9 +157,16 @@ def main():
         arts = sorted(glob.glob("BENCH_BUILDER_r*.json"))
         if len(sys.argv) == 2:
             cur_f = sys.argv[1]
-            prev_f = [a for a in arts if a < cur_f][-1]
+            prior = [a for a in arts if a < cur_f]
         else:
-            cur_f, prev_f = arts[-1], arts[-2]
+            if len(arts) < 2:
+                sys.exit(f"need two BENCH_BUILDER_r*.json artifacts to diff "
+                         f"(found {len(arts)}); pass both paths explicitly")
+            cur_f, prior = arts[-1], arts[:-1]
+        if not prior:
+            sys.exit(f"no builder artifact older than {cur_f} to diff against; "
+                     f"pass the previous artifact path explicitly")
+        prev_f = prior[-1]
     cur = json.load(open(cur_f))
     prev = json.load(open(prev_f))
     flagged = regressions(cur, prev)
@@ -99,6 +190,20 @@ def main():
                     f"[w{w:.1f} x{x:.1f} gc{g:.1f} ld{l:.1f}]"
                     for w, x, g, l in e[tag])
                 print(f"    {tag}: {rs}")
+    cold = cold_regressions(cur, prev)
+    print(f"cold basis: {len(cold)} queries moved >{COLD_FLAG_RATIO}x "
+          f"(single-run cold exec, floor {COLD_FLOOR_SEC}s)")
+    for e in cold:
+        print(f"  {e['query']:28s} {e['cold_exec_prev']:8.1f} -> "
+              f"{e['cold_exec_cur']:8.1f} cold exec-s ({e['direction']}) "
+              f"load {e['load_prev']:.1f} -> {e['load_cur']:.1f}")
+    for w in anomaly_windows(cur, prev):
+        qs = " ".join(f"{x['query']}({x['ratio']}x)" for x in w)
+        print(f"  ANOMALY WINDOW ({len(w)} contiguous cold queries "
+              f">={WINDOW_RATIO}x): {qs}")
+    added, removed = coverage_diff(cur, prev)
+    if added or removed:
+        print(f"coverage: +{len(added)} {added} / -{len(removed)} {removed}")
     return flagged
 
 

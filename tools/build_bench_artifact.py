@@ -52,10 +52,25 @@ prev_arts = sorted(a for a in glob.glob("BENCH_BUILDER_r*.json")
 if prev_arts:
     prev = json.load(open(prev_arts[-1]))
     flagged = bench_regression.regressions(detail, prev)
+    added, removed = bench_regression.coverage_diff(detail, prev)
     out["exec_regressions"] = {
         "vs": prev_arts[-1],
         "flag_ratio": bench_regression.FLAG_RATIO,
         "flagged": flagged,
+        # renamed/removed queries must not silently vanish from
+        # regression tracking (ADVICE r11)
+        "coverage_added": added,
+        "coverage_removed": removed,
+    }
+    # cold-basis flags + contiguous anomaly windows (VERDICT r11 Next
+    # #4): the warm gate missed dd_prefix_join 289->447 and a 5-45x
+    # temporal window because neither basis was diffed
+    out["cold_regressions"] = {
+        "vs": prev_arts[-1],
+        "flag_ratio": bench_regression.COLD_FLAG_RATIO,
+        "floor_sec": bench_regression.COLD_FLOOR_SEC,
+        "flagged": bench_regression.cold_regressions(detail, prev),
+        "anomaly_windows": bench_regression.anomaly_windows(detail, prev),
     }
 
 # builder-vs-driver rate reconciliation (latest driver artifact on
@@ -75,7 +90,10 @@ if driver_arts:
         dq = nq
     out["reconciliation"] = {
         "builder_suite_sec": headline.get("value"),
-        "builder_s_per_q": round(headline["value"] / nq, 3) if nq else None,
+        # .get + guard: a malformed headline must degrade to null
+        # fields, not KeyError away the whole run's artifact (ADVICE r11)
+        "builder_s_per_q": round(headline["value"] / nq, 3)
+        if headline.get("value") and nq else None,
         "builder_load_prewarm": detail.get("load_prewarm"),
         "builder_load_start": detail.get("load_start"),
         "driver_artifact": driver_arts[-1],
@@ -90,7 +108,8 @@ out.update(detail)
 name = f"BENCH_BUILDER_r{rnd:02d}.json"
 json.dump(out, open(name, "w"), indent=None, separators=(",", ":"))
 print(f"wrote {name}: {len(detail['queries_med'])} queries, "
-      f"suite {headline['value']} s, cold {headline['cold_sec']} s, "
+      f"suite {headline.get('value')} s, cold {headline.get('cold_sec')} s, "
       f"load {detail.get('load_start')}->{detail.get('load_end')}, "
       f"heap {heap_mb} MB, "
-      f"{len(out.get('exec_regressions', {}).get('flagged', []))} exec flags")
+      f"{len(out.get('exec_regressions', {}).get('flagged', []))} exec flags, "
+      f"{len(out.get('cold_regressions', {}).get('flagged', []))} cold flags")
