@@ -542,7 +542,13 @@ object Dedup {
     val mhCols = (0 until NumHashes).map { i =>
       min(expr(s"((${1 + 7919 * i}) * sfp + ${104729 * i}) % $P")).as(s"mh$i")
     }
+    // both pair sides probe the signature table; materialize the
+    // 16-min aggregation ONCE (tiny: one row per doc) instead of
+    // trusting exchange reuse to deduplicate it across the two probes
+    // (the r12 cold measurement said it doesn't: ~30 exec-s per extra
+    // aggregation over the shingle table)
     val sig = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+      .localCheckpoint(true)
     def side(p: String) = sig.select(
       col("doc_id").as(p) +:
         (0 until NumHashes).map(i => col(s"mh$i").as(s"${p}_mh$i")): _*)

@@ -110,7 +110,10 @@ class Round12OpsSpec extends SparkTestBase {
       ("t_tfidf", () => TextOps.tfidfKeywords(spark, dir)),
       ("emb_knn_graph", () => Similarity.knnGraph(spark, dir)),
       ("dd_embedding", () => Similarity.embeddingDup(spark, dir)),
-      ("dd_band_sweep", () => Dedup.bandSweep(spark, dir)))
+      ("dd_band_sweep", () => Dedup.bandSweep(spark, dir)),
+      ("pipe_leakage_families", () => Pipeline.leakageFamilies(spark, dir)),
+      ("pipe_dup_sources", () => Pipeline.dupSources(spark, dir)),
+      ("pipe_dataset_card", () => Pipeline.datasetCard(spark, dir)))
     touches.foreach { case (name, f) =>
       val first = f()
       assert(f() eq first, s"$name rebuilt on second touch — memo missing")
