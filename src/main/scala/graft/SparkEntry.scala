@@ -1022,6 +1022,9 @@ object SparkEntry {
     // train/val/test leakage audit: near-dup pairs crossing split
     // boundaries (internal-contamination complement of decontaminate)
     "pipe_split_leakage" -> ((s, dir) => graft.operators.Pipeline.splitLeakage(s, dir)),
+    // eval-contamination audit: distinct token 8-grams of each val/test
+    // doc probed against the train split's gram set (r12)
+    "pipe_ngram_overlap" -> ((s, dir) => graft.operators.Pipeline.ngramOverlap(s, dir)),
     // release-audit form: the same matrix per verified near-dup family
     // (ngram-Jaccard / MinHash-LSH / SimHash / winnowing union)
     "pipe_leakage_families" -> ((s, dir) => graft.operators.Pipeline.leakageFamilies(s, dir)),
@@ -1669,6 +1672,7 @@ object SparkEntry {
     "pipe_full" -> TextCtes.curateFull,
     "pipe_lineage" -> TextCtes.curateLineage,
     "pipe_split_leakage" -> TextCtes.splitLeakage,
+    "pipe_ngram_overlap" -> TextCtes.ngramOverlap,
     "pipe_leakage_families" -> TextCtes.leakageFamilies,
     "pipe_keep_best" -> TextCtes.keepBest,
     "pipe_curation2" -> TextCtes.curationV2,

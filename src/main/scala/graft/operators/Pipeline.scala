@@ -243,6 +243,63 @@ object Pipeline {
   private def splitNameOf(r: org.apache.spark.sql.Column) =
     when(r === 0L, "train").when(r === 1L, "val").otherwise("test")
 
+  /** Gram length for [[ngramOverlap]] — mid-range of the published
+    * eval-contamination practice (GPT-3 used 13-gram overlap, later
+    * decontamination passes 8-10; the corpus's planted near-dup
+    * variants leak at any n in that band). */
+  val OverlapN = 8
+
+  /** Cross-split n-gram contamination — the eval-integrity audit a
+    * training pipeline runs BEFORE trusting val/test numbers: for
+    * every val/test document, how many of its distinct token
+    * [[OverlapN]]-grams also appear anywhere in the train split. A
+    * doc with any hit is contaminated (its eval loss partially
+    * measures memorization); the per-split rollup (docs, grams, hits,
+    * contaminated docs, hit rate) is the number a release card would
+    * quote next to the split stats. Complements [[splitLeakage]]:
+    * that audit sees only pairs a near-dup detector admitted — this
+    * one sees a single plagiarized sentence.
+    *
+    * Scale shape: grams generate MAP-SIDE inside one codegen'd
+    * higher-order function over the token array (never a token-table
+    * self-join), per-doc distinct is one (doc, gram) aggregate, and
+    * the train-set probe is one equi-join keyed on the gram followed
+    * by partial-agg counts — at 100 TB the train gram set is the
+    * large side and the join shuffles on the gram key exactly once
+    * (a bloom prefilter on train grams is the standard cheapening;
+    * the exact join is the correctness reference). Docs shorter than
+    * [[OverlapN]] tokens have no gram to leak and are excluded by
+    * construction. hit_rate divides two exact integers once. */
+  def ngramOverlap(spark: SparkSession, dir: String): DataFrame =
+    overlapMemo.getOrElseUpdate(spark, dir)(
+      ngramOverlapCompute(spark, dir).persist())
+
+  private val overlapMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
+
+  private def ngramOverlapCompute(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.ensureRegistered(spark)
+    val dg = TextOps.tokenTable(spark, dir)
+      .filter(size(col("t")) >= OverlapN)
+      .select(col("doc_id"), splitRankOf(col("doc_id")).as("r"),
+        explode(expr(s"transform(sequence(0, size(t) - $OverlapN), " +
+          s"j -> array_join(slice(t, j + 1, $OverlapN), ' '))")).as("gram"))
+      .distinct()
+    val train = dg.filter(col("r") === 0L).select("gram").distinct()
+    val ev = dg.filter(col("r") =!= 0L)
+    val tot = ev.groupBy("doc_id", "r").agg(count(lit(1)).as("n_grams"))
+    val hit = ev.join(train, "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    tot.join(hit, Seq("doc_id"), "left")
+      .select(col("r"), col("n_grams"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .groupBy(splitNameOf(col("r")).as("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_grams").as("n_grams"),
+        sum("n_hit").as("n_hits"),
+        sum(when(col("n_hit") > 0, 1L).otherwise(0L)).as("n_contaminated"))
+      .withColumn("hit_rate",
+        col("n_hits").cast("double") / col("n_grams").cast("double"))
+  }
+
   def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
     TextOps.ensureRegistered(spark)
     Dedup.ngramJaccard(spark, dir)

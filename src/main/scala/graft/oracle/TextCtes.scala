@@ -414,6 +414,37 @@ object TextCtes {
        |ORDER BY n_total DESC, gram LIMIT ${graft.operators.TextOps.DupK}""".stripMargin
   }
 
+  /** twin of Pipeline.ngramOverlap: same token 8-grams via list
+    * slicing (the dupNgrams slice idiom), same split arithmetic as the
+    * leakage twins, per-doc distinct grams, train-set semi-probe. */
+  val ngramOverlap: String = {
+    import graft.operators.Pipeline.{OverlapN, SampleMod, SplitMult}
+    s"""WITH d AS (SELECT doc_id, ${toks("text")} AS t FROM documents),
+       |g AS (SELECT doc_id,
+       |    CASE WHEN ((doc_id * $SplitMult) % $SampleMod) % 100 < 80 THEN 0
+       |         WHEN ((doc_id * $SplitMult) % $SampleMod) % 100 < 90 THEN 1
+       |         ELSE 2 END AS r,
+       |    unnest(list_transform(range(0, len(t) - ${OverlapN - 1}),
+       |      j -> array_to_string(t[j + 1 : j + $OverlapN], ' '))) AS gram
+       |  FROM d WHERE len(t) >= $OverlapN),
+       |dg AS (SELECT DISTINCT doc_id, r, gram FROM g),
+       |train AS (SELECT DISTINCT gram FROM dg WHERE r = 0),
+       |ev AS (SELECT * FROM dg WHERE r <> 0),
+       |tot AS (SELECT doc_id, r, CAST(count(*) AS BIGINT) AS n_grams
+       |  FROM ev GROUP BY 1, 2),
+       |hit AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM ev e JOIN train t USING (gram) GROUP BY 1)
+       |SELECT CASE tot.r WHEN 1 THEN 'val' ELSE 'test' END AS split,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(tot.n_grams) AS BIGINT) AS n_grams,
+       |  CAST(sum(coalesce(hit.n_hit, 0)) AS BIGINT) AS n_hits,
+       |  CAST(sum(CASE WHEN coalesce(hit.n_hit, 0) > 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_contaminated,
+       |  CAST(sum(coalesce(hit.n_hit, 0)) AS DOUBLE)
+       |    / CAST(sum(tot.n_grams) AS DOUBLE) AS hit_rate
+       |FROM tot LEFT JOIN hit USING (doc_id) GROUP BY tot.r""".stripMargin
+  }
+
   /** twin of Pipeline.keepBest: cluster membership (canonical included
     * as its own member), originals only, longest-member-wins with ties
     * to the smaller id. */

@@ -97,6 +97,31 @@ class Round12OpsSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("ngramOverlap: val/test rows only; doc counts match the split census; hits bounded; rate consistent") {
+    TextOps.ensureRegistered(spark)
+    val out = Pipeline.ngramOverlap(spark, dir).collect()
+    assert(out.map(_.getAs[String]("split")).toSet.subsetOf(Set("val", "test")))
+    // n_docs per split = docs with >= OverlapN tokens in that split
+    // (shorter docs have no gram to leak — excluded by construction)
+    val census = TextOps.tokenTable(spark, dir)
+      .filter(size(col("t")) >= Pipeline.OverlapN)
+      .select(col("doc_id"))
+      .collect().map(_.getLong(0))
+      .groupBy { id =>
+        val b = math.floorMod(math.floorMod(id * Pipeline.SplitMult,
+          Pipeline.SampleMod), 100L)
+        if (b < 80) "train" else if (b < 90) "val" else "test"
+      }.map { case (k, v) => k -> v.length.toLong }
+    out.foreach { r =>
+      val s = r.getAs[String]("split")
+      assert(r.getAs[Long]("n_docs") === census(s), s)
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_grams"), s)
+      assert(r.getAs[Long]("n_contaminated") <= r.getAs[Long]("n_docs"), s)
+      assert(r.getAs[Double]("hit_rate") ===
+        r.getAs[Long]("n_hits").toDouble / r.getAs[Long]("n_grams"), s)
+    }
+  }
+
   test("migrated deterministic-recompute operators memoize: second touch returns the cached frame") {
     TextOps.ensureRegistered(spark)
     val touches: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(

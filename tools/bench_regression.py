@@ -32,12 +32,17 @@ FLOOR_SEC = 1.0  # ignore moves where both medians are sub-second noise
 # so the ratio is lower.
 COLD_FLAG_RATIO = 1.5
 COLD_FLOOR_SEC = 5.0
-# A contiguous run (in cold-pass order) of queries all >= WINDOW_RATIO
-# above their previous-round cold exec is the temporal-anomaly
-# signature (r11: one of four passes showed a contiguous 5-45x window);
-# isolated spikes are per-query, windows are the box.
+# A contiguous run (in cold-pass order — the Map's hash order, i.e.
+# the order the queries actually executed) of queries all >=
+# WINDOW_RATIO above their previous-round cold exec is the temporal-
+# anomaly signature (r11: one of four passes showed a contiguous
+# 5-45x window). Minimum length 2: r12's anomalous run 2 had an
+# adjacent (gen_store_check 6.2x, it_mis 3.4x) pair a >=3 rule
+# missed; at 3x-with-5s-floor two adjacent false positives are
+# already unlikely, and big ISOLATED spikes (run 2's it_harmonic
+# 14x) are still caught by the per-query flag list above.
 WINDOW_RATIO = 3.0
-WINDOW_MIN_LEN = 3
+WINDOW_MIN_LEN = 2
 
 
 def _cold_exec(art):
