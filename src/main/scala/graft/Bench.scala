@@ -59,7 +59,24 @@ object Bench {
     // box, not the code. The r11 campaign's 98.7-151.2 s spread on
     // near-identical code had no such in-artifact yardstick.
     val execMsCal = new java.util.concurrent.atomic.AtomicLong
+    // Task-end events arrive on the async listener bus: a kernel read
+    // taken right after a ~100 s phase would absorb that phase's
+    // late-arriving events (inflating exec) and miss its own trailing
+    // ones (deflating it) — ADVICE r12. waitUntilEmpty() is
+    // private[spark] at the Scala level but public in bytecode, so
+    // reflection reaches it; the fallback sleep bounds the skew when
+    // the internal API moves.
+    def drainBus(): Unit = try {
+      val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+        .invoke(spark.sparkContext)
+      bus.getClass.getMethods
+        .find(m => m.getName == "waitUntilEmpty" && m.getParameterCount == 0)
+        .map(_.invoke(bus))
+        .getOrElse(Thread.sleep(200))
+      ()
+    } catch { case _: Throwable => Thread.sleep(200) }
     def calibrate(): (Double, Double) = {
+      drainBus()
       val e0 = execMsCal.get()
       val t0 = System.nanoTime()
       try spark.range(0L, 50000000L, 1L, 32)
@@ -68,7 +85,9 @@ object Bench {
           org.apache.spark.sql.functions.count("*"))
         .write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
-      ((System.nanoTime() - t0) / 1e9, (execMsCal.get() - e0) / 1e3)
+      val wall = (System.nanoTime() - t0) / 1e9
+      drainBus()
+      (wall, (execMsCal.get() - e0) / 1e3)
     }
     // the calibration listener is registered before the first kernel so
     // every phase point carries exec too (shared counter is fine — the
@@ -190,11 +209,18 @@ object Bench {
     // memory pressure separable from task work before it could be
     // attributed; storage snapshots bracket the pass for the same reason
     val coldStorageStart = storageSnap()
-    val coldDetail: Map[String, Option[(Double, Double, Double, Double)]] =
-      if (sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("0")) Map.empty
+    // LinkedHashMap: serialization order IS execution order, and the
+    // detail file carries an explicit `cold_order` array — the anomaly-
+    // window diff previously leaned on JSON-object/HashMap iteration
+    // order agreeing across rounds, an implicit invariant nothing
+    // asserted (ADVICE r12).
+    val coldDetail: scala.collection.Map[String, Option[(Double, Double, Double, Double)]] =
+      if (sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("0"))
+        scala.collection.mutable.LinkedHashMap.empty
       else {
         SessionMemo.coldMode = true
-        val m = SparkEntry.queries.map { case (name, fn) =>
+        val m = scala.collection.mutable.LinkedHashMap.from(
+          SparkEntry.queries.map { case (name, fn) =>
           val ld = load1()
           val (e0, g0) = (execMs.get(), gcMs.get())
           val t0 = System.nanoTime()
@@ -213,7 +239,7 @@ object Bench {
             Some(((System.nanoTime() - t0) / 1e9, (execMs.get() - e0) / 1e3,
               (gcMs.get() - g0) / 1e3, ld))
           else None)
-        }
+        })
         SessionMemo.coldMode = false
         m
       }
@@ -264,22 +290,28 @@ object Bench {
     val storageJson = storageDetail.map { case (k, (mb, n, p, z)) =>
       "\"" + k + s"""\":[$mb,$n,$p,$z]"""
     }.mkString("{", ",", "}")
+    // [wall, exec] of the constant kernel at each phase boundary — the
+    // in-artifact box-weather yardstick (VERDICT r11 Next #5); shared
+    // by the detail file and (since r13) the stdout headline, so the
+    // driver-captured BENCH_rN.json self-diagnoses contention
+    // (VERDICT r12 Next #2)
+    val calJson =
+      s""""calibration":{"prewarm":[${r3(calPrewarm._1)},${r3(calPrewarm._2)}],""" +
+      s""""pre_suite":[${r3(calPreSuite._1)},${r3(calPreSuite._2)}],""" +
+      s""""post_suite":[${r3(calPostSuite._1)},${r3(calPostSuite._2)}],""" +
+      s""""post_cold":[${r3(calPostCold._1)},${r3(calPostCold._2)}]}"""
     val detail =
       s"""{"queries_med":${fmt(med)},"queries_min":${fmt(_.head)},"queries_max":${fmt(_.last)},""" +
       s""""queries_exec_med":$execMedJson,""" +
       s""""queries_cold_wall_exec":$coldJson,"cold_failed":$coldFailedJson,""" +
+      s""""cold_order":${coldDetail.keys.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""storage_cold_start":[${coldStorageStart._1},${coldStorageStart._2},${coldStorageStart._3},${coldStorageStart._4}],""" +
       s""""storage_cold_end":[${coldStorageEnd._1},${coldStorageEnd._2},${coldStorageEnd._3},${coldStorageEnd._4}],""" +
       s""""memo_warmed":$memoJson,""" +
       s""""load_prewarm":${r3(loadPrewarm)},""" +
       s""""load_start":${r3(loadStart)},"load_end":${r3(load1())},""" +
       s""""storage_mb_rdds_partial":$storageJson,""" +
-      // [wall, exec] of the constant kernel at each phase boundary —
-      // the in-artifact box-weather yardstick (VERDICT r11 Next #5)
-      s""""calibration":{"prewarm":[${r3(calPrewarm._1)},${r3(calPrewarm._2)}],""" +
-      s""""pre_suite":[${r3(calPreSuite._1)},${r3(calPreSuite._2)}],""" +
-      s""""post_suite":[${r3(calPostSuite._1)},${r3(calPostSuite._2)}],""" +
-      s""""post_cold":[${r3(calPostCold._1)},${r3(calPostCold._2)}]},""" +
+      calJson + "," +
       // per-fill warmup wall seconds, largest first (VERDICT r11 Next #7)
       s""""warm_fills":${warmFills.map { case (n, sec) =>
         "\"" + n + "\":" + r3(sec) }.mkString("{", ",", "}")},""" +
@@ -297,7 +329,11 @@ object Bench {
     // bypassed pass per query); e2e_sec = warm fill + timed suite
     // load_1m_start/_end ride the stdout line so even the driver-parsed
     // artifact carries the box-weather covariate (VERDICT r9 Missing #1)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","records_per_s":${r3(recsPerSec)},"exec_sec":${r3(execTotal)},"cold_sec":${r3(coldTotal)},"cold_exec_sec":${r3(coldExecTotal)},"e2e_sec":${r3(warmupSec + total)},"runs":$runs,"warmup_sec":${r3(warmupSec)},"load_1m_prewarm":${r3(loadPrewarm)},"load_1m_start":${r3(loadStart)},"load_1m_end":${r3(load1())},"cold_failed":${coldFailed.size},"sf":"$sfDir"}""")
+    // The kernel's per-phase [wall, exec] (~130 bytes) rides the stdout
+    // headline too: the r12 driver cold basis (840 s at start-load 26.2
+    // vs the builder's clean 288-295 s) could only be adjudicated by
+    // reaching into the builder artifact (VERDICT r12 Next #2).
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","records_per_s":${r3(recsPerSec)},"exec_sec":${r3(execTotal)},"cold_sec":${r3(coldTotal)},"cold_exec_sec":${r3(coldExecTotal)},"e2e_sec":${r3(warmupSec + total)},"runs":$runs,"warmup_sec":${r3(warmupSec)},"load_1m_prewarm":${r3(loadPrewarm)},"load_1m_start":${r3(loadStart)},"load_1m_end":${r3(load1())},"cold_failed":${coldFailed.size},$calJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -39,6 +39,11 @@ object SparkEntry {
   private val chainRepairCache = new graft.SessionMemo[DataFrame](outputMemo = true)
   private val diffCheckCache = new graft.SessionMemo[DataFrame](outputMemo = true)
 
+  /** q31's two distinct incidence self-joins re-ran per touch (r12
+    * warm tier) — same deterministic-recompute class and memo policy
+    * as [[chainRepairCache]] (VERDICT r12 Next #1). */
+  private val waitSuppliersCache = new graft.SessionMemo[DataFrame](outputMemo = true)
+
   /** Pre-materializes the shared memoized intermediates (graph tables,
     * record stores, corrupted-store violations, dedup shingle + pair
     * tables) so per-query timings are steady-state: without this, the
@@ -306,7 +311,7 @@ object SparkEntry {
     // both with a different-supplier conjunct. "Late" = shipped more
     // than a year after the order date (this corpus has no
     // commit/receipt dates).
-    "q31_wait_suppliers" -> ((s, dir) => {
+    "q31_wait_suppliers" -> ((s, dir) => waitSuppliersCache.getOrElseUpdate(s, dir) {
       def t(n: String) = s.read.parquet(s"$dir/$n.parquet")
       val late = t("lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(t("orders").select("o_orderkey", "o_orderdate"),
@@ -329,6 +334,7 @@ object SparkEntry {
           col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_suppkey", "s_name")
         .agg(count(lit(1)).as("numwait"))
+        .persist()
     }),
     // TPC-H Q22 shape: scalar-average subquery + NOT EXISTS — customers
     // above the positive-balance average with no recent orders. The
@@ -1025,6 +1031,10 @@ object SparkEntry {
     // eval-contamination audit: distinct token 8-grams of each val/test
     // doc probed against the train split's gram set (r12)
     "pipe_ngram_overlap" -> ((s, dir) => graft.operators.Pipeline.ngramOverlap(s, dir)),
+    // the bloom-prefiltered form — identical output by construction
+    // (no false negatives + exact join removes false positives), so it
+    // gates against the SAME oracle SQL as the exact path
+    "pipe_ngram_overlap_bloom" -> ((s, dir) => graft.operators.Pipeline.ngramOverlapBloom(s, dir)),
     // release-audit form: the same matrix per verified near-dup family
     // (ngram-Jaccard / MinHash-LSH / SimHash / winnowing union)
     "pipe_leakage_families" -> ((s, dir) => graft.operators.Pipeline.leakageFamilies(s, dir)),
@@ -1673,6 +1683,9 @@ object SparkEntry {
     "pipe_lineage" -> TextCtes.curateLineage,
     "pipe_split_leakage" -> TextCtes.splitLeakage,
     "pipe_ngram_overlap" -> TextCtes.ngramOverlap,
+    // exact join == correctness reference for the bloom path: one
+    // oracle, two engine plans (VERDICT r12 Next #5)
+    "pipe_ngram_overlap_bloom" -> TextCtes.ngramOverlap,
     "pipe_leakage_families" -> TextCtes.leakageFamilies,
     "pipe_keep_best" -> TextCtes.keepBest,
     "pipe_curation2" -> TextCtes.curationV2,

@@ -103,7 +103,18 @@ object DataGen {
     * (DuckDB regenerates the same graph from range()): per-metric rows
     * mirror the reference's post-generation store counts
     * (DataGenerator.java:118-131). */
-  def summary(spark: SparkSession, nodeCount: Long): DataFrame = {
+  def summary(spark: SparkSession, nodeCount: Long): DataFrame =
+    summaryMemo.getOrElseUpdate(spark, s"gen:$nodeCount")(
+      summaryCompute(spark, nodeCount).persist())
+
+  /** Pure function of (session, nodeCount) — the generators are
+    * deterministic — re-run per touch in r12's warm tier. Output-memo
+    * lifecycle, keyed by the generated size rather than an sf dir:
+    * fill on first timed touch, cold pass prices the regeneration
+    * (VERDICT r12 Next #1). */
+  private val summaryMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
+
+  private def summaryCompute(spark: SparkSession, nodeCount: Long): DataFrame = {
     val n = nodes(spark, nodeCount, "INTEGER:2,STRING:1")
     val r = rels(spark, nodeCount, "FOO:2,BAR:1")
     val nodeMetrics = n.agg(

@@ -499,6 +499,15 @@ object Iterative {
   }
 
   def connectedComponentsConverged(spark: SparkSession, dir: String): DataFrame =
+    ccConvMemo.getOrElseUpdate(spark, dir)(
+      connectedComponentsConvergedCompute(spark, dir).persist())
+
+  /** The converged union-find labels re-derived per touch (r12: 9.6
+    * exec-s warm) — same memo policy as [[ccMemo]] (VERDICT r12
+    * Next #1). */
+  private val ccConvMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
+
+  private def connectedComponentsConvergedCompute(spark: SparkSession, dir: String): DataFrame =
     ccLabelsConverged(spark, dir)
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_nodes"))

@@ -83,7 +83,14 @@ object Msf {
   /** MSF edge list: (round, src, dst, w) — every edge the forest keeps,
     * tagged with the Borůvka round that chose it. */
   def msf(spark: SparkSession, dir: String): DataFrame =
-    msfOf(spark, copurchaseCached(spark, dir))
+    msfMemo.getOrElseUpdate(spark, dir)(
+      msfOf(spark, copurchaseCached(spark, dir)).persist())
+
+  /** The Borůvka rounds re-ran per touch (r12: 13.8 exec-s warm) —
+    * pure function of (session, dir), same output-memo lifecycle as
+    * the other iterative fixpoints: fill on first timed touch, cold
+    * pass prices the rebuild (VERDICT r12 Next #1). */
+  private val msfMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
 
   /** Borůvka over any undirected edge set `(a, b, w, wu)` with
     * strictly-unique `wu` (a < b).

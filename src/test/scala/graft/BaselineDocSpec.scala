@@ -79,6 +79,23 @@ class BaselineDocSpec extends AnyFunSuite {
       assert(wf != null && wf.size() > 10,
         "warm_fills missing — warmup inflation not per-fill attributable")
     }
+    if (round >= 13) {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+      val root = mapper.readTree(file)
+      // the kernel points must ALSO ride the stdout headline so the
+      // driver-parsed BENCH_rN.json self-diagnoses contention without
+      // the builder artifact (VERDICT r12 Next #2)
+      for (p <- Seq("prewarm", "pre_suite", "post_suite", "post_cold")) {
+        val c = root.at(s"/headline/calibration/$p")
+        assert(c.isArray && c.size() == 2 && c.get(0).asDouble() > 0,
+          s"headline calibration point $p missing — stdout line lacks the weather yardstick")
+      }
+      // explicit cold execution order (ADVICE r12: anomaly windows must
+      // not lean on JSON object / HashMap iteration order)
+      val co = root.get("cold_order")
+      assert(co != null && co.isArray && co.size() == root.get("queries_cold_wall_exec").size(),
+        "cold_order missing or not covering the cold pass")
+    }
   }
 
   test("BASELINE.md pins the latest builder artifact's headline") {

@@ -42,6 +42,25 @@ class PlanInvariantsSpec extends SparkTestBase {
     assert(p.contains("partial"), p) // map-side partial aggregation
   }
 
+  test("dd_band_sweep probes ONE materialized signature table (single subtree)") {
+    // Round12OpsSpec proves output equivalence to the per-config form;
+    // this pins the PLAN fact behind the r12 rewrite: the 16-min
+    // signature aggregation materializes once (localCheckpoint) and
+    // both pair sides scan that SAME RDD — the r11 regression (each
+    // probe re-running the ~30 exec-s aggregation) would resurface
+    // here as two distinct rdd ids or as inline min-aggs instead of
+    // RDD scans (VERDICT r12 Next #7).
+    val df = graft.operators.Dedup.bandSweep(spark, dir)
+    val sigRdds = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD
+          if l.output.exists(_.name == "mh0") => l.rdd.id
+    }
+    assert(sigRdds.size == 2,
+      s"expected both pair sides to probe the checkpointed signature table, saw rdd ids $sigRdds")
+    assert(sigRdds.distinct.size == 1,
+      s"signature table materialized more than once: rdd ids $sigRdds")
+  }
+
   test("q03_topk is per-partition top-k, not a global sort") {
     val p = plan("q03_topk")
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -88,6 +88,20 @@ def cold_regressions(cur, prev):
     return out
 
 
+def _cold_items(art):
+    """(query, cold_tuple) pairs in EXECUTION order. r13+ artifacts
+    carry an explicit `cold_order` array (ADVICE r12: dict key order was
+    an implicit invariant nothing asserted — a switch to sorted
+    serialization would silently scramble windows); older artifacts fall
+    back to queries_cold_wall_exec's JSON object order, which CPython
+    3.7+ preserves from the file."""
+    cw = art.get("queries_cold_wall_exec", {})
+    order = art.get("cold_order")
+    if order:
+        return [(q, cw[q]) for q in order if q in cw]
+    return list(cw.items())
+
+
 def anomaly_windows(cur, prev):
     """Contiguous cold-pass windows (>= WINDOW_MIN_LEN queries in the
     artifact's cold order, every one >= WINDOW_RATIO x its previous-
@@ -95,7 +109,7 @@ def anomaly_windows(cur, prev):
     signature a per-query flag list does not show."""
     pe = _cold_exec(prev)
     windows, run = [], []
-    for q, c in cur.get("queries_cold_wall_exec", {}).items():
+    for q, c in _cold_items(cur):
         if not (isinstance(c, (list, tuple)) and len(c) >= 3):
             continue
         x = c[1]
@@ -104,6 +118,13 @@ def anomaly_windows(cur, prev):
             continue  # unmatched/small queries neither extend nor break a run
         if p > 0 and x / p >= WINDOW_RATIO:
             run.append({"query": q, "ratio": round(x / p, 1),
+                        "cold_exec_prev": p, "cold_exec_cur": x})
+        elif p <= 0 and x >= COLD_FLOOR_SEC:
+            # 0 -> large is the strongest possible signal: an infinite-
+            # ratio window MEMBER, not a run breaker (ADVICE r12 — the
+            # old else branch split the window into sub-threshold
+            # fragments). ratio is null because JSON has no Infinity.
+            run.append({"query": q, "ratio": None,
                         "cold_exec_prev": p, "cold_exec_cur": x})
         else:
             if len(run) >= WINDOW_MIN_LEN:
@@ -203,7 +224,9 @@ def main():
               f"{e['cold_exec_cur']:8.1f} cold exec-s ({e['direction']}) "
               f"load {e['load_prev']:.1f} -> {e['load_cur']:.1f}")
     for w in anomaly_windows(cur, prev):
-        qs = " ".join(f"{x['query']}({x['ratio']}x)" for x in w)
+        qs = " ".join(
+            f"{x['query']}({x['ratio'] if x['ratio'] is not None else 'inf'}x)"
+            for x in w)
         print(f"  ANOMALY WINDOW ({len(w)} contiguous cold queries "
               f">={WINDOW_RATIO}x): {qs}")
     added, removed = coverage_diff(cur, prev)
