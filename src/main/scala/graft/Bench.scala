@@ -173,14 +173,20 @@ object Bench {
       val reads0 = SessionMemo.outputReads.get()
       val triples = (0 until runs).map { _ =>
         val ld = load1()
+        // bus drained around each snapshot pair: late task-end events
+        // otherwise bleed a query's trailing exec into its successor's
+        // window (the calibration-point fix of ADVICE r12, applied to
+        // the per-query basis too — a drained idle bus costs ~µs)
+        drainBus()
         val (e0, g0) = (execMs.get(), gcMs.get())
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        ((System.nanoTime() - t0) / 1e9,
-          (execMs.get() - e0) / 1e3, (gcMs.get() - g0) / 1e3, ld)
+        val wall = (System.nanoTime() - t0) / 1e9
+        drainBus()
+        (wall, (execMs.get() - e0) / 1e3, (gcMs.get() - g0) / 1e3, ld)
       }
       if (SessionMemo.outputReads.get() > reads0) memoWarmed += name
       runDetail(name) = triples
@@ -219,9 +225,13 @@ object Bench {
         scala.collection.mutable.LinkedHashMap.empty
       else {
         SessionMemo.coldMode = true
+        // .toSeq BEFORE the map: mapping the Map itself would collect
+        // results into a fresh HashMap and LinkedHashMap.from would
+        // record ITS hash order, not the order the loop actually ran
         val m = scala.collection.mutable.LinkedHashMap.from(
-          SparkEntry.queries.map { case (name, fn) =>
+          SparkEntry.queries.toSeq.map { case (name, fn) =>
           val ld = load1()
+          drainBus() // exact per-query exec windows (ADVICE r12)
           val (e0, g0) = (execMs.get(), gcMs.get())
           val t0 = System.nanoTime()
           val ok =
@@ -231,13 +241,15 @@ object Bench {
               coldFailed += name
               false
             }
+          val wall = (System.nanoTime() - t0) / 1e9
+          drainBus()
+          val (e1, g1) = (execMs.get(), gcMs.get())
           // release the bypass-rebuilt persisted frames NOW: ~50
           // accumulated orphans evict the warm input layer and skew
           // every later cold timing (ADVICE r9)
           SessionMemo.drainColdOrphans()
           name -> (if (ok)
-            Some(((System.nanoTime() - t0) / 1e9, (execMs.get() - e0) / 1e3,
-              (gcMs.get() - g0) / 1e3, ld))
+            Some((wall, (e1 - e0) / 1e3, (g1 - g0) / 1e3, ld))
           else None)
         })
         SessionMemo.coldMode = false

@@ -646,18 +646,41 @@ object SparkEntry {
     // to the live one — n_mismatch > 0 ⇔ the backup is untrustworthy.
     "rec_backup_verify" -> ((s, dir) => storeBackupCache.getOrElseUpdate(s, dir) {
       import graft.streaming.Backup
+      // GRAFT_WARM_LOG prints the chain's internal phase split — the
+      // warmup critical path's irreducibility case is made from these
+      // numbers (VERDICT r12 Next #6)
+      var t0 = System.nanoTime()
+      def mark(phase: String): Unit = {
+        if (sys.env.contains("GRAFT_WARM_LOG"))
+          System.err.println(f"[warm]   backup_verify/$phase ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        t0 = System.nanoTime()
+      }
       val live = Corruption(RecordStores.deriveCached(s, dir))
+      mark("derive_wait")
       val tmp = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_store_backup_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
       Backup.fullStores(live, tmp)
-      val restored = Backup.restoreStores(s, tmp)
+      mark("snapshot_write")
+      // persist the restored bundle and FORCE the check once: the
+      // result plan reads vR three times (histogram + both exceptAll
+      // sides) and the check's ~20 union branches would otherwise
+      // re-read the restored parquet per branch — together the bulk
+      // of the warmup critical path (VERDICT r12 Next #6)
+      val restored = Backup.restoreStores(s, tmp).persistAll()
       val vR = FullCheck.violations(restored).persist()
+      vR.count()
+      restored.unpersistAll()
+      mark("restore_check")
       val vL = cachedViolations(s, dir)
-      vR.groupBy("record_type").agg(count(lit(1)).as("n"))
+      mark("violations_wait")
+      val out = vR.groupBy("record_type").agg(count(lit(1)).as("n"))
         .crossJoin(
           vR.exceptAll(vL).unionAll(vL.exceptAll(vR))
             .agg(count(lit(1)).as("n_mismatch")))
         .persist()
+      out.count()
+      mark("multiset_compare")
+      out
     }),
     // A1 summary (ConsistencySummaryStatistics)
     "cc_summary" -> ((s, dir) =>

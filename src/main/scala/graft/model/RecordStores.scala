@@ -149,7 +149,20 @@ final case class Stores(
   propKeys: DataFrame,  // id, in_use, name_id
   typeNames: DataFrame, // id, in_use, length, next_block
   keyNames: DataFrame   // id, in_use, length, next_block
-)
+) {
+  /** Persist every store. The full check unions ~20 join branches
+    * over the same stores and Spark does not dedupe common subtrees
+    * across union branches — an unpersisted bundle (e.g. a freshly
+    * restored backup) is otherwise re-read once per branch. */
+  def persistAll(): Stores = {
+    productIterator.foreach { case d: DataFrame => d.persist() }
+    this
+  }
+
+  /** Release every store's cache (non-blocking). */
+  def unpersistAll(): Unit =
+    productIterator.foreach { case d: DataFrame => d.unpersist(false) }
+}
 
 object RecordStores {
   import RecordSpec._

@@ -660,6 +660,7 @@ object Dedup {
         deltaCorpus(spark, dir)).persist()
       pairs.count() // materialize before releasing the posting cache
       basePost.unpersist()
+      DedupStream.drainBatchHandles()
       pairs
     }
   }

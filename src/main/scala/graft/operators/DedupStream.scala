@@ -84,7 +84,18 @@ object DedupStream {
     * sidecar. */
   def batchPairs(basePost: DataFrame, baseDf: DataFrame,
                  delta: DataFrame): DataFrame = {
-    val deltaPost = Dedup.rawPostings(delta)
+    // Per-batch intermediates are PERSISTED, not recomputed per scan:
+    // the result's plan reads deltaPost twice (df sidecar + probe) and
+    // capped four times (candidate gen, both verify sides, the size
+    // denominators) — uncached, each scan re-ran the delta shingling,
+    // the df aggregation over the base, and the cap join, which the
+    // r13 phase profiler measured as ~100 of dd_stream_batch's ~110
+    // cold exec-s (and whose sometimes-deduped exchanges were the
+    // run-to-run spread; VERDICT r12 Next #3). Handles land on
+    // [[pendingBatchHandles]] — the stream loop and the memo build
+    // drain after materializing each batch, and a cold-mode bypass
+    // registers them for Bench's orphan drain.
+    val deltaPost = Dedup.rawPostings(delta).persist()
     val dfDelta = deltaPost.groupBy("sfp").agg(count(lit(1)).as("dfd"))
     // union df for the PROBED keys (delta keys are few -> broadcast)
     val keepDelta = dfDelta.join(baseDf, Seq("sfp"), "left")
@@ -95,7 +106,11 @@ object DedupStream {
     val keepAll = baseDf.join(dfDelta, Seq("sfp"), "full_outer")
       .filter(coalesce(col("df"), lit(0L)) + coalesce(col("dfd"), lit(0L)) <= Dedup.MaxDf)
       .select(col("sfp"))
-    val capped = basePost.unionAll(deltaPost).join(keepAll, "sfp")
+    val capped = basePost.unionAll(deltaPost).join(keepAll, "sfp").persist()
+    Seq(deltaPost, capped).foreach { h =>
+      pendingBatchHandles.add(h)
+      if (graft.SessionMemo.coldMode) graft.SessionMemo.coldOrphans.add(h)
+    }
     val cand = broadcast(probe.select(col("doc_id").as("x"), col("sfp")))
       .join(capped.select(col("doc_id").as("y"), col("sfp")), "sfp")
       .filter(col("x") =!= col("y"))
@@ -103,6 +118,21 @@ object DedupStream {
         greatest(col("x"), col("y")).as("b"))
       .distinct()
     Dedup.scoreCandidates(capped, cand)
+  }
+
+  /** Persisted per-batch intermediates of [[batchPairs]] awaiting
+    * release. Looping callers drain after materializing each batch's
+    * pairs so the caches never outlive their batch. */
+  private val pendingBatchHandles =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Dataset[_]]
+
+  /** Unpersist every pending per-batch intermediate (non-blocking). */
+  def drainBatchHandles(): Unit = {
+    var d = pendingBatchHandles.poll()
+    while (d != null) {
+      try { d.unpersist(false); () } catch { case _: Throwable => () }
+      d = pendingBatchHandles.poll()
+    }
   }
 
   /** Drive `nBatches` micro-batches through a foreachBatch probe;
@@ -151,6 +181,7 @@ object DedupStream {
               when(pmod(pmod(col("b") - DeltaBase, lit(nBase)), lit(10L)) === 9L,
                 1L).otherwise(0L)).count()
           p.unpersist()
+          drainBatchHandles()
           timings.synchronized {
             timings += (System.nanoTime() - t0) / 1e9
             execs += (execMs.get() - e0) / 1e3

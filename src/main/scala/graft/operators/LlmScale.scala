@@ -533,3 +533,113 @@ object ShiftScale {
     spark.stop()
   }
 }
+
+/** Release-audit stack at generated-corpus scale (VERDICT r12 Next
+  * #4): the r12 audit family — cross-split n-gram contamination
+  * (exact and bloom-prefiltered), the leakage-families rollup, the
+  * per-family cross-source duplication rollup, and the dataset-card
+  * scalar rollups — was gate-proven only at the sf tier (≤5,000
+  * docs). This harness measures each stage at the 1M-doc tier over
+  * the [[DedupScale]] generated corpus (2³² vocabulary, planted
+  * near-dups every 10th doc).
+  *
+  * The near-dup PAIR TABLES build UNTIMED: their cost is priced by
+  * their own harnesses ([[DedupScale]], [[TextScale]]); the audits'
+  * claim under test is precisely that given those tables, the rollups
+  * are pair-table-sized (leakage/dup-sources/card) and that the one
+  * corpus-shaped audit (the gram join) is map-side generation plus a
+  * single keyed equi-join — with the bloom prefilter cutting the rows
+  * that reach it. Bitset here is 2²⁸ bits (32 MiB) for the ~42M-gram
+  * train set (~10 bits/gram, the standard bloom sizing the operator
+  * doc prescribes).
+  *
+  * `runMain graft.operators.AuditScale [nDocs]` → one JSON line. */
+object AuditScale {
+  val BloomBits = 1L << 28
+  val NSources = 20L
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val spark = LlmScale.session("AuditScale")
+    TextOps.ensureRegistered(spark)
+    val execMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            ev: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = ev.taskMetrics
+          if (m != null) { execMs.addAndGet(m.executorRunTime); () }
+        }
+      })
+    val phases = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Long)]()
+    def phase(name: String)(body: => Long): Long = {
+      val e0 = execMs.get()
+      val t0 = System.nanoTime()
+      val rows = body
+      val wall = (System.nanoTime() - t0) / 1e9
+      val exec = (execMs.get() - e0) / 1e3
+      phases(name) = (wall, exec, rows)
+      System.err.println(f"[audit_scale] $name%-16s wall $wall%7.1fs exec $exec%8.1fs rows $rows")
+      rows
+    }
+    // ---- untimed inputs: corpus, token table, pair tables ----
+    val corpus = DedupScale.corpus(spark, n, vocab = 4294967296L).persist()
+    corpus.count()
+    val toks = corpus.select(col("doc_id"), TextOps.toks(col("text")).as("t"))
+      .persist()
+    toks.count()
+    val src = corpus.select(col("doc_id"),
+      concat(lit("src"), pmod(col("doc_id"), lit(NSources))).as("source"))
+    val winnow = Dedup.winnowPairsFromPacked(TextOps.winnowPackedOf(corpus))
+      .persist()
+    winnow.count()
+    val (mhPairs0, mhHandles) = Dedup.minhashLshOf(corpus)
+    val mh = mhPairs0.persist()
+    mh.count()
+    val fams = Seq("winnow" -> winnow, "minhash_lsh" -> mh)
+    val famRows = Seq(
+      ("winnow", winnow, col("n_shared") >= Pipeline.StrongShared),
+      ("minhash_lsh", mh, col("jacc") >= Pipeline.StrongJacc))
+      .map { case (f, df, strong) =>
+        df.select(lit(f).as("family"), col("a").as("ba"), col("b").as("bb"),
+          when(strong, 1L).otherwise(0L).as("strong")) }
+      .reduce(_ unionAll _)
+    // ---- timed audit stages ----
+    phase("overlap_exact") { Pipeline.ngramOverlapOf(toks).count() }
+    phase("overlap_bloom") {
+      Pipeline.ngramOverlapBloomOf(toks, BloomBits).count()
+    }
+    val (evBefore, evAfter) = {
+      val e0 = execMs.get()
+      val t0 = System.nanoTime()
+      val r = Pipeline.overlapBloomReductionOf(toks, BloomBits)
+      phases("bloom_reduction") =
+        ((System.nanoTime() - t0) / 1e9, (execMs.get() - e0) / 1e3, r._2)
+      r
+    }
+    val leak = Pipeline.leakageFamiliesOf(fams).persist()
+    phase("leakage_families") { leak.count() }
+    val dup = Pipeline.dupSourcesOf(famRows, src).persist()
+    phase("dup_sources") { dup.count() }
+    phase("card_rollup") {
+      leak.filter(col("split_a") =!= col("split_b"))
+        .agg(coalesce(sum("n_pairs"), lit(0L)).as("leak_pairs"))
+        .crossJoin(broadcast(dup.filter(col("source_lo") =!= col("source_hi"))
+          .agg(coalesce(sum("n_pairs"), lit(0L)).as("cross_src_pairs"),
+            coalesce(sum("n_strong"), lit(0L)).as("cross_src_strong"))))
+        .count()
+    }
+    val pj = phases.map { case (k, (w, e, r)) =>
+      f""""$k":{"wall_s":$w%.1f,"exec_s":$e%.1f,"rows":$r}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"harness":"audit_scale","n_docs":$n,""" +
+      s""""bloom_bits":$BloomBits,"ev_grams":$evBefore,""" +
+      s""""ev_grams_passed":$evAfter,""" +
+      f""""bloom_row_reduction":${1.0 - evAfter.toDouble / evBefore}%.4f,""" +
+      s""""winnow_pairs":${winnow.count()},"minhash_pairs":${mh.count()},""" +
+      s""""phases":$pj}""")
+    winnow.unpersist(); mh.unpersist(); mhHandles.foreach(_.unpersist())
+    toks.unpersist(); corpus.unpersist(); leak.unpersist(); dup.unpersist()
+    spark.stop()
+  }
+}

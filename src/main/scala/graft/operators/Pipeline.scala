@@ -288,7 +288,13 @@ object Pipeline {
 
   private def ngramOverlapCompute(spark: SparkSession, dir: String): DataFrame = {
     TextOps.ensureRegistered(spark)
-    val dg = overlapGramTable(spark, dir)
+    ngramOverlapOf(TextOps.tokenTable(spark, dir))
+  }
+
+  /** the exact audit over an arbitrary (doc_id, t) token table — the
+    * form the scale harness drives. */
+  private[operators] def ngramOverlapOf(toks: DataFrame): DataFrame = {
+    val dg = overlapGramTableOf(toks)
     val train = dg.filter(col("r") === 0L).select("gram").distinct()
     val ev = dg.filter(col("r") =!= 0L)
     val tot = ev.groupBy("doc_id", "r").agg(count(lit(1)).as("n_grams"))
@@ -305,53 +311,64 @@ object Pipeline {
         col("n_hits").cast("double") / col("n_grams").cast("double"))
   }
 
-  /** Bloom prefilter sizing for [[ngramOverlapBloom]]. m is FIXED
-    * (not data-derived): correctness never depends on it — the exact
-    * gram join downstream removes every false positive, and a bloom
-    * has no false negatives at any size — so m only tunes how many
-    * eval rows survive to the shuffle. 2²² bits = 512 KiB of bitset
-    * (64 Ki words), constant-size state a 100 TB run broadcasts
-    * unchanged; k = 3 probes puts the false-positive rate near
-    * (n/m·k)³ ≈ 10⁻³ at the 1M-gram TextScale tier. */
+  /** Bloom prefilter sizing for [[ngramOverlapBloom]]. Correctness
+    * never depends on m: the exact gram join downstream removes every
+    * false positive, and a bloom has no false negatives at any size —
+    * m only tunes how many eval rows survive to the shuffle. Size it
+    * like any bloom, ~10 bits per train gram: the gated sf-tier query
+    * uses 2²² bits = 512 KiB (64 Ki words; the sf0.1 train set is
+    * ~1M grams), and [[graft.operators.AuditScale]] passes 2²⁸
+    * (32 MiB) for its 42M-gram tier — constant-size broadcast state
+    * either way, never corpus-shaped. k = 3 probes. */
   val OverlapBloomBits = 1L << 22
   val OverlapBloomK = 3
 
-  /** (doc_id, split rank, distinct gram) — the shared generator both
-    * the exact and the bloom-prefiltered overlap audits start from. */
-  private def overlapGramTable(spark: SparkSession, dir: String): DataFrame =
-    TextOps.tokenTable(spark, dir)
+  /** (doc_id, split rank, distinct gram) from a (doc_id, t) token
+    * table — the shared generator both overlap audits start from. */
+  private[operators] def overlapGramTableOf(toks: DataFrame): DataFrame =
+    toks
       .filter(size(col("t")) >= OverlapN)
       .select(col("doc_id"), splitRankOf(col("doc_id")).as("r"),
         explode(expr(s"transform(sequence(0, size(t) - $OverlapN), " +
           s"j -> array_join(slice(t, j + 1, $OverlapN), ' '))")).as("gram"))
       .distinct()
 
+  private def overlapGramTable(spark: SparkSession, dir: String): DataFrame =
+    overlapGramTableOf(TextOps.tokenTable(spark, dir))
+
   /** The i-th bloom bit of a gram, as a SQL fragment (codegen'd; the
     * seed column differentiates the k hash functions). */
-  private def overlapBitSql(i: Int): String =
-    s"pmod(xxhash64($i, gram), ${OverlapBloomBits}L)"
+  private def overlapBitSql(i: Int, bits: Long): String =
+    s"pmod(xxhash64($i, gram), ${bits}L)"
 
-  /** Fixed-size bitset over the train gram set, packed as a
-    * (word index → 64-bit word) map on ONE row: k bit positions per
-    * gram, word = bit >> 6, mask = 1 << (bit & 63), one partial-agg
-    * bit_or per word, ≤ m/64 = 65,536 map entries gathered. */
-  private def overlapBloomOf(train: DataFrame): DataFrame =
-    train
+  /** Bitset over the train gram set as ONE dense long array: k bit
+    * positions per gram, word = bit >> 6, mask = 1 << (bit & 63), one
+    * partial-agg bit_or per word over the set masks UNIONED with an
+    * all-words zero range (so the array is dense), gathered sorted.
+    * Dense array, not a map, deliberately: Spark map lookup
+    * (GetMapValue) is a LINEAR scan per probe — O(words) per gram
+    * turns the prefilter into the bottleneck at exactly the scale it
+    * exists for — while array element_at is O(1) indexing. */
+  private[operators] def overlapBloomOf(train: DataFrame, bits: Long): DataFrame = {
+    val masks = train
       .select(explode(array((0 until OverlapBloomK)
-        .map(i => expr(overlapBitSql(i))): _*)).as("bit"))
+        .map(i => expr(overlapBitSql(i, bits))): _*)).as("bit"))
       .select(expr("shiftright(bit, 6)").as("widx"),
         expr("shiftleft(1L, CAST(bit % 64 AS INT))").as("m"))
+    val zeros = train.sparkSession.range(bits / 64)
+      .select(col("id").as("widx"), lit(0L).as("m"))
+    masks.unionAll(zeros)
       .groupBy("widx").agg(expr("bit_or(m)").as("word"))
-      .agg(map_from_entries(collect_list(struct(col("widx"), col("word"))))
+      .agg(expr("transform(array_sort(collect_list(struct(widx, word))), x -> x.word)")
         .as("bm"))
+  }
 
-  /** all-k-bits-set membership test against the broadcast `bm` map —
-    * a missing word reads as 0 (coalesce), so probing never needs the
-    * bitset densified. */
-  private def overlapPass: org.apache.spark.sql.Column =
+  /** all-k-bits-set membership test against the broadcast dense `bm`
+    * array (element_at is 1-based). */
+  private[operators] def overlapPass(bits: Long): org.apache.spark.sql.Column =
     (0 until OverlapBloomK).map { i =>
-      expr(s"(coalesce(element_at(bm, shiftright(${overlapBitSql(i)}, 6)), 0L)" +
-        s" & shiftleft(1L, CAST(${overlapBitSql(i)} % 64 AS INT))) != 0L")
+      expr(s"(element_at(bm, CAST(shiftright(${overlapBitSql(i, bits)}, 6) AS INT) + 1)" +
+        s" & shiftleft(1L, CAST(${overlapBitSql(i, bits)} % 64 AS INT))) != 0L")
     }.reduce(_ && _)
 
   /** The bloom-prefiltered form of [[ngramOverlap]] — the standard
@@ -379,14 +396,20 @@ object Pipeline {
 
   private def ngramOverlapBloomCompute(spark: SparkSession, dir: String): DataFrame = {
     TextOps.ensureRegistered(spark)
-    val dg = overlapGramTable(spark, dir)
+    ngramOverlapBloomOf(TextOps.tokenTable(spark, dir), OverlapBloomBits)
+  }
+
+  /** [[ngramOverlapBloom]] over an arbitrary (doc_id, t) token table
+    * with caller-sized bitset — the form the scale harness drives. */
+  private[operators] def ngramOverlapBloomOf(toks: DataFrame, bits: Long): DataFrame = {
+    val dg = overlapGramTableOf(toks)
     val train = dg.filter(col("r") === 0L).select("gram").distinct()
-    val bloom = overlapBloomOf(train)
+    val bloom = overlapBloomOf(train, bits)
     val ev = dg.filter(col("r") =!= 0L)
     // per-doc gram totals come from the UNfiltered eval side — the
     // prefilter must only cheapen the hit join, never the denominators
     val tot = ev.groupBy("doc_id", "r").agg(count(lit(1)).as("n_grams"))
-    val evPre = ev.crossJoin(broadcast(bloom)).filter(overlapPass).drop("bm")
+    val evPre = ev.crossJoin(broadcast(bloom)).filter(overlapPass(bits)).drop("bm")
     val hit = evPre.join(train, "gram")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
     tot.join(hit, Seq("doc_id"), "left")
@@ -404,14 +427,20 @@ object Pipeline {
     * gram rows before and after the bloom filter (the measured row
     * reduction VERDICT r12 Next #5 asks for). Diagnostic, not a
     * gated query: counts only. */
-  private[graft] def overlapBloomReduction(spark: SparkSession, dir: String): (Long, Long) = {
+  private[graft] def overlapBloomReduction(spark: SparkSession, dir: String,
+      bits: Long = OverlapBloomBits): (Long, Long) = {
     TextOps.ensureRegistered(spark)
-    val dg = overlapGramTable(spark, dir)
+    overlapBloomReductionOf(TextOps.tokenTable(spark, dir), bits)
+  }
+
+  private[operators] def overlapBloomReductionOf(toks: DataFrame,
+      bits: Long): (Long, Long) = {
+    val dg = overlapGramTableOf(toks)
     val train = dg.filter(col("r") === 0L).select("gram").distinct()
-    val bloom = overlapBloomOf(train)
+    val bloom = overlapBloomOf(train, bits)
     val ev = dg.filter(col("r") =!= 0L).persist()
     val before = ev.count()
-    val after = ev.crossJoin(broadcast(bloom)).filter(overlapPass).count()
+    val after = ev.crossJoin(broadcast(bloom)).filter(overlapPass(bits)).count()
     ev.unpersist()
     (before, after)
   }
@@ -475,8 +504,17 @@ object Pipeline {
 
   private def leakageFamiliesCompute(spark: SparkSession, dir: String): DataFrame = {
     TextOps.ensureRegistered(spark)
-    leakagePairSources(spark, dir)
-      .map { case (f, df, _) =>
+    leakageFamiliesOf(leakagePairSources(spark, dir)
+      .map { case (f, df, _) => (f, df) })
+  }
+
+  /** the split-leakage rollup over arbitrary (family, pair-table)
+    * sources — the form the scale harness drives over its generated
+    * pair tables. */
+  private[operators] def leakageFamiliesOf(
+      fams: Seq[(String, DataFrame)]): DataFrame =
+    fams
+      .map { case (f, df) =>
         df.select(lit(f).as("family"), col("a"), col("b")) }
       .reduce(_ unionAll _)
       .select(col("family"),
@@ -486,7 +524,6 @@ object Pipeline {
         splitNameOf(greatest(col("ra"), col("rb"))).as("split_b"))
       .groupBy("family", "split_a", "split_b")
       .agg(count(lit(1)).as("n_pairs"))
-  }
 
   /** Source-mixture resampling — hit a per-domain target mix without
     * RNG: each source keeps its first `target` docs in multiplicative-
@@ -912,20 +949,29 @@ object Pipeline {
   private def dupSourcesCompute(spark: SparkSession, dir: String): DataFrame = {
     TextOps.ensureRegistered(spark)
     val src = TextOps.docs(spark, dir).select(col("doc_id"), col("source"))
-    leakagePairSources(spark, dir)
-      .map { case (f, df, strong) =>
-        df.select(lit(f).as("family"),
-          pmod(col("a"), lit(Dedup.IdOffset)).as("ba"),
-          pmod(col("b"), lit(Dedup.IdOffset)).as("bb"),
-          when(strong, 1L).otherwise(0L).as("strong")) }
-      .reduce(_ unionAll _)
+    dupSourcesOf(
+      leakagePairSources(spark, dir)
+        .map { case (f, df, strong) =>
+          df.select(lit(f).as("family"),
+            pmod(col("a"), lit(Dedup.IdOffset)).as("ba"),
+            pmod(col("b"), lit(Dedup.IdOffset)).as("bb"),
+            when(strong, 1L).otherwise(0L).as("strong")) }
+        .reduce(_ unionAll _),
+      src)
+  }
+
+  /** the per-family cross-source rollup over an arbitrary
+    * (family, ba, bb, strong) pair union and a (doc_id, source) map —
+    * the form the scale harness drives (its generated ids carry no
+    * variant offset, so base-mapping stays with the dir compute). */
+  private[operators] def dupSourcesOf(rows: DataFrame, src: DataFrame): DataFrame =
+    rows
       .join(src.select(col("doc_id").as("ba"), col("source").as("sa")), "ba")
       .join(src.select(col("doc_id").as("bb"), col("source").as("sb")), "bb")
       .select(col("family"), least(col("sa"), col("sb")).as("source_lo"),
         greatest(col("sa"), col("sb")).as("source_hi"), col("strong"))
       .groupBy("family", "source_lo", "source_hi")
       .agg(count(lit(1)).as("n_pairs"), sum("strong").as("n_strong"))
-  }
 
   /** Token budget + per-source epoch cap for [[epochPlan]]. The budget
     * is an absolute constant (like [[BudgetChars]]) so the twin stays

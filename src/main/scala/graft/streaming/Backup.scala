@@ -281,13 +281,28 @@ object Backup {
 
   def fullStores(s: Stores, dir: String,
                  storeId: String = DefaultStoreId): Unit = {
-    val marks = storeSeq(s).map { case (n, df) =>
-      df.write.mode("overwrite").parquet(s"$dir/$n")
-      val idc = storeIdCol(n)
-      n -> df.agg(coalesce(max(col(idc)), lit(-1L))).head().getLong(0)
-    }
-    writeStoreWatermarks(dir, marks.toMap)
-    writeStoreId(dir, storeId)
+    // Each store snapshots to its own path, so the per-store write +
+    // watermark jobs are independent — submitted concurrently they
+    // pack the executor slots the small stores leave idle (run
+    // serially they were the avoidable half of the warmup critical
+    // path, VERDICT r12 Next #6). Spark's scheduler interleaves
+    // concurrent jobs safely; the watermark file still writes once,
+    // after every store has landed.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val marks = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(storeSeq(s).map { case (n, df) =>
+          scala.concurrent.Future {
+            df.write.mode("overwrite").parquet(s"$dir/$n")
+            val idc = storeIdCol(n)
+            n -> df.agg(coalesce(max(col(idc)), lit(-1L))).head().getLong(0)
+          }
+        }), scala.concurrent.duration.Duration.Inf)
+      writeStoreWatermarks(dir, marks.toMap)
+      writeStoreId(dir, storeId)
+    } finally pool.shutdown()
   }
 
   /** Per-store incremental catch-up: for every store of the bundle,
