@@ -1058,6 +1058,11 @@ object SparkEntry {
     // (no false negatives + exact join removes false positives), so it
     // gates against the SAME oracle SQL as the exact path
     "pipe_ngram_overlap_bloom" -> ((s, dir) => graft.operators.Pipeline.ngramOverlapBloom(s, dir)),
+    // the ACTION the audit implies: drop train docs sharing any 8-gram
+    // with the held-out splits (GPT-3-style benchmark decontamination)
+    "pipe_decontam_ngram" -> ((s, dir) => graft.operators.Pipeline.ngramDecontaminate(s, dir)),
+    // per-doc drill-down: WHICH eval docs are contaminated, worst first
+    "pipe_contam_topdocs" -> ((s, dir) => graft.operators.Pipeline.contamTopDocs(s, dir)),
     // release-audit form: the same matrix per verified near-dup family
     // (ngram-Jaccard / MinHash-LSH / SimHash / winnowing union)
     "pipe_leakage_families" -> ((s, dir) => graft.operators.Pipeline.leakageFamilies(s, dir)),
@@ -1709,6 +1714,8 @@ object SparkEntry {
     // exact join == correctness reference for the bloom path: one
     // oracle, two engine plans (VERDICT r12 Next #5)
     "pipe_ngram_overlap_bloom" -> TextCtes.ngramOverlap,
+    "pipe_decontam_ngram" -> TextCtes.ngramDecontaminate,
+    "pipe_contam_topdocs" -> TextCtes.contamTopDocs,
     "pipe_leakage_families" -> TextCtes.leakageFamilies,
     "pipe_keep_best" -> TextCtes.keepBest,
     "pipe_curation2" -> TextCtes.curationV2,

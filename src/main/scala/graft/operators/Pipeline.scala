@@ -445,6 +445,80 @@ object Pipeline {
     (before, after)
   }
 
+  /** N-gram benchmark decontamination — the ACTION the
+    * [[ngramOverlap]] audit implies (published practice since GPT-3's
+    * appendix C: before training, drop every train document that
+    * contains an n-gram of the held-out evaluation data): train docs
+    * sharing any distinct [[OverlapN]]-gram with the val/test splits
+    * are dropped, reported per source as (docs, dropped, kept). Docs
+    * shorter than [[OverlapN]] tokens cannot leak and always stay.
+    * Complements [[Dedup.decontaminate]] (near-dup pairs against an
+    * external eval set): this is the exact-overlap form against the
+    * corpus's own held-out splits, and a single plagiarized sentence
+    * is enough to drop a document.
+    *
+    * Scale shape: same map-side gram generation as the audit, the
+    * eval gram set (the SMALL side — val+test are 20% of docs) probes
+    * the train grams through one equi-join, the leaky-doc set is one
+    * distinct, and the per-source rollup joins it back LEFT so the
+    * report prices kept AND dropped. At 100 TB the eval gram set
+    * broadcasts (or blooms — [[ngramOverlapBloom]]'s bitset applies
+    * symmetrically); nothing here is ever all-pairs. */
+  def ngramDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    ngramDecontamMemo.getOrElseUpdate(spark, dir)(
+      ngramDecontaminateCompute(spark, dir).persist())
+
+  private val ngramDecontamMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
+
+  private def ngramDecontaminateCompute(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.ensureRegistered(spark)
+    val dg = overlapGramTable(spark, dir)
+    val evalGrams = dg.filter(col("r") =!= 0L).select("gram").distinct()
+    val leaky = dg.filter(col("r") === 0L)
+      .join(evalGrams, "gram")
+      .select("doc_id").distinct()
+      .withColumn("dropped", lit(1L))
+    TextOps.docs(spark, dir)
+      .filter(splitRankOf(col("doc_id")) === 0L)
+      .select(col("doc_id"), col("source"))
+      .join(leaky, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("dropped"), lit(0L))).as("n_dropped"))
+      .withColumn("n_kept", col("n_docs") - col("n_dropped"))
+  }
+
+  /** Top contaminated eval documents — the per-doc drill-down of
+    * [[ngramOverlap]]'s split-level rollup: the 20 val/test docs with
+    * the most train-gram hits (ties to the smaller doc_id), each with
+    * its split, gram count, hit count, and hit rate. This is the list
+    * a release review actually reads: WHICH eval docs are memorized,
+    * so they can be re-drawn or excluded from reported metrics.
+    * Same two aggregates as the audit plus one top-k
+    * (TakeOrderedAndProject — per-partition heap, no global sort). */
+  def contamTopDocs(spark: SparkSession, dir: String): DataFrame =
+    contamTopMemo.getOrElseUpdate(spark, dir)(
+      contamTopDocsCompute(spark, dir).persist())
+
+  private val contamTopMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
+
+  private def contamTopDocsCompute(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.ensureRegistered(spark)
+    val dg = overlapGramTable(spark, dir)
+    val train = dg.filter(col("r") === 0L).select("gram").distinct()
+    val ev = dg.filter(col("r") =!= 0L)
+    val tot = ev.groupBy("doc_id", "r").agg(count(lit(1)).as("n_grams"))
+    val hit = ev.join(train, "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    tot.join(hit, "doc_id")
+      .select(col("doc_id"), splitNameOf(col("r")).as("split"),
+        col("n_grams"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_grams").cast("double"))
+          .as("hit_rate"))
+      .orderBy(col("n_hit").desc, col("doc_id"))
+      .limit(20)
+  }
+
   def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
     TextOps.ensureRegistered(spark)
     Dedup.ngramJaccard(spark, dir)

@@ -445,6 +445,63 @@ object TextCtes {
        |FROM tot LEFT JOIN hit USING (doc_id) GROUP BY tot.r""".stripMargin
   }
 
+  /** twin of Pipeline.ngramDecontaminate: eval (val/test) distinct
+    * grams semi-probe the train docs' grams; any hit drops the doc;
+    * per-source kept/dropped rollup over ALL train docs (short docs
+    * can't leak and stay). */
+  val ngramDecontaminate: String = {
+    import graft.operators.Pipeline.{OverlapN, SampleMod, SplitMult}
+    s"""WITH d AS (SELECT doc_id, source, ${toks("text")} AS t FROM documents),
+       |g AS (SELECT doc_id,
+       |    CASE WHEN ((doc_id * $SplitMult) % $SampleMod) % 100 < 80 THEN 0
+       |         WHEN ((doc_id * $SplitMult) % $SampleMod) % 100 < 90 THEN 1
+       |         ELSE 2 END AS r,
+       |    unnest(list_transform(range(0, len(t) - ${OverlapN - 1}),
+       |      j -> array_to_string(t[j + 1 : j + $OverlapN], ' '))) AS gram
+       |  FROM d WHERE len(t) >= $OverlapN),
+       |dg AS (SELECT DISTINCT doc_id, r, gram FROM g),
+       |ev_grams AS (SELECT DISTINCT gram FROM dg WHERE r <> 0),
+       |leaky AS (SELECT DISTINCT t.doc_id
+       |  FROM dg t JOIN ev_grams e USING (gram) WHERE t.r = 0)
+       |SELECT d.source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_dropped,
+       |  CAST(count(*) - sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_kept
+       |FROM d LEFT JOIN leaky l USING (doc_id)
+       |WHERE ((d.doc_id * $SplitMult) % $SampleMod) % 100 < 80
+       |GROUP BY d.source""".stripMargin
+  }
+
+  /** twin of Pipeline.contamTopDocs: per-eval-doc hit counts, top 20
+    * by (n_hit desc, doc_id asc) — docs with zero hits never join. */
+  val contamTopDocs: String = {
+    import graft.operators.Pipeline.{OverlapN, SampleMod, SplitMult}
+    s"""WITH d AS (SELECT doc_id, ${toks("text")} AS t FROM documents),
+       |g AS (SELECT doc_id,
+       |    CASE WHEN ((doc_id * $SplitMult) % $SampleMod) % 100 < 80 THEN 0
+       |         WHEN ((doc_id * $SplitMult) % $SampleMod) % 100 < 90 THEN 1
+       |         ELSE 2 END AS r,
+       |    unnest(list_transform(range(0, len(t) - ${OverlapN - 1}),
+       |      j -> array_to_string(t[j + 1 : j + $OverlapN], ' '))) AS gram
+       |  FROM d WHERE len(t) >= $OverlapN),
+       |dg AS (SELECT DISTINCT doc_id, r, gram FROM g),
+       |train AS (SELECT DISTINCT gram FROM dg WHERE r = 0),
+       |ev AS (SELECT * FROM dg WHERE r <> 0),
+       |tot AS (SELECT doc_id, r, CAST(count(*) AS BIGINT) AS n_grams
+       |  FROM ev GROUP BY 1, 2),
+       |hit AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM ev e JOIN train t USING (gram) GROUP BY 1)
+       |SELECT tot.doc_id,
+       |  CASE tot.r WHEN 1 THEN 'val' ELSE 'test' END AS split,
+       |  tot.n_grams, hit.n_hit,
+       |  CAST(hit.n_hit AS DOUBLE) / CAST(tot.n_grams AS DOUBLE) AS hit_rate
+       |FROM tot JOIN hit USING (doc_id)
+       |ORDER BY hit.n_hit DESC, tot.doc_id
+       |LIMIT 20""".stripMargin
+  }
+
   /** twin of Pipeline.keepBest: cluster membership (canonical included
     * as its own member), originals only, longest-member-wins with ties
     * to the smaller id. */
