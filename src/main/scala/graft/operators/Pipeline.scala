@@ -325,7 +325,7 @@ object Pipeline {
 
   /** (doc_id, split rank, distinct gram) from a (doc_id, t) token
     * table — the shared generator both overlap audits start from. */
-  private[operators] def overlapGramTableOf(toks: DataFrame): DataFrame =
+  private[graft] def overlapGramTableOf(toks: DataFrame): DataFrame =
     toks
       .filter(size(col("t")) >= OverlapN)
       .select(col("doc_id"), splitRankOf(col("doc_id")).as("r"),
