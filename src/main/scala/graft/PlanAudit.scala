@@ -62,7 +62,12 @@ object PlanAudit {
       // fertility groupBy, sources-row epoch plan, pair-fold source
       // cross-tab
       "dd_bbit_minhash", "dd_band_sweep", "emb_cluster_stats",
-      "t_fertility", "pipe_epoch_plan", "pipe_dup_sources").foreach(audit)
+      "t_fertility", "pipe_epoch_plan", "pipe_dup_sources",
+      // r13 additions: the contamination family — map-side gram join,
+      // bloom-prefiltered probe (broadcast bitset ahead of the gram
+      // exchange), eval-gram semi-probe decontamination, per-doc top-k
+      "pipe_ngram_overlap", "pipe_ngram_overlap_bloom",
+      "pipe_decontam_ngram", "pipe_contam_topdocs").foreach(audit)
     // driver t1 smoke simulation: entry must return rows on sf0.001
     println(s"== entry smoke: ${SparkEntry.entry(spark).count()} rows")
     spark.stop()
