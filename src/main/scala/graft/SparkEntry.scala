@@ -39,6 +39,14 @@ object SparkEntry {
   private val chainRepairCache = new graft.SessionMemo[DataFrame](outputMemo = true)
   private val diffCheckCache = new graft.SessionMemo[DataFrame](outputMemo = true)
 
+  /** cc_summary's groupBy re-scanned the ~20-branch persisted
+    * violations union per touch (5.6 exec-s warm in the r13 artifact,
+    * above the ≥5 s memo cut — VERDICT r13 Next #1); the summary is
+    * (session, dir)-pure, so it joins the output layer. Its cold
+    * rebuild prices the groupBy over the (input-layer, still-cached)
+    * violations — the full check itself stays priced by cc_violations. */
+  private val summaryCache = new graft.SessionMemo[DataFrame](outputMemo = true)
+
   /** q31's two distinct incidence self-joins re-ran per touch (r12
     * warm tier) — same deterministic-recompute class and memo policy
     * as [[chainRepairCache]] (VERDICT r12 Next #1). */
@@ -683,9 +691,9 @@ object SparkEntry {
       out
     }),
     // A1 summary (ConsistencySummaryStatistics)
-    "cc_summary" -> ((s, dir) =>
+    "cc_summary" -> ((s, dir) => summaryCache.getOrElseUpdate(s, dir)(
       cachedViolations(s, dir).groupBy("record_type", "violation")
-        .agg(count(lit(1)).as("n"))),
+        .agg(count(lit(1)).as("n")).persist())),
     // J12 incremental diff check: the corruption as one transaction's
     // DiffStore, checkChange "...NotUpdated" predicates. The DiffStore
     // is CONSTRUCTED as a change stream (one filtered scan per store,
@@ -1061,6 +1069,10 @@ object SparkEntry {
     // the ACTION the audit implies: drop train docs sharing any 8-gram
     // with the held-out splits (GPT-3-style benchmark decontamination)
     "pipe_decontam_ngram" -> ((s, dir) => graft.operators.Pipeline.ngramDecontaminate(s, dir)),
+    // bloom-symmetric decontamination: the EVAL gram set packs into
+    // the bitset, the corpus-shaped train stream filters map-side —
+    // identical output, same oracle as the exact path
+    "pipe_decontam_bloom" -> ((s, dir) => graft.operators.Pipeline.ngramDecontaminateBloom(s, dir)),
     // per-doc drill-down: WHICH eval docs are contaminated, worst first
     "pipe_contam_topdocs" -> ((s, dir) => graft.operators.Pipeline.contamTopDocs(s, dir)),
     // release-audit form: the same matrix per verified near-dup family
@@ -1069,6 +1081,9 @@ object SparkEntry {
     "pipe_keep_best" -> ((s, dir) => graft.operators.Pipeline.keepBest(s, dir)),
     // curation v2: repetition ∧ substring-dup ∧ budget, one plan
     "pipe_curation2" -> ((s, dir) => graft.operators.Pipeline.curateV2(s, dir)),
+    // curation v3: the decontamination ACTION composed into the
+    // release path — train minus gram-leaky docs, packed to sequences
+    "pipe_curate_v3" -> ((s, dir) => graft.operators.Pipeline.curateV3(s, dir)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1715,9 +1730,14 @@ object SparkEntry {
     // oracle, two engine plans (VERDICT r12 Next #5)
     "pipe_ngram_overlap_bloom" -> TextCtes.ngramOverlap,
     "pipe_decontam_ngram" -> TextCtes.ngramDecontaminate,
+    // exact rollup == correctness reference for the bloom-symmetric
+    // path: one oracle, two engine plans (same contract as the
+    // overlap bloom pair)
+    "pipe_decontam_bloom" -> TextCtes.ngramDecontaminate,
     "pipe_contam_topdocs" -> TextCtes.contamTopDocs,
     "pipe_leakage_families" -> TextCtes.leakageFamilies,
     "pipe_keep_best" -> TextCtes.keepBest,
     "pipe_curation2" -> TextCtes.curationV2,
+    "pipe_curate_v3" -> TextCtes.curateV3,
   )
 }

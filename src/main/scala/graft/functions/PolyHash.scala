@@ -86,5 +86,9 @@ object GraftFunctions {
       FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[Winnow].getName, "graft_winnow"),
       (exprs: Seq[Expression]) => Winnow(exprs(0), exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_bloom_probe"),
+      new ExpressionInfo(classOf[BloomProbe].getName, "graft_bloom_probe"),
+      (exprs: Seq[Expression]) => BloomProbe(exprs(0), exprs(1), exprs(2), exprs(3)))
   }
 }

@@ -155,13 +155,13 @@ final case class Stores(
     * across union branches — an unpersisted bundle (e.g. a freshly
     * restored backup) is otherwise re-read once per branch. */
   def persistAll(): Stores = {
-    productIterator.foreach { case d: DataFrame => d.persist() }
+    productIterator.collect { case d: DataFrame => d.persist() }
     this
   }
 
   /** Release every store's cache (non-blocking). */
   def unpersistAll(): Unit =
-    productIterator.foreach { case d: DataFrame => d.unpersist(false) }
+    productIterator.collect { case d: DataFrame => d.unpersist(false) }
 }
 
 object RecordStores {

@@ -197,7 +197,16 @@ object GraphOps {
     * edge-table self-joins, all equi-keyed; the two nation legs reduce
     * to (order, nation) pairs before the final order-keyed join, so
     * nothing wider than two columns crosses an exchange. */
-  def sameNationTrade(spark: SparkSession, dir: String): DataFrame = {
+  def sameNationTrade(spark: SparkSession, dir: String): DataFrame =
+    motifMemo.getOrElseUpdate(spark, dir)(
+      sameNationTradeCompute(spark, dir).persist())
+
+  /** 5.1 exec-s warm per touch in the r13 artifact (four edge-table
+    * self-joins re-run every read) — above the ≥5 s memo-policy
+    * cut-line (VERDICT r13 Next #1). */
+  private val motifMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
+
+  private def sameNationTradeCompute(spark: SparkSession, dir: String): DataFrame = {
     val rels = TpchGraph.relsLite(spark, dir)
     val nodes = TpchGraph.nodes(spark, dir)
     def leg(edgeType: String) = rels.filter(col("type") === edgeType)

@@ -617,6 +617,18 @@ object AuditScale {
         ((System.nanoTime() - t0) / 1e9, (execMs.get() - e0) / 1e3, r._2)
       r
     }
+    // decontamination pair (VERDICT r13 Next #4): the ACTION at the
+    // tier its claim is about — the eval gram set is the small probe
+    // side; the bloom-symmetric variant packs THAT side into the
+    // bitset so the corpus-shaped train stream filters map-side
+    phase("decontam_exact") { Pipeline.ngramDecontaminateOf(toks, src).count() }
+    phase("decontam_bloom") {
+      Pipeline.ngramDecontaminateBloomOf(toks, src, BloomBits).count()
+    }
+    phase("contam_topdocs") {
+      Pipeline.contamTopDocsOf(
+        Pipeline.overlapGramTableOf(toks)).count()
+    }
     val leak = Pipeline.leakageFamiliesOf(fams).persist()
     phase("leakage_families") { leak.count() }
     val dup = Pipeline.dupSourcesOf(famRows, src).persist()

@@ -355,7 +355,7 @@ object Pipeline {
         .map(i => expr(overlapBitSql(i, bits))): _*)).as("bit"))
       .select(expr("shiftright(bit, 6)").as("widx"),
         expr("shiftleft(1L, CAST(bit % 64 AS INT))").as("m"))
-    val zeros = train.sparkSession.range(bits / 64)
+    val zeros = train.sparkSession.range((bits + 63) / 64)
       .select(col("id").as("widx"), lit(0L).as("m"))
     masks.unionAll(zeros)
       .groupBy("widx").agg(expr("bit_or(m)").as("word"))
@@ -364,12 +364,14 @@ object Pipeline {
   }
 
   /** all-k-bits-set membership test against the broadcast dense `bm`
-    * array (element_at is 1-based). */
+    * array — the [[graft.functions.BloomProbe]] native expression, so
+    * each of the k hashes computes exactly once per probed gram (the
+    * composed SQL form needed each bit twice, and Catalyst fuses this
+    * predicate into a BroadcastNestedLoopJoin condition where no
+    * codegen CSE can collapse the duplicates — VERDICT r13 Next #6).
+    * Callers must have registered [[graft.functions.GraftFunctions]]. */
   private[operators] def overlapPass(bits: Long): org.apache.spark.sql.Column =
-    (0 until OverlapBloomK).map { i =>
-      expr(s"(element_at(bm, CAST(shiftright(${overlapBitSql(i, bits)}, 6) AS INT) + 1)" +
-        s" & shiftleft(1L, CAST(${overlapBitSql(i, bits)} % 64 AS INT))) != 0L")
-    }.reduce(_ && _)
+    expr(s"graft_bloom_probe(bm, gram, ${bits}L, $OverlapBloomK)")
 
   /** The bloom-prefiltered form of [[ngramOverlap]] — the standard
     * 100 TB cheapening that query's Scaladoc names (VERDICT r12 Next
@@ -402,6 +404,7 @@ object Pipeline {
   /** [[ngramOverlapBloom]] over an arbitrary (doc_id, t) token table
     * with caller-sized bitset — the form the scale harness drives. */
   private[operators] def ngramOverlapBloomOf(toks: DataFrame, bits: Long): DataFrame = {
+    TextOps.ensureRegistered(toks.sparkSession)
     val dg = overlapGramTableOf(toks)
     val train = dg.filter(col("r") === 0L).select("gram").distinct()
     val bloom = overlapBloomOf(train, bits)
@@ -435,6 +438,7 @@ object Pipeline {
 
   private[operators] def overlapBloomReductionOf(toks: DataFrame,
       bits: Long): (Long, Long) = {
+    TextOps.ensureRegistered(toks.sparkSession)
     val dg = overlapGramTableOf(toks)
     val train = dg.filter(col("r") === 0L).select("gram").distinct()
     val bloom = overlapBloomOf(train, bits)
@@ -470,22 +474,129 @@ object Pipeline {
 
   private val ngramDecontamMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
 
-  private def ngramDecontaminateCompute(spark: SparkSession, dir: String): DataFrame = {
-    TextOps.ensureRegistered(spark)
-    val dg = overlapGramTable(spark, dir)
+  /** Distinct train doc_ids sharing any [[OverlapN]]-gram with the
+    * val/test splits — the drop side both [[ngramDecontaminate]] (the
+    * report) and [[curateV3]] (the release path) anti-join against. */
+  private[operators] def leakyTrainDocs(spark: SparkSession, dir: String): DataFrame =
+    leakyTrainDocsOf(overlapGramTable(spark, dir))
+
+  private[operators] def leakyTrainDocsOf(dg: DataFrame): DataFrame = {
     val evalGrams = dg.filter(col("r") =!= 0L).select("gram").distinct()
-    val leaky = dg.filter(col("r") === 0L)
+    dg.filter(col("r") === 0L)
       .join(evalGrams, "gram")
       .select("doc_id").distinct()
-      .withColumn("dropped", lit(1L))
-    TextOps.docs(spark, dir)
-      .filter(splitRankOf(col("doc_id")) === 0L)
+  }
+
+  /** Bloom-symmetric leaky-doc derivation — the [[ngramOverlapBloom]]
+    * bitset applied in the decontamination direction the operator doc
+    * names: the EVAL gram set (the small side) packs into the
+    * fixed-size bitset, the corpus-shaped TRAIN gram stream filters
+    * map-side ahead of the gram exchange, and the exact equi-join
+    * removes the false positives — so the leaky set (and every rollup
+    * over it) is identical to [[leakyTrainDocsOf]]'s by construction.
+    * At 100 TB this is the shape that matters most here: in
+    * decontamination the BIG side is train (80% of the corpus), so the
+    * prefilter cheapens the dominant stream. */
+  private[operators] def leakyTrainDocsBloomOf(dg: DataFrame, bits: Long): DataFrame = {
+    val evalGrams = dg.filter(col("r") =!= 0L).select("gram").distinct()
+    val bloom = overlapBloomOf(evalGrams, bits)
+    dg.filter(col("r") === 0L)
+      .crossJoin(broadcast(bloom)).filter(overlapPass(bits)).drop("bm")
+      .join(evalGrams, "gram")
+      .select("doc_id").distinct()
+  }
+
+  /** Per-source (docs, dropped, kept) rollup of a leaky-doc set over
+    * the train split of `src` (doc_id, source). */
+  private def decontamRollupOf(src: DataFrame, leaky: DataFrame): DataFrame =
+    src.filter(splitRankOf(col("doc_id")) === 0L)
       .select(col("doc_id"), col("source"))
-      .join(leaky, Seq("doc_id"), "left")
+      .join(leaky.withColumn("dropped", lit(1L)), Seq("doc_id"), "left")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(coalesce(col("dropped"), lit(0L))).as("n_dropped"))
       .withColumn("n_kept", col("n_docs") - col("n_dropped"))
+
+  /** [[ngramDecontaminate]] over an arbitrary (doc_id, t) token table
+    * and (doc_id, source) mapping — the form the scale harness drives. */
+  private[operators] def ngramDecontaminateOf(toks: DataFrame, src: DataFrame): DataFrame =
+    decontamRollupOf(src, leakyTrainDocsOf(overlapGramTableOf(toks)))
+
+  /** Bloom-prefiltered [[ngramDecontaminateOf]] (identical output). */
+  private[operators] def ngramDecontaminateBloomOf(toks: DataFrame, src: DataFrame,
+      bits: Long): DataFrame = {
+    TextOps.ensureRegistered(toks.sparkSession)
+    decontamRollupOf(src, leakyTrainDocsBloomOf(overlapGramTableOf(toks), bits))
+  }
+
+  private def ngramDecontaminateCompute(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.ensureRegistered(spark)
+    decontamRollupOf(TextOps.docs(spark, dir), leakyTrainDocs(spark, dir))
+  }
+
+  /** The bloom-prefiltered form of [[ngramDecontaminate]] — identical
+    * output by the same argument as [[ngramOverlapBloom]] (no false
+    * negatives; exact join removes false positives), so it gates
+    * against the SAME oracle: one truth, two engine plans. */
+  def ngramDecontaminateBloom(spark: SparkSession, dir: String): DataFrame =
+    decontamBloomMemo.getOrElseUpdate(spark, dir)(
+      ngramDecontaminateBloomCompute(spark, dir).persist())
+
+  private val decontamBloomMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
+
+  private def ngramDecontaminateBloomCompute(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.ensureRegistered(spark)
+    decontamRollupOf(TextOps.docs(spark, dir),
+      leakyTrainDocsBloomOf(overlapGramTable(spark, dir), OverlapBloomBits))
+  }
+
+  /** The decontaminated train corpus — every train doc minus
+    * [[leakyTrainDocs]] (docs, not a report; the set the release
+    * actually assembles from). Round14OpsSpec proves it gram-disjoint
+    * from val/test the NgramDecontamSpec way. */
+  private[graft] def decontamTrainDocs(spark: SparkSession, dir: String): DataFrame = {
+    TextOps.ensureRegistered(spark)
+    TextOps.docs(spark, dir)
+      .filter(splitRankOf(col("doc_id")) === 0L)
+      .join(leakyTrainDocs(spark, dir), Seq("doc_id"), "left_anti")
+  }
+
+  /** Curation v3 — the decontamination ACTION composed into the
+    * release path (VERDICT r13 Next #3): the train split assembles
+    * from [[decontamTrainDocs]] (train minus every doc sharing an
+    * [[OverlapN]]-gram with val/test — so the released training set is
+    * PROVABLY gram-disjoint from the evals it will be scored on), then
+    * packs into [[SeqTokens]]-token training sequences exactly as
+    * [[packSequences]] does, reported per source as (docs, tokens,
+    * sequences). `n_docs` here reconciles with
+    * [[ngramDecontaminate]]'s `n_kept` by construction — the audit,
+    * the action, and the release artifact are one lineage.
+    *
+    * Scale shape: the leaky-doc side is dup-audit-sized (≪ corpus) and
+    * applies as one left-anti join on doc_id; the packing cumsum stays
+    * partition-local per source (no global sort); one partial-agg
+    * groupBy closes it. Nothing here is ever all-pairs or collected. */
+  def curateV3(spark: SparkSession, dir: String): DataFrame =
+    curateV3Memo.getOrElseUpdate(spark, dir)(
+      curateV3Compute(spark, dir).persist())
+
+  private val curateV3Memo = new graft.SessionMemo[DataFrame](outputMemo = true)
+
+  private def curateV3Compute(spark: SparkSession, dir: String): DataFrame = {
+    val d = decontamTrainDocs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextOps.toks(col("text"))).cast("long").as("n_tokens"),
+        pmod(col("doc_id") * SampleMult, lit(SampleMod)).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("h")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    d.withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("seq_id", expr(s"(cum - n_tokens) div $SeqTokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        countDistinct("seq_id").as("n_seqs"))
   }
 
   /** Top contaminated eval documents — the per-doc drill-down of
@@ -504,7 +615,12 @@ object Pipeline {
 
   private def contamTopDocsCompute(spark: SparkSession, dir: String): DataFrame = {
     TextOps.ensureRegistered(spark)
-    val dg = overlapGramTable(spark, dir)
+    contamTopDocsOf(overlapGramTable(spark, dir))
+  }
+
+  /** [[contamTopDocs]] over an arbitrary pre-built (doc_id, r, gram)
+    * table — the form the scale harness drives. */
+  private[operators] def contamTopDocsOf(dg: DataFrame): DataFrame = {
     val train = dg.filter(col("r") === 0L).select("gram").distinct()
     val ev = dg.filter(col("r") =!= 0L)
     val tot = ev.groupBy("doc_id", "r").agg(count(lit(1)).as("n_grams"))
@@ -827,10 +943,27 @@ object Pipeline {
     // the raw double would hash the engines' addition orders)
     val plan = epochPlan(spark, dir)
       .agg(round(sum("shortfall")).cast("long").as("plan_shortfall_tokens"))
+    // eval-integrity numbers (VERDICT r13 Next #2): the n-gram
+    // contamination audit's per-split counts + overall hit rate, and
+    // the decontamination action's dropped/kept totals — the audit's
+    // own doc says the card is where these belong. Scalars over the
+    // already-memoized 2-row / per-source tables; the overall rate is
+    // ONE division of two exact BIGINT sums (engine-order-proof).
+    val contam = ngramOverlap(spark, dir).agg(
+      coalesce(sum(when(col("split") === "val", col("n_contaminated"))), lit(0L))
+        .as("contam_val_docs"),
+      coalesce(sum(when(col("split") === "test", col("n_contaminated"))), lit(0L))
+        .as("contam_test_docs"),
+      (sum("n_hits").cast("double") / sum("n_grams").cast("double"))
+        .as("contam_hit_rate"))
+    val decon = ngramDecontaminate(spark, dir).agg(
+      coalesce(sum("n_dropped"), lit(0L)).as("decontam_dropped_docs"),
+      coalesce(sum("n_kept"), lit(0L)).as("decontam_kept_docs"))
     base.crossJoin(broadcast(vocab)).crossJoin(broadcast(qual))
       .crossJoin(broadcast(langs)).crossJoin(broadcast(dups))
       .crossJoin(broadcast(leak)).crossJoin(broadcast(xsrc))
       .crossJoin(broadcast(plan))
+      .crossJoin(broadcast(contam)).crossJoin(broadcast(decon))
   }
 
   /** DSIR feature space: hashed-unigram bucket count and the

@@ -631,7 +631,16 @@ object Similarity {
     * n·Σx² < 2⁶³ (n ≲ 3e6 vectors at this quantization); past that the
     * stats pass switches to per-partition Welford doubles and the
     * oracle bit-exactness claim relaxes to a tolerance. */
-  def whitenNorms(spark: SparkSession, dir: String): DataFrame = {
+  def whitenNorms(spark: SparkSession, dir: String): DataFrame =
+    whitenMemo.getOrElseUpdate(spark, dir)(
+      whitenNormsCompute(spark, dir).persist())
+
+  /** 8.8 exec-s warm re-run per touch in the r13 artifact — the last
+    * pure query above the ≥5 s memo-policy cut-line (VERDICT r13 Next
+    * #1); same lifecycle as [[int8Memo]]. */
+  private val whitenMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
+
+  private def whitenNormsCompute(spark: SparkSession, dir: String): DataFrame = {
     val q = quantizedCached(spark, dir)
     val el = q.select(posexplode(col("q")).as(Seq("i0", "x")))
       .select((col("i0") + 1).cast("long").as("dim"), col("x"))

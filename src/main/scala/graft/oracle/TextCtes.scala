@@ -502,6 +502,40 @@ object TextCtes {
        |LIMIT 20""".stripMargin
   }
 
+  /** twin of Pipeline.curateV3: same leaky-doc derivation as the
+    * ngramDecontaminate twin, train-minus-leaky assembled and packed
+    * with the packSequences twin's cumsum (multiplicative-hash order
+    * is tie-free: the hash is injective mod the prime). */
+  val curateV3: String = {
+    import graft.operators.Pipeline.{OverlapN, SampleMod, SampleMult, SeqTokens, SplitMult}
+    s"""WITH d AS (SELECT doc_id, source, ${toks("text")} AS t FROM documents),
+       |g AS (SELECT doc_id,
+       |    CASE WHEN ((doc_id * $SplitMult) % $SampleMod) % 100 < 80 THEN 0
+       |         WHEN ((doc_id * $SplitMult) % $SampleMod) % 100 < 90 THEN 1
+       |         ELSE 2 END AS r,
+       |    unnest(list_transform(range(0, len(t) - ${OverlapN - 1}),
+       |      j -> array_to_string(t[j + 1 : j + $OverlapN], ' '))) AS gram
+       |  FROM d WHERE len(t) >= $OverlapN),
+       |dg AS (SELECT DISTINCT doc_id, r, gram FROM g),
+       |ev_grams AS (SELECT DISTINCT gram FROM dg WHERE r <> 0),
+       |leaky AS (SELECT DISTINCT t.doc_id
+       |  FROM dg t JOIN ev_grams e USING (gram) WHERE t.r = 0),
+       |kept AS (SELECT d.doc_id, d.source,
+       |    CAST(len(t) AS BIGINT) AS n_tokens,
+       |    (d.doc_id * $SampleMult) % $SampleMod AS h
+       |  FROM d LEFT JOIN leaky l USING (doc_id)
+       |  WHERE ((d.doc_id * $SplitMult) % $SampleMod) % 100 < 80
+       |    AND l.doc_id IS NULL),
+       |seq AS (SELECT source, n_tokens,
+       |    (sum(n_tokens) OVER (PARTITION BY source ORDER BY h
+       |       ROWS UNBOUNDED PRECEDING) - n_tokens) // $SeqTokens AS seq_id
+       |  FROM kept)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs
+       |FROM seq GROUP BY source""".stripMargin
+  }
+
   /** twin of Pipeline.keepBest: cluster membership (canonical included
     * as its own member), originals only, longest-member-wins with ties
     * to the smaller id. */
@@ -1984,12 +2018,26 @@ object TextCtes {
        |    CAST(coalesce(sum(n_strong), 0) AS BIGINT) AS cross_src_strong
        |  FROM ($dupSources) WHERE source_lo <> source_hi),
        |ep AS (SELECT CAST(round(sum(shortfall)) AS BIGINT)
-       |    AS plan_shortfall_tokens FROM ($epochPlan))
+       |    AS plan_shortfall_tokens FROM ($epochPlan)),
+       |cn AS (SELECT
+       |    CAST(coalesce(sum(CASE WHEN split = 'val' THEN n_contaminated END), 0)
+       |      AS BIGINT) AS contam_val_docs,
+       |    CAST(coalesce(sum(CASE WHEN split = 'test' THEN n_contaminated END), 0)
+       |      AS BIGINT) AS contam_test_docs,
+       |    CAST(sum(n_hits) AS DOUBLE) / CAST(sum(n_grams) AS DOUBLE)
+       |      AS contam_hit_rate
+       |  FROM ($ngramOverlap)),
+       |dc AS (SELECT
+       |    CAST(coalesce(sum(n_dropped), 0) AS BIGINT) AS decontam_dropped_docs,
+       |    CAST(coalesce(sum(n_kept), 0) AS BIGINT) AS decontam_kept_docs
+       |  FROM ($ngramDecontaminate))
        |SELECT n_docs, n_sources, n_tokens, n_vocab, mean_quality,
        |  n_en, n_de, n_es, n_fr, n_zh_docs, dup_docs,
        |  leak_pairs, leak_families, cross_src_pairs, cross_src_strong,
-       |  plan_shortfall_tokens
-       |FROM base, voc, mq, lg, dp, lk, xs, ep""".stripMargin
+       |  plan_shortfall_tokens,
+       |  contam_val_docs, contam_test_docs, contam_hit_rate,
+       |  decontam_dropped_docs, decontam_kept_docs
+       |FROM base, voc, mq, lg, dp, lk, xs, ep, cn, dc""".stripMargin
 
   /** twin of [[graft.operators.Similarity.annMultiprobe]]: same
     * weakest-plane flip (argmin |d|, lowest p), two probes per query,

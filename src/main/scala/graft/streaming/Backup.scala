@@ -292,14 +292,27 @@ object Backup {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     try {
-      val marks = scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(storeSeq(s).map { case (n, df) =>
-          scala.concurrent.Future {
-            df.write.mode("overwrite").parquet(s"$dir/$n")
-            val idc = storeIdCol(n)
-            n -> df.agg(coalesce(max(col(idc)), lit(-1L))).head().getLong(0)
-          }
-        }), scala.concurrent.duration.Duration.Inf)
+      val futures = storeSeq(s).map { case (n, df) =>
+        scala.concurrent.Future {
+          df.write.mode("overwrite").parquet(s"$dir/$n")
+          val idc = storeIdCol(n)
+          n -> df.agg(coalesce(max(col(idc)), lit(-1L))).head().getLong(0)
+        }
+      }
+      // Await each store individually under a finite timeout rather
+      // than Future.sequence/Inf: a sequence-await fails fast on the
+      // first error while the other pool threads keep writing into
+      // `dir` behind a caller that already threw, and a hung write
+      // would block forever (ADVICE r13). Collecting every outcome
+      // means no writer is still racing when this method returns.
+      val outcomes = futures.map(f => scala.util.Try(scala.concurrent.Await
+        .result(f, scala.concurrent.duration.Duration(30, "min"))))
+      outcomes.collectFirst { case scala.util.Failure(e) =>
+        pool.shutdownNow()
+        pool.awaitTermination(1, java.util.concurrent.TimeUnit.MINUTES)
+        throw e
+      }
+      val marks = outcomes.collect { case scala.util.Success(m) => m }
       writeStoreWatermarks(dir, marks.toMap)
       writeStoreId(dir, storeId)
     } finally pool.shutdown()

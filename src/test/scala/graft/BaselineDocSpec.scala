@@ -96,6 +96,40 @@ class BaselineDocSpec extends AnyFunSuite {
       assert(co != null && co.isArray && co.size() == root.get("queries_cold_wall_exec").size(),
         "cold_order missing or not covering the cold pass")
     }
+    if (round >= 14) {
+      // The memo-policy claim ("every (session, dir)-pure query above
+      // the >=5 exec-s warm tier is output-memoized") drifted from the
+      // shipped artifact in r13 (emb_whiten 8.8 / cc_summary 5.6 /
+      // g_motif_same_nation 5.1 warm exec-s, all memo=false, while
+      // SCALE.md claimed full migration — VERDICT r13 Wrong #1/Next
+      // #1). Machine-check it: any query whose warm exec median in the
+      // PINNED artifact exceeds the cut-line and which the artifact
+      // did not observe as an output-memo read needs a named exclusion
+      // line in SCALE.md: `<!-- memo_exclusion: <query> ... -->`.
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+      val root = mapper.readTree(file)
+      val memoWarmed = {
+        val it = root.get("memo_warmed").elements()
+        val b = Set.newBuilder[String]
+        while (it.hasNext) b += it.next().asText()
+        b.result()
+      }
+      val scale = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("SCALE.md")), "UTF-8")
+      val em = root.get("queries_exec_med").fields()
+      val offenders = scala.collection.mutable.ListBuffer[String]()
+      while (em.hasNext) {
+        val e = em.next()
+        val (q, sec) = (e.getKey, e.getValue.asDouble())
+        if (sec > 5.0 && !memoWarmed.contains(q) &&
+            !scale.contains(s"<!-- memo_exclusion: $q"))
+          offenders += f"$q ($sec%.1f exec-s)"
+      }
+      assert(offenders.isEmpty,
+        s"memo-policy drift: warm exec median > 5 s, memo=false, no " +
+          s"`<!-- memo_exclusion: <query> ... -->` line in SCALE.md: " +
+          offenders.mkString(", "))
+    }
   }
 
   test("BASELINE.md pins the latest builder artifact's headline") {

@@ -27,10 +27,17 @@ class OverlapBloomSpec extends SparkTestBase {
     // the bitset membership test must survive optimization — either as
     // a Filter or fused into the broadcast join's condition (Catalyst
     // merges a filter over a cross join into the join itself)
-    val idxProbe = lines.indexWhere(_.contains("element_at"))
+    val idxProbe = lines.indexWhere(_.contains("graft_bloom_probe"))
     assert(idxProbe >= 0, p)
     assert(lines(idxProbe).contains("Filter") ||
       lines(idxProbe).contains("BroadcastNestedLoop"), lines(idxProbe))
+    // single-hash pin (VERDICT r13 Next #6): the probe is ONE native
+    // expression (k hashes computed once each inside it), not the
+    // composed SQL form whose 2k xxhash64 copies no codegen CSE can
+    // collapse out of a BroadcastNestedLoopJoin condition
+    assert("graft_bloom_probe".r.findAllIn(lines(idxProbe)).length == 1,
+      lines(idxProbe))
+    assert(!lines(idxProbe).contains("xxhash64"), lines(idxProbe))
     // and the bitset row must attach by broadcast (map-side prefilter)
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop"), p)
     // tree print order: a parent prints above its subtree. The probe

@@ -98,7 +98,22 @@ def _cold_items(art):
     cw = art.get("queries_cold_wall_exec", {})
     order = art.get("cold_order")
     if order:
-        return [(q, cw[q]) for q in order if q in cw]
+        items = [(q, cw[q]) for q in order if q in cw]
+        # A malformed artifact (order and cold-map disagreeing) must not
+        # silently shrink the anomaly-window scan — that is the same
+        # silent-truncation class cold_order exists to kill (ADVICE
+        # r13). Leftover cold-map queries append after the ordered run
+        # (window adjacency for them is best-effort, coverage is not),
+        # and the mismatch is shouted on stderr.
+        leftover = [q for q in cw if q not in set(order)]
+        missing = [q for q in order if q not in cw]
+        if leftover or missing:
+            print(f"WARNING: cold_order/queries_cold_wall_exec mismatch: "
+                  f"{len(leftover)} cold-map-only {leftover[:5]}, "
+                  f"{len(missing)} order-only {missing[:5]}",
+                  file=sys.stderr)
+            items.extend((q, cw[q]) for q in leftover)
+        return items
     return list(cw.items())
 
 
