@@ -155,13 +155,16 @@ final case class Stores(
     * across union branches — an unpersisted bundle (e.g. a freshly
     * restored backup) is otherwise re-read once per branch. */
   def persistAll(): Stores = {
-    productIterator.collect { case d: DataFrame => d.persist() }
+    // collect-then-foreach: Iterator.collect alone is LAZY — a bare
+    // `collect { case d => d.persist() }` never runs the side effect
+    // (the restored bundle then re-reads parquet once per check branch)
+    productIterator.collect { case d: DataFrame => d }.foreach(_.persist())
     this
   }
 
   /** Release every store's cache (non-blocking). */
   def unpersistAll(): Unit =
-    productIterator.collect { case d: DataFrame => d.unpersist(false) }
+    productIterator.collect { case d: DataFrame => d }.foreach(_.unpersist(false))
 }
 
 object RecordStores {

@@ -56,6 +56,22 @@ class RecordStoresSpec extends SparkTestBase {
     assert(heads.count() === 0L)
   }
 
+  test("persistAll eagerly marks every store; unpersistAll releases them") {
+    // regression guard: Iterator.collect is lazy — a collect-only body
+    // silently skipped the persist side effect (r14 warmup regression)
+    val s = graft.checker.Corruption(
+      graft.model.RecordStores.derive(spark, dir))
+    try {
+      s.persistAll()
+      assert(s.productIterator.collect { case d: org.apache.spark.sql.DataFrame => d }
+        .forall(_.storageLevel.useMemory),
+        "persistAll must mark every store DataFrame for caching")
+    } finally s.unpersistAll()
+    assert(s.productIterator.collect { case d: org.apache.spark.sql.DataFrame => d }
+      .forall(!_.storageLevel.useMemory),
+      "unpersistAll must release every store DataFrame")
+  }
+
   test("cache counters report the block manager's persisted state (A6 analog)") {
     val probe = spark.range(1000).toDF("id").persist()
     probe.count() // materialize so the block manager registers it
