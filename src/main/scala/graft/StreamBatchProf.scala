@@ -81,15 +81,79 @@ object StreamBatchProf {
         bp = Dedup.rawPostings(Dedup.nearCorpus(spark, sfDir)).persist()
         bp.count()
       }
-      val baseDf = bp.groupBy("sfp").agg(count(lit(1)).as("df"))
+      val baseDf = bp.groupBy("sfp").agg(count(lit(1)).as("df")).persist()
       phase(r, "df_agg") { baseDf.count() }
+      var capped: org.apache.spark.sql.DataFrame = null
+      phase(r, "cap_join") {
+        capped = bp.join(
+          baseDf.filter(col("df") <= Dedup.MaxDf).select("sfp"), "sfp").persist()
+        capped.count()
+      }
       var pairs: org.apache.spark.sql.DataFrame = null
       phase(r, "probe") {
-        pairs = DedupStream.batchPairs(bp, baseDf,
+        pairs = DedupStream.batchPairs(capped, baseDf,
           Dedup.deltaCorpus(spark, sfDir)).persist()
         pairs.count()
       }
-      bp.unpersist()
+      // sub-phase split of the probe (GRAFT_SB_SUBPHASES=1): replicate
+      // batchPairs' internal steps one materialization at a time so the
+      // 100+ exec-s "probe/verify fan-out" attributes to a STEP, not a
+      // phase — candidate generation vs exact verify vs size sidecar.
+      if (sys.env.contains("GRAFT_SB_SUBPHASES")) {
+        val delta = Dedup.deltaCorpus(spark, sfDir)
+        val dp = Dedup.rawPostings(delta).persist()
+        phase(r, "sp_delta") { dp.count() }
+        val dfDelta = dp.groupBy("sfp").agg(count(lit(1)).as("dfd"))
+        val baseDfAtDelta = baseDf.join(
+          org.apache.spark.sql.functions.broadcast(dfDelta.select("sfp")), "sfp")
+        val dfU = dfDelta
+          .join(org.apache.spark.sql.functions.broadcast(baseDfAtDelta),
+            Seq("sfp"), "left")
+          .select(col("sfp"), col("dfd"),
+            org.apache.spark.sql.functions.coalesce(col("df"), lit(0L)).as("dfb"))
+          .persist()
+        phase(r, "sp_dfu") { dfU.count() }
+        val keep = dfU.filter(col("dfd") + col("dfb") <= graft.operators.Dedup.MaxDf)
+          .select("sfp")
+        val overCap = dfU.filter(col("dfb") <= graft.operators.Dedup.MaxDf &&
+          col("dfd") + col("dfb") > graft.operators.Dedup.MaxDf).select("sfp")
+        val probeP = dp.join(
+          org.apache.spark.sql.functions.broadcast(keep), "sfp").persist()
+        phase(r, "sp_probe_set") { probeP.count() }
+        val cappedU = capped
+          .join(org.apache.spark.sql.functions.broadcast(overCap),
+            Seq("sfp"), "left_anti")
+          .unionAll(probeP).persist()
+        phase(r, "sp_capped") { cappedU.count() }
+        // collision-count verify (the r14 shape): the candidate join
+        // IS the intersection enumeration — one partial-agg groupBy
+        // replaces the former distinct + two-sided posting re-join
+        // (which this profiler measured at cand 14.6 + inter 73.4
+        // exec-s of the probe's ~107 before the rewrite)
+        val inter = org.apache.spark.sql.functions.broadcast(
+            probeP.select(col("doc_id").as("x"), col("sfp")))
+          .join(capped
+              .join(org.apache.spark.sql.functions.broadcast(overCap),
+                Seq("sfp"), "left_anti")
+              .select(col("doc_id").as("y"), col("sfp"), lit(false).as("is_d"))
+            .unionAll(probeP.select(col("doc_id").as("y"), col("sfp"),
+              lit(true).as("is_d"))), "sfp")
+          .filter(col("x") =!= col("y") && (!col("is_d") || col("x") < col("y")))
+          .groupBy(org.apache.spark.sql.functions.least(col("x"), col("y")).as("a"),
+            org.apache.spark.sql.functions.greatest(col("x"), col("y")).as("b"))
+          .agg(count(lit(1)).as("inter")).persist()
+        phase(r, "sp_collision") { inter.count() }
+        val sizes = cappedU.groupBy("doc_id").agg(count(lit(1)).as("nsh")).persist()
+        phase(r, "sp_sizes") { sizes.count() }
+        val scored = inter
+          .join(sizes.select(col("doc_id").as("a"), col("nsh").as("na")), "a")
+          .join(sizes.select(col("doc_id").as("b"), col("nsh").as("nb")), "b")
+          .withColumn("jacc", col("inter") / (col("na") + col("nb") - col("inter")))
+          .filter(col("jacc") >= graft.operators.Dedup.Tau)
+        phase(r, "sp_score") { scored.count() }
+        Seq(dp, dfU, probeP, cappedU, inter, sizes).foreach(_.unpersist())
+      }
+      bp.unpersist(); baseDf.unpersist(); capped.unpersist()
       pairs.unpersist()
       DedupStream.drainBatchHandles()
       SessionMemo.drainColdOrphans()

@@ -75,13 +75,27 @@ object Dedup {
 
   /** Both near-dup operators (ngram Jaccard, MinHash LSH) start from
     * the same df-capped shingle table — memoize it per (session, dir)
-    * so a Verify/Bench run builds it once (evicted on session end). */
-  private val shMemo = new graft.SessionMemo[DataFrame]
+    * so a Verify/Bench run builds it once (evicted on session end).
+    * The UNCAPPED df sidecar rides along in the same entry: it is the
+    * other half of a maintained index ([[streamBatchPairs]] needs the
+    * over-cap keys' true counts to cap union df correctly), and the
+    * one aggregation that produces it is already on the capped table's
+    * own build path — two cached outputs, one computation. */
+  private val shMemo = new graft.SessionMemo[(DataFrame, DataFrame)]
+  private[operators] def nearShinglesWithDf(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    shMemo.getOrElseUpdate(spark, dir) {
+      val sh = rawPostings(nearCorpus(spark, dir))
+      val df = sh.groupBy("sfp").agg(count(lit(1)).as("df")).persist()
+      val capped = sh
+        .join(df.filter(col("df") <= MaxDf).select("sfp"), "sfp").persist()
+      (capped, df)
+    }
   private[operators] def nearShingles(spark: SparkSession, dir: String): DataFrame =
-    shMemo.getOrElseUpdate(spark, dir)(shingles(nearCorpus(spark, dir)))
+    nearShinglesWithDf(spark, dir)._1
 
   /** Jaccard from per-pair intersection counts: attach sizes, keep ≥ τ. */
-  private def jaccard(sh: DataFrame, inter: DataFrame): DataFrame = {
+  private[operators] def jaccard(sh: DataFrame, inter: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     inter
       .join(sizes.select(col("doc_id").as("a"), col("nsh").as("na")), "a")
@@ -183,12 +197,25 @@ object Dedup {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("df", "sfp")
-    // prefix length for τ = 1/2: n − ⌈n/2⌉ + 1, pure integer
+    // prefix length for τ = 1/2: n − ⌈n/2⌉ + 1, pure integer.
+    // PERSISTED: the candidate self-join references the prefix index
+    // twice and Spark does not dedupe common subtrees, so without the
+    // persist the window sort (the compute's most expensive stage —
+    // one total shuffle+sort of the shingle⋈df table) and both joins
+    // under it executed once PER SIDE (r14 ColdProf: 328 exec-s cold,
+    // 24× the plain inverted-index twin; the plan carried two Window
+    // operators over identical input).
     val pref = sh.join(df, "sfp")
       .withColumn("rnk", row_number().over(w).cast("long"))
       .join(sizes, "doc_id")
       .filter(col("rnk") <= col("nsh") - expr("(nsh + 1) div 2") + 1)
       .select("doc_id", "sfp", "nsh")
+      .persist()
+    // EAGER fill: the self-join's two map stages are independent and
+    // run concurrently — against an unfilled cache each would compute
+    // the full window lineage anyway (measured: persist alone left the
+    // cold cost at ~328 exec-s; the fill must complete first)
+    pref.count()
     // candidate pair must collide in both prefixes AND pass the PPJoin
     // length filter: J ≥ 1/2 forces 2·min(|a|,|b|) ≥ max(|a|,|b|) —
     // the integer compare kills mismatched sizes before the (more
@@ -199,7 +226,37 @@ object Dedup {
       .filter(lit(2) * least(col("na"), col("nb")) >=
         greatest(col("na"), col("nb")))
       .select("a", "b").distinct()
-    scoreCandidates(sh, cand)
+    // Exact verify by SET ATTACH, not posting re-join: the candidate
+    // set here is prefix-collision-bounded but NOT intersection-
+    // complete (a shared non-prefix key produces no collision), so the
+    // probe family's collision-count trick does not apply — and the
+    // posting re-join exploded 1.17M candidates × ~50 shingles/doc into
+    // a 78.6M-row exchange (r14 PrefixProf: 310-335 of the rebuild's
+    // ~520 exec-s). Attaching each side's whole shingle set as ONE
+    // array row (docs × ~50 longs — a bounded per-doc payload at any
+    // scale; the df cap bounds pair fan-out, doc length bounds the
+    // array) moves 67× fewer rows through the verify joins and computes
+    // the intersection with a codegen array_intersect per pair.
+    // `inter` is the same exact integer; jacc is the same one division.
+    val docSets = sh.groupBy("doc_id")
+      .agg(collect_list(col("sfp")).as("set"), count(lit(1)).as("nsh"))
+    val pairs = cand
+      .join(docSets.select(col("doc_id").as("a"),
+        col("set").as("sa"), col("nsh").as("na")), "a")
+      .join(docSets.select(col("doc_id").as("b"),
+        col("set").as("sb"), col("nsh").as("nb")), "b")
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jacc", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jacc") >= Tau)
+      .select(col("a"), col("b"), col("jacc"))
+      .persist()
+    // materialize before releasing the prefix index (the memo wrapper's
+    // own persist then caches the small pair table, same lifecycle as
+    // [[incrementalPairs]])
+    pairs.count()
+    pref.unpersist()
+    pairs
   }
 
   /** candidate-set sizes (prefix-filtered vs full inverted index) —
@@ -629,13 +686,22 @@ object Dedup {
       // — only the small pair output stays pinned for the session
       val sh = shingles(nearCorpus(spark, dir).unionAll(deltaCorpus(spark, dir)))
       val delta = sh.filter(col("doc_id") >= 2 * IdOffset)
-      val cand = delta.select(col("doc_id").as("x"), col("sfp"))
+      // Every pair here contains a DELTA doc, so a pair's shared keys
+      // are all delta keys — the candidate join already enumerates the
+      // FULL intersection, one collision row per shared key. Counting
+      // collisions per (a, b) replaces the r13 shape's distinct +
+      // two-sided re-join verify (the probe family's dominant cost:
+      // 434k candidate rows re-expanded against the posting table —
+      // guide §2.3 "aggregate before you shuffle"). Delta↔delta pairs
+      // collide in both orientations; x < y keeps exactly one.
+      val inter = delta.select(col("doc_id").as("x"), col("sfp"))
         .join(sh.select(col("doc_id").as("y"), col("sfp")), "sfp")
-        .filter(col("x") =!= col("y"))
-        .select(least(col("x"), col("y")).as("a"),
+        .filter(col("x") =!= col("y") &&
+          (col("y") < 2 * IdOffset || col("x") < col("y")))
+        .groupBy(least(col("x"), col("y")).as("a"),
           greatest(col("x"), col("y")).as("b"))
-        .distinct()
-      val pairs = scoreCandidates(sh, cand).persist()
+        .agg(count(lit(1)).as("inter"))
+      val pairs = jaccard(sh, inter).persist()
       pairs.count() // materialize before releasing the shingle cache
       sh.unpersist()
       pairs
@@ -644,22 +710,27 @@ object Dedup {
 
   /** The maintained-index form of [[incrementalPairs]], via
     * [[graft.operators.DedupStream.batchPairs]]: the base corpus's
-    * UNCAPPED posting table + df sidecar (what a production index
-    * persists) probed by the delta slice, df and scoring sizes
-    * reconstituted as base+delta. Result is provably identical to the
-    * union recompute — the oracle is the SAME SQL as
-    * `dd_incremental`, so the gate hash-proves the maintained-index
-    * split against DuckDB's one-shot computation every run. */
+    * CAPPED posting table + uncapped df sidecar (what a production
+    * index persists — the same two tables [[DedupShard.buildIndex]]
+    * lays out as parquet) probed by the delta slice, df and scoring
+    * sizes reconstituted as base+delta. Both index tables are the
+    * session's shared input-layer shingle memo
+    * ([[nearShinglesWithDf]]) — the index is long-lived state, only
+    * the delta's probe recurs, the same input/output split
+    * `dd_shard_probe` already draws (its parquet index is an
+    * input-layer memo; only the probe is cold-priced). Result is
+    * provably identical to the union recompute — the oracle is the
+    * SAME SQL as `dd_incremental`, so the gate hash-proves the
+    * maintained-index split against DuckDB's one-shot computation
+    * every run. */
   private val streamBatchMemo = new graft.SessionMemo[DataFrame](outputMemo = true)
   def streamBatchPairs(spark: SparkSession, dir: String): DataFrame = {
     TextOps.ensureRegistered(spark)
     streamBatchMemo.getOrElseUpdate(spark, dir) {
-      val basePost = rawPostings(nearCorpus(spark, dir)).persist()
-      val baseDf = basePost.groupBy("sfp").agg(count(lit(1)).as("df"))
-      val pairs = DedupStream.batchPairs(basePost, baseDf,
+      val (baseCapped, baseDf) = nearShinglesWithDf(spark, dir)
+      val pairs = DedupStream.batchPairs(baseCapped, baseDf,
         deltaCorpus(spark, dir)).persist()
-      pairs.count() // materialize before releasing the posting cache
-      basePost.unpersist()
+      pairs.count() // materialize before draining the batch handles
       DedupStream.drainBatchHandles()
       pairs
     }

@@ -129,15 +129,23 @@ object DedupShard {
     val keep = dfU.filter(col("dfd") + col("dfb") <= Dedup.MaxDf).select("sfp")
     // union postings restricted to kept delta keys — the full
     // intersection domain of any (delta, *) pair
-    val shR = postT.unionAll(dp.select("doc_id", "sfp"))
-      .join(broadcast(keep), "sfp").persist()
     val probeP = dp.join(broadcast(keep), "sfp").select("doc_id", "sfp")
+    val shR = postT.join(broadcast(keep), "sfp")
+      .select(col("doc_id"), col("sfp"), lit(false).as("is_d"))
+      .unionAll(probeP.select(col("doc_id"), col("sfp"), lit(true).as("is_d")))
+      .persist()
+    // a pair's shared keys are all kept delta keys, so the candidate
+    // join enumerates the FULL intersection — count collisions per
+    // (a, b) instead of the distinct + two-sided re-join verify (same
+    // §2.3 move as [[DedupStream.batchPairs]]; the `is_d ⇒ x < y`
+    // guard keeps one collision per shared key of a delta↔delta pair)
     val cand = broadcast(probeP.select(col("doc_id").as("x"), col("sfp")))
-      .join(shR.select(col("doc_id").as("y"), col("sfp")), "sfp")
-      .filter(col("x") =!= col("y"))
-      .select(least(col("x"), col("y")).as("a"),
+      .join(shR.select(col("doc_id").as("y"), col("sfp"), col("is_d")), "sfp")
+      .filter(col("x") =!= col("y") && (!col("is_d") || col("x") < col("y")))
+      .groupBy(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
-      .distinct().persist()
+      .agg(count(lit(1)).as("inter"))
+      .persist()
     val deltaIds = dp.select("doc_id").distinct()
     val deltaSizes = probeP.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     // keys the delta pushes over the cap — the size0 correction set
@@ -160,11 +168,7 @@ object DedupShard {
       .select(col("doc_id"),
         (col("size0") - coalesce(col("over"), lit(0L))).as("nsh"))
     val sizes = deltaSizes.unionAll(baseSizes)
-    val inter = cand
-      .join(shR.select(col("doc_id").as("a"), col("sfp")), "a")
-      .join(shR.select(col("doc_id").as("b"), col("sfp")), Seq("b", "sfp"))
-      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
-    val pairs = inter
+    val pairs = cand
       .join(sizes.select(col("doc_id").as("a"), col("nsh").as("na")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("nsh").as("nb")), "b")
       .withColumn("jacc", col("inter") / (col("na") + col("nb") - col("inter")))

@@ -78,46 +78,76 @@ object DedupStream {
     * [[Dedup.incrementalPairs]]' restricted-recompute contract;
     * `dd_stream_batch` hash-gates the equality against the SAME DuckDB
     * oracle as `dd_incremental`), exact-Jaccard verify on candidates
-    * only. The capped-size pass re-reads the cached base postings once
-    * per batch; a production index stores per-doc sizes and running df
-    * incrementally — here the cached columnar scan stands in for that
-    * sidecar. */
-  def batchPairs(basePost: DataFrame, baseDf: DataFrame,
+    * only. Per batch the cached base postings are only re-READ
+    * (map-side broadcast anti/semi joins); nothing base-sized crosses
+    * an exchange — a production index stores per-doc sizes and running
+    * df incrementally, and here the cached columnar scans stand in for
+    * those sidecars. */
+  def batchPairs(baseCapped: DataFrame, baseDf: DataFrame,
                  delta: DataFrame): DataFrame = {
-    // Per-batch intermediates are PERSISTED, not recomputed per scan:
-    // the result's plan reads deltaPost twice (df sidecar + probe) and
-    // capped four times (candidate gen, both verify sides, the size
-    // denominators) — uncached, each scan re-ran the delta shingling,
-    // the df aggregation over the base, and the cap join, which the
-    // r13 phase profiler measured as ~100 of dd_stream_batch's ~110
-    // cold exec-s (and whose sometimes-deduped exchanges were the
-    // run-to-run spread; VERDICT r12 Next #3). Handles land on
+    // `baseCapped` is the base posting table already filtered to
+    // BASE-df ≤ MaxDf — the maintained index's steady-state capped
+    // postings (what [[Dedup.nearShingles]] holds for the query path
+    // and [[DedupShard.buildIndex]]'s size0 logic assumes). The
+    // union-df cap then differs from the base-only cap on DELTA KEYS
+    // ONLY (df never decreases), so the per-batch correction is two
+    // bounded broadcast sets rather than the r13 shape's full
+    // (basePost ∪ deltaPost) ⋈ keepAll exchange — the one remaining
+    // base-sized shuffle of the probe (guide §2.4/§3.2: the big side
+    // now never moves; every batch-variable side broadcasts).
+    //  - keepDelta: delta keys whose union df stays ≤ MaxDf (probe set)
+    //  - overCap:   keys the delta pushes OVER the cap — removed from
+    //               the capped base by a broadcast anti-join (map-side)
+    // deltaPost is PERSISTED (explode+distinct lineage, read by the df
+    // sidecar, the probe, and every capped scan); handles land on
     // [[pendingBatchHandles]] — the stream loop and the memo build
     // drain after materializing each batch, and a cold-mode bypass
     // registers them for Bench's orphan drain.
     val deltaPost = Dedup.rawPostings(delta).persist()
-    val dfDelta = deltaPost.groupBy("sfp").agg(count(lit(1)).as("dfd"))
-    // union df for the PROBED keys (delta keys are few -> broadcast)
-    val keepDelta = dfDelta.join(baseDf, Seq("sfp"), "left")
-      .filter(col("dfd") + coalesce(col("df"), lit(0L)) <= Dedup.MaxDf)
-      .select(col("sfp"))
-    val probe = deltaPost.join(broadcast(keepDelta), "sfp")
-    // union df over ALL keys, for the scoring denominators
-    val keepAll = baseDf.join(dfDelta, Seq("sfp"), "full_outer")
-      .filter(coalesce(col("df"), lit(0L)) + coalesce(col("dfd"), lit(0L)) <= Dedup.MaxDf)
-      .select(col("sfp"))
-    val capped = basePost.unionAll(deltaPost).join(keepAll, "sfp").persist()
-    Seq(deltaPost, capped).foreach { h =>
+    Seq(deltaPost).foreach { h =>
       pendingBatchHandles.add(h)
       if (graft.SessionMemo.coldMode) graft.SessionMemo.coldOrphans.add(h)
     }
-    val cand = broadcast(probe.select(col("doc_id").as("x"), col("sfp")))
-      .join(capped.select(col("doc_id").as("y"), col("sfp")), "sfp")
-      .filter(col("x") =!= col("y"))
-      .select(least(col("x"), col("y")).as("a"),
+    val dfDelta = deltaPost.groupBy("sfp").agg(count(lit(1)).as("dfd"))
+    // base df restricted to the delta's keys: map-side semi-join over
+    // the cached df sidecar, then the (small × small) outer attach
+    val baseDfAtDelta = baseDf
+      .join(broadcast(dfDelta.select("sfp")), "sfp")
+    val dfU = dfDelta
+      .join(broadcast(baseDfAtDelta), Seq("sfp"), "left")
+      .select(col("sfp"), col("dfd"), coalesce(col("df"), lit(0L)).as("dfb"))
+    val keepDelta = dfU.filter(col("dfd") + col("dfb") <= Dedup.MaxDf)
+      .select(col("sfp"))
+    // keys below the base cap but over the union cap (dfb > MaxDf keys
+    // are already absent from baseCapped)
+    val overCap = dfU.filter(col("dfb") <= Dedup.MaxDf &&
+        col("dfd") + col("dfb") > Dedup.MaxDf)
+      .select(col("sfp"))
+    val probe = deltaPost.join(broadcast(keepDelta), "sfp")
+    val cappedBase = baseCapped
+      .join(broadcast(overCap), Seq("sfp"), "left_anti")
+    val capped = cappedBase.unionAll(probe)
+    // Every pair contains a DELTA doc, so a pair's shared (capped) keys
+    // are all probe keys — the candidate join already enumerates the
+    // FULL intersection, one collision row per shared key. Counting
+    // collisions per (a, b) replaces the r13 shape's distinct +
+    // two-sided re-join verify, which the r14 sub-phase profile
+    // measured as the family's dominant cost (434k candidate rows
+    // re-expanded against the posting table: cand 14.6 + inter 73.4 of
+    // the probe's ~107 exec-s — guide §2.3 "aggregate before you
+    // shuffle"). Delta↔delta pairs collide in both orientations; the
+    // `is_d ⇒ x < y` guard keeps exactly one collision per shared key.
+    val inter = broadcast(probe.select(col("doc_id").as("x"), col("sfp")))
+      .join(cappedBase
+          .select(col("doc_id").as("y"), col("sfp"), lit(false).as("is_d"))
+        .unionAll(probe
+          .select(col("doc_id").as("y"), col("sfp"), lit(true).as("is_d"))),
+        "sfp")
+      .filter(col("x") =!= col("y") && (!col("is_d") || col("x") < col("y")))
+      .groupBy(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
-      .distinct()
-    Dedup.scoreCandidates(capped, cand)
+      .agg(count(lit(1)).as("inter"))
+    Dedup.jaccard(capped, inter)
   }
 
   /** Persisted per-batch intermediates of [[batchPairs]] awaiting
@@ -155,11 +185,18 @@ object DedupStream {
           if (m != null) { execMs.addAndGet(m.executorRunTime); () }
         }
       })
-    // the maintained index: built once, persisted — NOT on any batch's clock
+    // the maintained index: built once, persisted — NOT on any batch's
+    // clock. The probe side holds the CAPPED postings (batchPairs'
+    // base-side contract); the uncapped df sidecar keeps the over-cap
+    // keys' true counts for the union-df correction.
     val base = DedupScale.corpus(spark, nBase)
     val basePost = Dedup.rawPostings(base).persist()
     val baseDf = basePost.groupBy("sfp").agg(count(lit(1)).as("df")).persist()
-    baseDf.count()
+    val baseCapped = basePost
+      .join(baseDf.filter(col("df") <= Dedup.MaxDf).select("sfp"), "sfp")
+      .persist()
+    baseCapped.count()
+    basePost.unpersist() // raw postings served their purpose (df + cap)
     val stream = MemoryStream[Long]
     val timings = scala.collection.mutable.ArrayBuffer[Double]()
     val execs = scala.collection.mutable.ArrayBuffer[Double]()
@@ -171,7 +208,7 @@ object DedupStream {
         ids.foreach { b =>
           val t0 = System.nanoTime()
           val e0 = execMs.get()
-          val p = batchPairs(basePost, baseDf,
+          val p = batchPairs(baseCapped, baseDf,
             deltaDocs(spark, b, docsPerBatch, nBase)).persist()
           val n = p.count()
           // planted pair: (adjusted base cid, delta id) for even offsets
@@ -199,7 +236,7 @@ object DedupStream {
         b += 1
       }
     } finally q.stop()
-    basePost.unpersist(); baseDf.unpersist()
+    baseCapped.unpersist(); baseDf.unpersist()
     // evens over the GLOBAL k range [0, nBatches·dpb): per-batch
     // ceil(dpb/2) overcounts when dpb is odd (odd batches start at an
     // odd k and hold only floor(dpb/2) evens — ADVICE r9)

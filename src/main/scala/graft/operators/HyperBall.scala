@@ -85,6 +85,15 @@ object HyperBall {
   def harmonic(spark: SparkSession, dir: String): DataFrame =
     memo.getOrElseUpdate(spark, dir)(compute(spark, dir))._2
 
+  /** GRAFT_HB_LOG=1: per-phase wall seconds to stderr (round update,
+    * top-k, exact-ball probe, harmonic, neighborhood) — the attribution
+    * split for the compute's cold cost. */
+  private def hbLog(tag: String, t0: Long): Long = {
+    if (sys.env.contains("GRAFT_HB_LOG"))
+      System.err.println(f"[hb] $tag%-12s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+    System.nanoTime()
+  }
+
   private def compute(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     // session-memoized symmetric edge table, src-partitioned: every
     // round (and the exact-ball probe) joins on src against this copy
@@ -106,6 +115,7 @@ object HyperBall {
     val regCols = (0 until Buckets).map(j =>
       when(col("bucket") === j, col("rho")).otherwise(lit(0))
         .cast("int").as(s"r$j"))
+    var t0 = System.nanoTime()
     var regs = seeded.select(col("node") +: regCols: _*).persist()
     val maxCols = (0 until Buckets).map(j => max(s"r$j").as(s"r$j"))
     val cached = scala.collection.mutable.ListBuffer(regs)
@@ -118,6 +128,17 @@ object HyperBall {
       val next = regs.unionByName(fromNbrs)
         .groupBy("node").agg(maxCols.head, maxCols.tail: _*)
         .persist()
+      // EAGER fill: the next round's plan references this cache from
+      // TWO independent map stages (the self-union side and the
+      // edge-join side), which Spark submits concurrently — against an
+      // unfilled cache each recomputes the round's whole lineage, and
+      // the duplication compounds per round (measured: eager fills cut
+      // the pyramid from ~51 s to ~12.5 s wall at sf0.1). A
+      // delta-frontier variant was measured and rejected: 186,003 of
+      // 186,030 register vectors still change in round 3 on this
+      // corpus, so the frontier never shrinks and the per-round diff
+      // join is pure overhead.
+      next.count()
       cached += next
       rounds += next
       regs = next
@@ -130,28 +151,46 @@ object HyperBall {
     // top-10 balls by integer order; tiny — checkpoint so the seeds
     // feed both the BFS probe and the final join without re-sorting
     val top = z.orderBy(col("z"), col("node")).limit(TopN).localCheckpoint()
+    t0 = hbLog("pyramid+topk", t0)
 
-    // exact |ball(seed, Iters)| for the winners only: 10-seed BFS.
-    // Each round references the prior twice (union + expand) — persist
-    // per round or the lineage re-executes 2^Iters times.
+    // exact |ball(seed, Iters)| for the winners only: 10-seed BFS in
+    // FRONTIER form — only nodes first reached last round expand, and
+    // the distinct runs over the expansion alone. The r13 shape
+    // expanded the whole accumulated ball each round and distinct-ed
+    // ball ∪ expansion, so round k re-joined and re-deduped everything
+    // rounds 1..k-1 had already settled (ball₃ ≈ the reachable set ×
+    // 10 seeds). Set equality is the textbook BFS invariant: a node at
+    // distance k enters via a distance-(k-1) node.
     var ball = top.select(col("node").as("seed"), col("node"))
+    var bfsFrontier = ball
     for (_ <- 1 to Iters) {
-      ball = ball
-        .unionAll(ball.join(edges, ball("node") === edges("src"))
-          .select(col("seed"), col("dst").as("node")))
+      val fresh = bfsFrontier.join(edges, bfsFrontier("node") === edges("src"))
+        .select(col("seed"), col("dst").as("node"))
         .distinct()
+        .join(ball, Seq("seed", "node"), "left_anti")
         .persist()
-      cached += ball
+      cached += fresh
+      ball = ball.unionAll(fresh) // disjoint by construction
+      bfsFrontier = fresh
     }
     val balls = ball.groupBy("seed").agg(count(lit(1)).as("exact_ball"))
 
+    // The three outputs are eagerly CHECKPOINTED, not persisted: their
+    // logical plans span the whole register pyramid (3 unioned rounds ×
+    // 64 aggregates each), and a persisted entry makes every later read
+    // re-run Catalyst analysis over that tree — the suite measured
+    // it_diameter/it_harmonic at ~0.9 s wall per run with exec ~0
+    // (pure driver-side replanning, 3 runs per query per bench). A
+    // LogicalRDD plan re-analyzes in O(1); the cold bypass cannot alias
+    // a checkpoint (not CacheManager-registered), and the memo layer
+    // already handles checkpoint-backed entries (see SessionMemo).
     val out = top
       .join(nodeKinds, "node")
       .join(balls, col("node") === col("seed"))
       .select(col("node"), col("kind"), col("z"),
         (lit(EstNumerator) / col("z")).as("est"), col("exact_ball"))
-      .persist()
-    out.count() // materialize, then release the register pyramid
+      .localCheckpoint(true) // materialize, then release the pyramid
+    t0 = hbLog("probe+out", t0)
 
     // harmonic centrality for the same TopN winners: per-round z read
     // off each persisted register round restricted to the 10 winners
@@ -169,8 +208,8 @@ object HyperBall {
       .select(col("node") :: col("kind") ::
         (0 to Iters).map(t => col(s"z$t")).toList :::
         harmExpr.as("harmonic") :: Nil: _*)
-      .persist()
-    harm.count()
+      .localCheckpoint(true)
+    t0 = hbLog("harmonic", t0)
 
     // neighborhood function: one row per round t, exact-integer sums
     val estInt = EstNumerator.toLong
@@ -185,10 +224,15 @@ object HyperBall {
           max(when(col("t") === Iters, col("sum_est")))
             .over(org.apache.spark.sql.expressions.Window
               .partitionBy(lit(0)))) // Iters+1 rows total
-      .persist()
-    nbh.count()
+      .localCheckpoint(true)
+    t0 = hbLog("neighborhood", t0)
 
     cached.foreach(_.unpersist())
+    // a cold-mode bypass rebuilds all three; the memo layer only drains
+    // Dataset-valued entries, so tuple members register here (the same
+    // site-local rule as bandSweep's inner checkpoint, Dedup.scala)
+    if (graft.SessionMemo.coldMode)
+      Seq(out, harm, nbh).foreach(graft.SessionMemo.coldOrphans.add)
     (out, harm, nbh)
   }
 

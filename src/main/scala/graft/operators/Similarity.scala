@@ -1141,9 +1141,20 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("pos").as("j"), col("col").as("x"))
     val stats = el.groupBy("label", "j")
       .agg(sum("x").as("s"), count(lit(1)).as("n"))
-    val d = el.join(stats, Seq("label", "j"))
+    // stats is labels × dims rows (≤ a few hundred) — without the
+    // explicit hint Catalyst's post-aggregation size estimate planned a
+    // SortMergeJoin that shuffled the |V|·dims exploded table (the plan
+    // carried two of them, see below); broadcast keeps the distance
+    // pass map-side, and the partial agg on (vec_id, label) collapses
+    // each vector's dims rows before the exchange.
+    // d is PERSISTED because both the per-label moments and the z-score
+    // join read it and Spark does not dedupe common subtrees — uncached,
+    // the explode+join+agg executed twice (half of the query's isolated
+    // 11-13 cold exec-s in the r14 ColdProf).
+    val d = el.join(broadcast(stats), Seq("label", "j"))
       .withColumn("t", col("n") * col("x") - col("s"))
       .groupBy("vec_id", "label").agg(sum(col("t") * col("t")).as("d2"))
+      .persist()
     val m = d.groupBy("label").agg(
       avg(col("d2").cast("double")).as("mu"),
       avg(col("d2").cast("double") * col("d2").cast("double")).as("m2"))
@@ -1158,9 +1169,15 @@ object Similarity {
           .otherwise(lit(null).cast("double")))
     val w = Window.partitionBy("label")
       .orderBy(col("z").desc_nulls_last, col("vec_id"))
-    z.withColumn("rank", row_number().over(w).cast("long"))
+    // materialize before releasing d (the memo wrapper's persist then
+    // caches the tiny top-k table — same lifecycle as incrementalPairs)
+    val out = z.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= OutlierTopK)
       .select(col("label"), col("rank"), col("vec_id"), col("d2"), col("z"))
+      .persist()
+    out.count()
+    d.unpersist()
+    out
   }
 
   private val mprobeMemo = new graft.SessionMemo[DataFrame](outputMemo = true)

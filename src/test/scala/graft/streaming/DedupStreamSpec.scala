@@ -25,8 +25,10 @@ class DedupStreamSpec extends SparkTestBase {
     val base = DedupScale.corpus(spark, nBase)
     val basePost = Dedup.rawPostings(base).persist()
     val baseDf = basePost.groupBy("sfp").agg(count(lit(1)).as("df"))
+    val baseCapped = basePost
+      .join(baseDf.filter(col("df") <= Dedup.MaxDf).select("sfp"), "sfp")
     val direct = (0L until 2L).map { b =>
-      DedupStream.batchPairs(basePost, baseDf,
+      DedupStream.batchPairs(baseCapped, baseDf,
         DedupStream.deltaDocs(spark, b, docsPerBatch, nBase)).count()
     }.sum
     basePost.unpersist()
@@ -52,9 +54,11 @@ class DedupStreamSpec extends SparkTestBase {
     DedupShard.buildIndex(spark, base, idx, nShards = 16)
     val basePost = Dedup.rawPostings(base).persist()
     val baseDf = basePost.groupBy("sfp").agg(count(lit(1)).as("df"))
+    val baseCapped = basePost
+      .join(baseDf.filter(col("df") <= Dedup.MaxDf).select("sfp"), "sfp")
     (0L until 2L).foreach { b =>
       val delta = DedupStream.deltaDocs(spark, b, docsPerBatch, nBase)
-      val full = DedupStream.batchPairs(basePost, baseDf, delta)
+      val full = DedupStream.batchPairs(baseCapped, baseDf, delta)
       val (sharded, stats) = DedupShard.probe(spark, idx, 16, delta)
       assert(sharded.exceptAll(full).count() === 0L, s"batch $b: extra pairs")
       assert(full.exceptAll(sharded).count() === 0L, s"batch $b: missing pairs")
