@@ -899,8 +899,14 @@ object Pipeline {
     * ≤20-row tables built over already-memoized pair tables — scalars
     * over scalars. */
   def datasetCard(spark: SparkSession, dir: String): DataFrame =
+    // eagerly checkpointed, not persisted: the 1-row card's logical
+    // plan spans every folded audit's memoized lineage and re-ran
+    // Catalyst analysis on every read (1.07 s suite wall at 0.0
+    // exec-s); a LogicalRDD re-analyzes in O(1). The cold bypass still
+    // rebuilds the full card (checkpoints are not CacheManager-
+    // registered, so the rebuild cannot alias this entry).
     cardMemo.getOrElseUpdate(spark, dir)(
-      datasetCardCompute(spark, dir).persist())
+      datasetCardCompute(spark, dir).localCheckpoint(true))
 
   /** The card's own passes (quality, langId, vocab, exact-dup, plus
     * the audit rollups) re-ran per touch after the r12 extension (8.8

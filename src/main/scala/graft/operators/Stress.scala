@@ -107,7 +107,11 @@ object Stress {
         .select(col("r"), col("node"),
           (lit(1L) + coalesce(col("cs"), lit(0L))).as("c"),
           col("sigma"))
-        .localCheckpoint(false)
+        .localCheckpoint() // EAGER: level k's c is read by BOTH the
+      // level-(k-1) continuation join and the contrib union — two
+      // independent map stages of the final job that would each
+      // compute an unfilled lazy checkpoint's lineage (the concurrent-
+      // fill duplication measured on the prefix join and HyperBall)
       if (k > 0) // landmarks themselves (k = 0) accrue no stress
         contrib = contrib.unionAll(
           c.select(col("node"), (col("sigma") * (col("c") - 1)).as("s")))
