@@ -404,6 +404,13 @@ object GraphOps {
       dir: String): DataFrame =
     triStatsMemo.getOrElseUpdate(spark, dir) {
       val (und, _, o) = orientedCached(spark, dir)
+      // NOTE (r14): a row-guarded broadcast of the oriented table for
+      // both wedge joins was measured and REJECTED — hash-probing the
+      // Σ outdeg² wedge stream against a 1.5M-entry broadcast relation
+      // ran 2-2.5× SLOWER than the sort-merge plan (g_clustering cold
+      // 35 → 85-96 exec-s), the opposite of the small-dim-table case:
+      // here the probe stream dominates and sorted-run merging beats
+      // per-row hash lookups.
       val wedges = o.select(col("u").as("t_a"), col("v").as("t_b"))
         .join(o.select(col("u").as("t_b"), col("v").as("t_c")), "t_b")
       val tri = wedges.join(
