@@ -34,12 +34,20 @@ object ColdProf {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val execMs = new java.util.concurrent.atomic.AtomicLong
+    // shuffle write bytes per window: §2.3's "shuffle fewer bytes" is
+    // the claim layout changes make — exec seconds alone cannot verify
+    // it at sf scale where CPU and job overhead dominate the wall
+    val shufB = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = e.taskMetrics
-          if (m != null) { execMs.addAndGet(m.executorRunTime); () }
+          if (m != null) {
+            execMs.addAndGet(m.executorRunTime)
+            shufB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            ()
+          }
         }
       })
     def drainBus(): Unit = try {
@@ -53,11 +61,13 @@ object ColdProf {
     def timed(tag: String)(body: => Unit): Unit = {
       drainBus()
       val e0 = execMs.get()
+      val s0 = shufB.get()
       val t0 = System.nanoTime()
       body
       drainBus()
       println(f"[coldprof] $tag wall ${(System.nanoTime() - t0) / 1e9}%7.2fs " +
-        f"exec ${(execMs.get() - e0) / 1e3}%7.1fs")
+        f"exec ${(execMs.get() - e0) / 1e3}%7.1fs " +
+        f"shufMB ${(shufB.get() - s0) / 1048576.0}%8.1f")
     }
     def kernel(tag: String): Unit = timed(s"kernel $tag") {
       spark.range(0L, 50000000L, 1L, 32)

@@ -28,21 +28,28 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
+    // try/finally: an early crash must not leave coldMode set in the
+    // JVM; unknown names warn instead of silently producing no file
+    // (ADVICE r14)
     SessionMemo.coldMode = true
-    for (name <- names; fn <- SparkEntry.queries.get(name)) {
-      try {
-        val df = fn(spark, sfDir)
-        val txt = df.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(outDir, s"${name}_$tag.txt"), txt)
-        SessionMemo.drainColdOrphans()
-        println(s"[plandump] wrote ${name}_$tag.txt (${txt.length} chars)")
-      } catch { case e: Throwable =>
-        System.err.println(s"[plandump] $name failed: ${e.getMessage}")
+    try {
+      for (name <- names) SparkEntry.queries.get(name) match {
+        case None =>
+          System.err.println(s"[plandump] unknown query: $name (not in SparkEntry.queries)")
+        case Some(fn) =>
+          try {
+            val df = fn(spark, sfDir)
+            val txt = df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(outDir, s"${name}_$tag.txt"), txt)
+            SessionMemo.drainColdOrphans()
+            println(s"[plandump] wrote ${name}_$tag.txt (${txt.length} chars)")
+          } catch { case e: Throwable =>
+            System.err.println(s"[plandump] $name failed: ${e.getMessage}")
+          }
       }
-    }
-    SessionMemo.coldMode = false
+    } finally SessionMemo.coldMode = false
     spark.stop()
   }
 }

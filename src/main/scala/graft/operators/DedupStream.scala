@@ -85,6 +85,10 @@ object DedupStream {
     * those sidecars. */
   def batchPairs(baseCapped: DataFrame, baseDf: DataFrame,
                  delta: DataFrame): DataFrame = {
+    // NOTE: graft.StreamBatchProf's GRAFT_SB_SUBPHASES block mirrors
+    // these steps (keepDelta/overCap/collision-count) for per-phase
+    // attribution — keep the two in sync when changing the shape here
+    // (ADVICE r14).
     // `baseCapped` is the base posting table already filtered to
     // BASE-df ≤ MaxDf — the maintained index's steady-state capped
     // postings (what [[Dedup.nearShingles]] holds for the query path

@@ -46,10 +46,55 @@ object HyperBall {
   /** bit-length of a non-negative < 2^SuffixBits integer; same
     * when-cascade as [[Sketch.bitLen]] but over this sketch's wider
     * suffix. */
-  private def bitLen(x: Column): Column =
+  private[graft] def bitLen(x: Column): Column =
     (1 to SuffixBits).foldLeft(lit(0)) { (acc, b) =>
       when(x >= (1L << (b - 1)), lit(b)).otherwise(acc)
     }
+
+  /** PACKED register layout (round 15): one row per node, one LONG
+    * column per rho LEVEL k ∈ [1, Scale] — bit j of b_k is the
+    * monotone predicate (rho of bucket j ≥ k). Max-merge per bucket
+    * then IS bit_or per level (rho≥k is monotone in rho), still
+    * associative, so the combine stays map-side. The r14 shape (one
+    * int column per bucket, 64 max-aggregations) shuffled 65 8-byte
+    * UnsafeRow slots per node per round; this moves Scale+1 = 28 —
+    * a 2.32× cut in exchange bytes per round (guide §2.3 "narrower
+    * types"), which is the pyramid's dominant cost. (The original
+    * exploded (node, bucket, rho) layout was |E|·m rows — measured
+    * 6× worse than the wide form at sf0.1; the packed form keeps the
+    * wide form's row count AND drops its width.) Exposed
+    * private[operators] so the spec pins pack∘bit_or∘decode ≡
+    * max-merge and the round-plan dump can show the exchange schema. */
+  private[graft] def packCols: Seq[Column] =
+    (1 to Scale).map(k =>
+      when(col("rho") >= k, expr("shiftleft(CAST(1 AS BIGINT), bucket)"))
+        .otherwise(lit(0L)).as(s"b$k"))
+
+  /** one register-merge round: push every node's packed registers to
+    * its out-neighbors and bit_or-merge per level (== per-bucket max). */
+  private[graft] def mergeRound(regs: DataFrame, edges: DataFrame): DataFrame = {
+    val orCols = (1 to Scale).map(k => expr(s"bit_or(b$k)").as(s"b$k"))
+    val fromNbrs = edges
+      .join(regs.withColumnRenamed("node", "src"), "src")
+      .select(col("dst").as("node") +:
+        (1 to Scale).map(k => col(s"b$k")): _*)
+    regs.unionByName(fromNbrs)
+      .groupBy("node").agg(orCols.head, orCols.tail: _*)
+  }
+
+  /** Z' per node, exact-integer, decoded from the level masks via the
+    * telescoping identity 2^(Scale−rho) = 2^Scale − Σ_{k=1..rho}
+    * 2^(Scale−k), summed over all 64 buckets:
+    *   Z' = m·2^Scale − Σ_{k=1..Scale} 2^(Scale−k)·popcount(b_k)
+    * (empty registers rho=0 contribute the full 2^Scale term, exactly
+    * the r14 per-bucket sum). 27 bit_counts replace a 64-bucket
+    * decode; the integer value — and thus every downstream estimate
+    * and the oracle hash — is unchanged. */
+  private[graft] val zExpr: String =
+    s"CAST(${Buckets.toLong << Scale} AS BIGINT) - (" +
+      (1 to Scale).map(k =>
+        s"shiftleft(CAST(bit_count(b$k) AS BIGINT), ${Scale - k})")
+        .mkString(" + ") + ")"
 
   /** All three outputs are tiny (TopN or Iters+1 rows) — memoize them
     * as a tuple (one register pyramid feeds them all) and drop the big
@@ -106,28 +151,12 @@ object HyperBall {
     val seeded = nodeKinds
       .select(col("node"), shiftright(h, SuffixBits).as("bucket"),
         (lit(Scale) - bitLen(pmod(h, lit(1L << SuffixBits)))).as("rho"))
-    // WIDE register layout: one row per node, one int column per
-    // bucket. The round update is then |V|+|E| rows through 64 codegen
-    // max-aggregations (the simhash sign-sum trick) instead of up to
-    // |E|·m exploded (node, bucket, rho) rows — measured 6× at sf0.1.
-    // Merge is still max per column: associative, so the combine stays
-    // map-side.
-    val regCols = (0 until Buckets).map(j =>
-      when(col("bucket") === j, col("rho")).otherwise(lit(0))
-        .cast("int").as(s"r$j"))
     var t0 = System.nanoTime()
-    var regs = seeded.select(col("node") +: regCols: _*).persist()
-    val maxCols = (0 until Buckets).map(j => max(s"r$j").as(s"r$j"))
+    var regs = seeded.select(col("node") +: packCols: _*).persist()
     val cached = scala.collection.mutable.ListBuffer(regs)
     val rounds = scala.collection.mutable.ListBuffer(regs) // r0..rIters
     for (_ <- 1 to Iters) {
-      val fromNbrs = edges
-        .join(regs.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node") +:
-          (0 until Buckets).map(j => col(s"r$j")): _*)
-      val next = regs.unionByName(fromNbrs)
-        .groupBy("node").agg(maxCols.head, maxCols.tail: _*)
-        .persist()
+      val next = mergeRound(regs, edges).persist()
       // EAGER fill: the next round's plan references this cache from
       // TWO independent map stages (the self-union side and the
       // edge-join side), which Spark submits concurrently — against an
@@ -144,9 +173,6 @@ object HyperBall {
       regs = next
     }
 
-    // Z' per node, exact-integer: empty registers are the r_j = 0 terms
-    val zExpr = (0 until Buckets)
-      .map(j => s"shiftleft(CAST(1 AS BIGINT), $Scale - r$j)").mkString(" + ")
     val z = regs.select(col("node"), expr(zExpr).as("z"))
     // top-10 balls by integer order; tiny — checkpoint so the seeds
     // feed both the BFS probe and the final join without re-sorting
@@ -177,7 +203,7 @@ object HyperBall {
 
     // The three outputs are eagerly CHECKPOINTED, not persisted: their
     // logical plans span the whole register pyramid (3 unioned rounds ×
-    // 64 aggregates each), and a persisted entry makes every later read
+    // 27 level-mask aggregates each), and a persisted entry makes every later read
     // re-run Catalyst analysis over that tree — the suite measured
     // it_diameter/it_harmonic at ~0.9 s wall per run with exec ~0
     // (pure driver-side replanning, 3 runs per query per bench). A
