@@ -255,6 +255,43 @@ object Bench {
         SessionMemo.coldMode = false
         m
       }
+    // Second cold sample for the top spenders (VERDICT r14 Next #3):
+    // the cold pass takes ONE sample per query while sibling rebuilds
+    // run before/after it, and the in-pass pressure spreads cold
+    // singles ±50% (it_harmonic 130 exec-s isolated vs 300 in-suite).
+    // Re-sampling every query would double the pass; re-sampling the
+    // top-K wall spenders AFTER the pass (pressure over, inputs still
+    // warm — the isolated basis ColdProf measures) bounds the dominant
+    // error at ~1/6 the cost. Emitted as [in-suite, isolated] pairs in
+    // bench_detail ("queries_cold2_wall_exec"); existing cold_sec /
+    // cold_exec_sec keep their one-sample basis unchanged.
+    val cold2K = sys.env.getOrElse("SPARK_GRAFT_BENCH_COLD2_K", "12").toInt
+    val cold2Detail: scala.collection.Map[String, (Double, Double, Double, Double)] =
+      if (coldDetail.isEmpty || cold2K <= 0) Map.empty
+      else {
+        val top = coldDetail.toSeq
+          .collect { case (n, Some(t)) => (n, t._1) }
+          .sortBy(-_._2).take(cold2K).map(_._1)
+        SessionMemo.coldMode = true
+        val m = scala.collection.mutable.LinkedHashMap.from(top.map { name =>
+          val fn = SparkEntry.queries(name)
+          val ld = load1()
+          drainBus()
+          val (e0, g0) = (execMs.get(), gcMs.get())
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] cold2 $name failed: ${e.getMessage}")
+          }
+          val wall = (System.nanoTime() - t0) / 1e9
+          drainBus()
+          val (e1, g1) = (execMs.get(), gcMs.get())
+          SessionMemo.drainColdOrphans()
+          name -> ((wall, (e1 - e0) / 1e3, (g1 - g0) / 1e3, ld))
+        })
+        SessionMemo.coldMode = false
+        m
+      }
     val coldStorageEnd = storageSnap()
     val calPostCold = calibrate()
     def r3(d: Double) = BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -297,6 +334,9 @@ object Bench {
       }
       .mkString("{", ",", "}")
     val coldFailedJson = coldFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val cold2Json = cold2Detail.map { case (k, (w, e, g, ld)) =>
+      "\"" + k + s"""\":[${r3(w)},${r3(e)},${r3(g)},${r3(ld)}]"""
+    }.mkString("{", ",", "}")
     val memoJson = memoWarmed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // post-runs cache state per query: [cached_mb, n_rdds, n_partial]
     val storageJson = storageDetail.map { case (k, (mb, n, p, z)) =>
@@ -316,6 +356,7 @@ object Bench {
       s"""{"queries_med":${fmt(med)},"queries_min":${fmt(_.head)},"queries_max":${fmt(_.last)},""" +
       s""""queries_exec_med":$execMedJson,""" +
       s""""queries_cold_wall_exec":$coldJson,"cold_failed":$coldFailedJson,""" +
+      s""""queries_cold2_wall_exec":$cold2Json,""" +
       s""""cold_order":${coldDetail.keys.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""storage_cold_start":[${coldStorageStart._1},${coldStorageStart._2},${coldStorageStart._3},${coldStorageStart._4}],""" +
       s""""storage_cold_end":[${coldStorageEnd._1},${coldStorageEnd._2},${coldStorageEnd._3},${coldStorageEnd._4}],""" +
@@ -337,6 +378,16 @@ object Bench {
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    // Per-query pointer line (VERDICT r14 Next #2): the driver's tail
+    // capture is exactly 2,000 chars (every BENCH_rN.json tail measures
+    // 2000), so a 226-entry per-query map (~5 KB) can never ride the
+    // parse-critical stdout line — r4/r5 proved a 3.1 KB line gets
+    // decapitated and the whole perf gate goes ungraded. Instead a
+    // SHORT second machine line names the detail file and the stable
+    // keys a driver can ingest per query; it prints BEFORE the main
+    // line (main line stays last → inside the tail) and deliberately
+    // does not contain the substring the main-line grep keys on.
+    println(s"""{"bench_per_query":"target/bench_detail.json","schema":{"warm_median_s":"queries_med","warm_exec_median_s":"queries_exec_med","cold_wall_exec_gc_load":"queries_cold_wall_exec","cold_resample_top${cold2K}":"queries_cold2_wall_exec","order":"cold_order"},"n_queries":${SparkEntry.queries.size}}""")
     // cold_sec / cold_exec_sec: the memo-policy-proof totals (one
     // bypassed pass per query); e2e_sec = warm fill + timed suite
     // load_1m_start/_end ride the stdout line so even the driver-parsed
