@@ -53,39 +53,93 @@ object Iterative {
       build: => DataFrame): DataFrame =
     symMemo.getOrElseUpdate(spark, s"$dir#$what")(build.persist())
 
+  /** Partition count for a persisted edge table (round 15): the
+    * session's core count as a FLOOR, growing with the table's own
+    * estimated size once partitions would exceed [[EdgeMaxChunkBytes]]
+    * (guide §2.2's 100 MB-1 GB partition band). The previous keyless
+    * `repartition(col)` always produced `spark.sql.shuffle.partitions`
+    * (= the core-count env) partitions — right locally, but a TB-scale
+    * edge table at 100 TB would land in those same 32 partitions, and
+    * every downstream round join inherits that ceiling. At local SFs
+    * the formula reduces to exactly the r14 layout (bytes ≪
+    * 128 MB × cores → floor = cores), so the bench basis is unchanged.
+    *
+    * Measured and REJECTED (this round): partitioning strictly by size
+    * with no core floor (1-2 partitions at sf0.1). The fixpoint
+    * rounds' 32 near-empty tasks do carry fixed overhead (StageProf:
+    * it_connected_components = 33 stages × 32 tasks × ~90 ms/task for
+    * ≤8.5 MB moved), but the shared tables also feed joins whose
+    * OUTPUTS dwarf their inputs (wedge/stress Σdeg² streams): with a
+    * 1-partition edge side those joins inherit 1-partition outputs,
+    * the shared warm fill crawled 93 → 582 s, and AQE's skew-split
+    * shattered the monster partition into a 20k-task stage. A
+    * structure-bearing table's partition count bounds the parallelism
+    * of work PROPORTIONAL TO ITS JOIN FAN-OUT, not to its bytes — so
+    * the floor stays at the core count. */
+  val EdgeMaxChunkKey = "graft.iterative.edgeMaxChunkBytes"
+  val EdgeMaxChunkBytes = 128L << 20
+
+  private[graft] def sizedPartitions(df: DataFrame): Int = {
+    val spark = df.sparkSession
+    val maxChunk = spark.conf.getOption(EdgeMaxChunkKey).map(_.toLong)
+      .getOrElse(EdgeMaxChunkBytes)
+    val plan = df.queryExecution.optimizedPlan
+    // Size basis: min(plan estimate, Σ leaf bytes × 8). Catalyst
+    // propagates sizeInBytes multiplicatively through joins/windows/
+    // generators without column stats, so a derived plan's estimate
+    // can run far past reality; the leaf sum (parquet file bytes or
+    // materialized cache bytes) bounds it — this derivation only
+    // projects, filters, unions both orientations of, or window-
+    // numbers its leaves. The ×8 covers the symmetrize union and
+    // parquet→in-memory expansion.
+    val leafBytes = plan.collectLeaves()
+      .map(l => BigInt(l.stats.sizeInBytes.toString)).sum * 8
+    val bytes = BigInt(plan.stats.sizeInBytes.toString).min(leafBytes)
+    val cores = spark.sparkContext.defaultParallelism.toLong
+    val bySize = (bytes / maxChunk).toLong + 1
+    val n = math.max(bySize, cores).min(1000000L).toInt
+    itLog(s"sizedPartitions: plan=${plan.stats.sizeInBytes} leaf8=$leafBytes -> $n")
+    n
+  }
+
+  private def sizedRepartition(df: DataFrame, key: Column): DataFrame =
+    df.repartition(sizedPartitions(df), key)
+
   /** whole-graph symmetrized edges, hash-partitioned by src (the
     * frontier-join key of [[iterateCost]]) */
   private[graft] def symAllSrc(spark: SparkSession, dir: String): DataFrame =
     memoEdges(spark, dir, "symAllSrc")(
-      symmetrize(TpchGraph.relsLite(spark, dir)).repartition(col("src")))
+      sizedRepartition(symmetrize(TpchGraph.relsLite(spark, dir)), col("src")))
 
   /** whole-graph symmetrized edges partitioned by dst (the peel loss
     * join key of [[kcoreSurvivors]]/[[corenessOf]]) */
   private[graft] def symAllDst(spark: SparkSession, dir: String): DataFrame =
     memoEdges(spark, dir, "symAllDst")(
-      symmetrize(TpchGraph.relsLite(spark, dir)).repartition(col("dst")))
+      sizedRepartition(symmetrize(TpchGraph.relsLite(spark, dir)), col("dst")))
 
   /** whole-graph symmetrized DISTINCT edges by src (simple-graph
     * consumers that join forward on src: stress centrality) */
   private[graft] def symAllSrcDistinct(spark: SparkSession, dir: String): DataFrame =
     memoEdges(spark, dir, "symAllSrcDistinct") {
       val rels = TpchGraph.relsLite(spark, dir).select("src", "dst")
-      rels.unionAll(rels.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().repartition(col("src"))
+      sizedRepartition(
+        rels.unionAll(rels.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct(), col("src"))
     }
 
   /** HAS_PART-subgraph symmetrized edges by src (CC and LPA) */
   private[graft] def symHasPartSrc(spark: SparkSession, dir: String): DataFrame =
     memoEdges(spark, dir, "symHasPartSrc")(
-      symmetrize(TpchGraph.relsLite(spark, dir).filter(col("type") === "HAS_PART"))
-        .repartition(col("src")))
+      sizedRepartition(
+        symmetrize(TpchGraph.relsLite(spark, dir).filter(col("type") === "HAS_PART")),
+        col("src")))
 
   /** whole-graph DIRECTED edges by src (PageRank/PPR share joins
     * forward along src; HITS reuses it for both half-rounds) */
   private[graft] def dirAllSrc(spark: SparkSession, dir: String): DataFrame =
     memoEdges(spark, dir, "dirAllSrc")(
-      TpchGraph.relsLite(spark, dir).select("src", "dst")
-        .repartition(col("src")))
+      sizedRepartition(TpchGraph.relsLite(spark, dir).select("src", "dst"),
+        col("src")))
 
   /** whole-graph symmetrized WEIGHTED edges by src (SSSP; weights are
     * the deterministic id-derived costs) */
@@ -93,9 +147,10 @@ object Iterative {
     memoEdges(spark, dir, "symWeightedSrc") {
       val r = TpchGraph.rels(spark, dir)
       def w = pmod(col("id"), lit(WeightMod)) + lit(1L)
-      r.select(col("src"), col("dst"), w.as("w"))
-        .unionAll(r.select(col("dst").as("src"), col("src").as("dst"), w.as("w")))
-        .repartition(col("src"))
+      sizedRepartition(
+        r.select(col("src"), col("dst"), w.as("w"))
+          .unionAll(r.select(col("dst").as("src"), col("src").as("dst"), w.as("w"))),
+        col("src"))
     }
 
   /** broadcast hint only when the side is provably small (rows counted
@@ -174,7 +229,7 @@ object Iterative {
     // common case — see SCALE.md's oscillation caveat.)
     // `prepared` callers pass a session-memoized table already in this
     // shape — it is shared across queries/runs and NOT unpersisted here.
-    val edges = if (prepared) edges0 else edges0.repartition(col("src")).persist()
+    val edges = if (prepared) edges0 else sizedRepartition(edges0, col("src")).persist()
     // LAZY checkpoint: v is first touched by round 0's costRound, whose
     // frontier count pins the block — eager materialization here was a
     // serial full-vertex job before any round started
@@ -438,9 +493,10 @@ object Iterative {
           .select(col("node"), coalesce(col("label"), col("node")).as("label"))
       } else {
         val dep = ep.distinct()
-        val sym = dep.select(col("p").as("src"), col("mp").as("dst"))
-          .unionAll(dep.select(col("mp").as("src"), col("p").as("dst")))
-          .repartition(col("src")).persist()
+        val sym = sizedRepartition(
+          dep.select(col("p").as("src"), col("mp").as("dst"))
+            .unionAll(dep.select(col("mp").as("src"), col("p").as("dst"))),
+          col("src")).persist()
         val r = iterateMinJump(pv.select(col("node"),
           col("node").as("label")), sym, CcConvergeIters)
         sym.unpersist()
@@ -611,7 +667,7 @@ object Iterative {
     val maxRows = broadcastMaxRows(edges0.sparkSession)
     // partitioned by dst — the per-round loss join keys on dst, and
     // the degree groupBy's exchange is paid once on smaller deg rows
-    val edges = if (prepared) edges0 else edges0.repartition(col("dst")).persist()
+    val edges = if (prepared) edges0 else sizedRepartition(edges0, col("dst")).persist()
     var deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg")).localCheckpoint(true)
     var round = 0
@@ -697,7 +753,7 @@ object Iterative {
                                 prepared: Boolean = false): DataFrame = {
     val spark = e0.sparkSession
     val maxRows = broadcastMaxRows(spark)
-    val edges = if (prepared) e0 else e0.repartition(col("dst")).persist()
+    val edges = if (prepared) e0 else sizedRepartition(e0, col("dst")).persist()
     var deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg")).localCheckpoint(true)
     var cores: List[DataFrame] = Nil
@@ -801,8 +857,9 @@ object Iterative {
     // memo, not [[symAllDst]]'s multigraph table
     val edges = memoEdges(spark, dir, "symAllDstDistinct") {
       val rels = TpchGraph.relsLite(spark, dir).select("src", "dst")
-      rels.unionAll(rels.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().repartition(col("dst"))
+      sizedRepartition(
+        rels.unionAll(rels.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct(), col("dst"))
     }
     val prio = Sketch.mix(pmod(col("node"), lit(Sketch.HashMod))) *
       MisIdMod + pmod(col("node"), lit(MisIdMod))
